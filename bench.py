@@ -1,0 +1,97 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Protocol mirrors the reference bench (docs/COMPARISON_DUCKDB.md:15-16):
+1 warmup + 3 timed runs per query, report the min. Prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the 9-shape analytics matrix, the flagship group-agg,
+# joins (broadcast/shuffle/as-of), temporal ops, and the
+# pipeline operators (dedup/similarity/text).
+HEADLINE = [
+    "filter_count",
+    "group_by_count",
+    "sum_qty",
+    "avg_qty",
+    "min_max_qty",
+    "group_by_2keys",
+    "filter_group_by",
+    "count_distinct",
+    "compound_filter_count",
+    "computed_agg",
+    "pricing_summary",
+    "top_k_orders",
+    "customers_per_region",
+    "revenue_by_priority",
+    "national_revenue",
+    "asof_join_orders_events",
+    "previous_next_event",
+    "snapshot_diff",
+    "valid_at",
+    "json_deref_sum",
+    "token_count",
+    "exact_dedup",
+    "minhash_signatures",
+    "jaccard_near_dup",
+    "simhash",
+    "cosine_topk",
+    "knn_join",
+]
+
+N_TIMED = 3
+
+
+def run_once(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution without driver-side materialization cost:
+    # count over a noop-projection keeps all operators in the plan.
+    df.foreach(lambda _: None) if False else df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sirix_spark import get_spark
+    from sirix_spark.queries import registry
+
+    spark = get_spark("sirix-spark-bench")
+    reg = registry()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name].fn
+        run_once(fn, spark, sf_dir)  # warmup
+        timings[name] = round(min(run_once(fn, spark, sf_dir) for _ in range(N_TIMED)), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_min_of_3",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

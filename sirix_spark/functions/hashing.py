@@ -1,0 +1,58 @@
+"""Deterministic cross-engine hashing.
+
+Everything dedup/LSH-related needs a hash that is bit-identical in
+Spark and in the DuckDB oracle. xxhash64/hash() differ between
+engines, so we define:
+
+    h(s) = int(md5(s)[:15 hex chars], 16)        (60-bit, positive)
+
+- Spark:  conv(substring(md5(s), 1, 15), 16, 10) cast to bigint
+- DuckDB: CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)
+
+MinHash permutations are the classic universal-hash family
+(a*h + b) mod P over the Mersenne prime P = 2^31 - 1 (same family
+the reference's dictionary sketches use for cardinality estimation —
+StringDictSketch.java; our use is MinHash signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1
+
+# Deterministic seed family (literals derived from small primes).
+N_MINHASH = 16
+
+
+def minhash_seeds(n: int = N_MINHASH) -> list[tuple[int, int]]:
+    return [(1_000_003 + 7_919 * j, 7 + 104_729 * j) for j in range(n)]
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit positive hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str) -> str:
+    """Same hash, DuckDB SQL."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def bucket_hash(col: Column) -> Column:
+    """h(s) mod P — the value MinHash permutations are applied to."""
+    return md5_long(col) % F.lit(P)
+
+
+def bucket_hash_sql(expr: str) -> str:
+    return f"({md5_long_sql(expr)} % {P})"
+
+
+def perm(hw: Column, a: int, b: int) -> Column:
+    """One MinHash permutation over an already-bucketed hash value."""
+    return (F.lit(a) * hw + F.lit(b)) % F.lit(P)
+
+
+def perm_sql(hw_expr: str, a: int, b: int) -> str:
+    return f"(({a} * {hw_expr} + {b}) % {P})"

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines over
+`documents`: exact (hash-groupBy), MinHash signatures + LSH banding,
+token-Jaccard near-dup with document-frequency pruning, and SimHash.
+
+Scale design:
+- exact dedup: one shuffle on the 16-byte fingerprint.
+- MinHash signatures: computed per-row with array built-ins
+  (array_distinct → transform → array_min) — NO shuffle, no UDF;
+  at 100 TB this is a map-only stage.
+- LSH pairs: explode k bands per doc (k small), shuffle by band key,
+  join within buckets only — never an O(n²) cross join.
+- Jaccard verify: posting-list self-join pruned to tokens with
+  document frequency ≤ DF_MAX (drops stop-token buckets — the
+  classic skew killer for corpus self-joins).
+
+Hashing is md5-based and bit-identical in the DuckDB oracle
+(sirix_spark.functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sirix_spark.functions.hashing import (
+    P,
+    bucket_hash,
+    bucket_hash_sql,
+    minhash_seeds,
+    perm,
+    perm_sql,
+)
+from sirix_spark.queries import Query
+from sirix_spark.tables import load
+
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+DF_MAX = 100
+JACCARD_MIN = 0.6
+SEEDS = minhash_seeds(N_HASH)
+
+_NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+# --- exact dedup -----------------------------------------------------
+def exact_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(_NORM(F.col("text"))).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canonical_id,
+       count(*)    OVER (PARTITION BY md5({_NORM_SQL})) AS group_size
+FROM documents
+"""
+
+
+# --- MinHash signatures ---------------------------------------------
+def _perm_lambda(a: int, b: int):
+    # factory keeps the lambda single-arg (higher-order fns inspect arity)
+    return lambda h: perm(h, a, b)
+
+
+def _minhash_cols():
+    """Per-row MinHash over distinct words: map-only, no shuffle."""
+    words = F.array_distinct(F.split(_NORM(F.col("text")), " "))
+    hashed = F.transform(words, bucket_hash)
+    return [
+        F.array_min(F.transform(hashed, _perm_lambda(a, b))).alias(f"m{j}")
+        for j, (a, b) in enumerate(SEEDS)
+    ]
+
+
+def minhash_signatures(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *_minhash_cols())
+
+
+def _minhash_sig_sql_cols() -> str:
+    hw = bucket_hash_sql("w")
+    terms = [
+        f"list_aggregate(list_transform(list_distinct(string_split({_NORM_SQL}, ' ')), "
+        f"w -> {perm_sql(hw, a, b)}), 'min') AS m{j}"
+        for j, (a, b) in enumerate(SEEDS)
+    ]
+    return ",\n       ".join(terms)
+
+
+MINHASH_SIGNATURES_SQL = f"""
+SELECT doc_id,
+       {_minhash_sig_sql_cols()}
+FROM documents
+"""
+
+
+# --- LSH candidate pairs --------------------------------------------
+def minhash_lsh_pairs(spark, sf_dir):
+    """Near-dup candidate pairs: docs colliding in ≥1 of N_BANDS
+    bands (each band = ROWS_PER_BAND minhashes). Shuffle is by band
+    key — only same-bucket docs ever meet."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band_key"))
+    a = banded.alias("a")
+    bdf = banded.alias("b")
+    return (
+        a.join(bdf, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_key_sql(prefix: str) -> list[str]:
+    return [
+        "concat_ws('_', "
+        + ", ".join([f"'{b}'"] + [f"{prefix}m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+        + ")"
+        for b in range(N_BANDS)
+    ]
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_minhash_sig_sql_cols()}
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+# --- exact Jaccard near-dup with DF pruning -------------------------
+def jaccard_near_dup(spark, sf_dir):
+    """Exact token-set Jaccard over rare tokens (document frequency
+    ≤ DF_MAX), pairs with jaccard ≥ JACCARD_MIN. The DF prune is the
+    documented semantics (identical in the oracle), and the thing
+    that keeps the posting-list self-join skew-free at corpus scale.
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_NORM(F.col("text")), " "))).alias("w"),
+    )
+    df_counts = words.groupBy("w").agg(F.count("*").alias("df"))
+    rare = words.join(
+        F.broadcast(df_counts.filter(F.col("df") <= DF_MAX)), "w"
+    ).select("doc_id", "w")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    common = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+JACCARD_NEAR_DUP_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+  FROM documents
+),
+rare AS (
+  SELECT doc_id, w FROM words
+  WHERE w IN (SELECT w FROM words GROUP BY w HAVING count(*) <= {DF_MAX})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) >= {JACCARD_MIN}
+"""
+
+
+# --- SimHash ---------------------------------------------------------
+N_SIMHASH_BITS = 16
+
+
+def simhash(spark, sf_dir):
+    """16-bit SimHash over distinct words: per bit, sign of the sum
+    of ±1 votes; signature = packed bit vector. Explode → one shuffle
+    by doc_id (at scale: map-side combine keeps it cheap)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_NORM(F.col("text")), " "))).alias("w"),
+    ).withColumn("hw", bucket_hash(F.col("w")))
+    bit_votes = [
+        F.sum(
+            (F.shiftright(F.col("hw"), bit).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{bit}")
+        for bit in range(N_SIMHASH_BITS)
+    ]
+    votes = words.groupBy("doc_id").agg(*bit_votes)
+    packed = None
+    for bit in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    hw = bucket_hash_sql("w")
+    vote_cols = ",\n         ".join(
+        f"sum((({hw} >> {bit}) & 1) * 2 - 1) AS v{bit}" for bit in range(N_SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+        for bit in range(N_SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+"""
+
+
+QUERIES = {
+    "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, ("dedup",)),
+    "minhash_signatures": Query(minhash_signatures, MINHASH_SIGNATURES_SQL, ("dedup",)),
+    "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, ("dedup",)),
+    "jaccard_near_dup": Query(jaccard_near_dup, JACCARD_NEAR_DUP_SQL, ("dedup",)),
+    "simhash": Query(simhash, _simhash_sql(), ("dedup",)),
+}

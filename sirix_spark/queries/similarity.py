@@ -1,0 +1,105 @@
+"""Similarity-search operators over the `embeddings` table
+(array<float> column): brute-force cosine top-k and batch kNN join.
+
+Scale design: the query set is broadcast (single-row or small), the
+corpus side is never shuffled — score is computed per-partition with
+JVM higher-order functions, and top-k is TakeOrderedAndProject
+(per-partition heaps + driver merge). Cosines are rounded to 4
+decimals BEFORE ranking in both engines so the selected row set is
+deterministic despite float association differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sirix_spark.functions.similarity import cosine
+from sirix_spark.queries import Query
+from sirix_spark.tables import load
+
+TOP_K = 10
+KNN_QUERIES = 5
+KNN_K = 3
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])), 4) AS cos
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def knn_join(spark, sf_dir):
+    """Batch kNN: for each query vector (vec_id < KNN_QUERIES), the
+    KNN_K nearest neighbors. Queries broadcast; ranking windowed per
+    query."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])), 4) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+QUERIES = {
+    "cosine_topk": Query(cosine_topk, COSINE_TOPK_SQL, ("similarity",)),
+    "knn_join": Query(knn_join, KNN_JOIN_SQL, ("similarity",)),
+}
