@@ -1,0 +1,436 @@
+"""VersionedStore: snapshot-per-commit keyed record store with time
+travel, updates, diff, and bitemporal reads.
+
+Reference parity map (SURVEY.md §2.1, §2.7, §2.12):
+- jn:store / jn:load            → VersionedStore.store()
+- jn:doc(db,res[,rev])          → doc()
+- jn:open(db,res,ts)            → doc(timestamp=...)
+- jn:open-revisions(ts1,ts2)    → open_revisions()
+- sdb:commit (+message/author)  → commit_* (manifest metadata)
+- updates (insert/replace/delete/rename, JsonNodeTrx.java:62-117)
+                                → insert_records / replace_where /
+                                  delete_where / rename_field
+- /history                      → history()
+- jn:all-times / past / future / previous / next / first / last
+  (axis/temporal/*.java)        → history_view() + temporal ops in
+                                  operators/temporal.py
+- jn:diff (BasicJsonDiff.java)  → diff() (JSON-patch ops)
+- jn:valid-at / open-bitemporal (ValidAt.java:45, OpenBitemporal.java)
+                                → valid_at() / open_bitemporal()
+
+Physical design (scale-first):
+- Each commit writes ONLY its delta (upserts parquet + deleted-keys
+  parquet); every `checkpoint_every` commits a full checkpoint is
+  materialized. doc(r) = checkpoint ≤ r + deltas (ckpt, r],
+  latest-revision-wins per record_key — one shuffle, bounded by the
+  checkpoint interval regardless of history length. This is the
+  merge-on-read pattern (Iceberg/Delta-style) standing in for the
+  reference's sliding-snapshot page versioning
+  (docs/ARCHITECTURE.md:1560).
+- Snapshots are plain parquet: columnar, stats-pruned — the
+  "projection index is the storage itself" property (SURVEY.md §1.3).
+- Record identity: a caller-designated key column is renamed to
+  `record_key` (the stable 64-bit nodeKey analog,
+  docs/ARCHITECTURE.md:70-100).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sirix_spark.store.manifest import Manifest, RevisionEntry
+
+RECORD_KEY = "record_key"
+REVISION_COL = "_revision"
+DELETED_COL = "_deleted"
+
+
+class VersionedStore:
+    def __init__(self, spark: SparkSession, root: str, checkpoint_every: int = 10):
+        self.spark = spark
+        self.root = root
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(root, exist_ok=True)
+
+    # ----- database / resource lifecycle (jn:create/drop/exists) -----
+    def _res_path(self, db: str, res: str) -> str:
+        return os.path.join(self.root, db, res)
+
+    def exists_database(self, db: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, db))
+
+    def exists_resource(self, db: str, res: str) -> bool:
+        return os.path.isfile(os.path.join(self._res_path(db, res), "manifest.json"))
+
+    def drop_database(self, db: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, db), ignore_errors=True)
+
+    def drop_resource(self, db: str, res: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._res_path(db, res), ignore_errors=True)
+
+    def _manifest(self, db: str, res: str) -> Manifest:
+        return Manifest(os.path.join(self._res_path(db, res), "manifest.json"))
+
+    # ----- commit machinery ------------------------------------------
+    def _rev_dir(self, db: str, res: str, revision: int) -> str:
+        return os.path.join(self._res_path(db, res), f"r{revision:06d}")
+
+    @staticmethod
+    def _now_iso(timestamp: datetime | None) -> str:
+        dt = timestamp or datetime.now(timezone.utc)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.isoformat()
+
+    def store(
+        self,
+        db: str,
+        res: str,
+        df: DataFrame,
+        key: str,
+        message: str | None = None,
+        author: str | None = None,
+        commit_timestamp: datetime | None = None,
+    ) -> int:
+        """Create the resource with revision 1 (jn:store semantics —
+        Store.java; commitMessage/commitTimestamp overloads)."""
+        if self.exists_resource(db, res):
+            raise ValueError(f"resource {db}/{res} already exists")
+        os.makedirs(self._res_path(db, res), exist_ok=True)
+        keyed = df.withColumnRenamed(key, RECORD_KEY)
+        path = self._rev_dir(db, res, 1)
+        keyed.write.mode("errorifexists").parquet(os.path.join(path, "data"))
+        n = keyed.count()
+        manifest = self._manifest(db, res)
+        manifest.append(
+            RevisionEntry(
+                revision=1,
+                committed_at=self._now_iso(commit_timestamp),
+                author=author,
+                message=message,
+                kind="checkpoint",
+                n_upserts=n,
+            )
+        )
+        return 1
+
+    def load_json(
+        self,
+        db: str,
+        res: str,
+        json_path: str,
+        key: str,
+        **kw,
+    ) -> int:
+        """jn:load — parse JSON file(s) into a new resource
+        (Load.java; the parallel shredder ParallelJsonShredder.java:72
+        is spark.read.json's multi-task parse for free)."""
+        df = self.spark.read.json(json_path)
+        return self.store(db, res, df, key=key, **kw)
+
+    def _write_commit(
+        self,
+        db: str,
+        res: str,
+        upserts: DataFrame | None,
+        delete_keys: DataFrame | None,
+        message: str | None = None,
+        author: str | None = None,
+        commit_timestamp: datetime | None = None,
+        force_checkpoint: bool = False,
+        full_state: bool = False,
+    ) -> int:
+        manifest = self._manifest(db, res)
+        rev = manifest.latest_revision() + 1
+        if rev == 1:
+            raise ValueError(f"resource {db}/{res} does not exist; call store() first")
+        checkpoint = force_checkpoint or (rev % self.checkpoint_every == 0)
+        path = self._rev_dir(db, res, rev)
+        n_up = n_del = 0
+        if full_state:
+            # `upserts` IS the complete new state (schema-changing
+            # commits like rename): write it as a checkpoint directly.
+            upserts.write.mode("errorifexists").parquet(os.path.join(path, "data"))
+            n_up = upserts.count()
+            kind = "checkpoint"
+        elif checkpoint:
+            # Materialize full state = prev state + this delta.
+            prev = self.doc(db, res, revision=rev - 1)
+            state = prev
+            if delete_keys is not None:
+                state = state.join(
+                    delete_keys.select(RECORD_KEY), RECORD_KEY, "left_anti"
+                )
+            if upserts is not None:
+                state = state.join(
+                    upserts.select(RECORD_KEY), RECORD_KEY, "left_anti"
+                ).unionByName(upserts, allowMissingColumns=False)
+                n_up = upserts.count()
+            if delete_keys is not None:
+                n_del = delete_keys.count()
+            state.write.mode("errorifexists").parquet(os.path.join(path, "data"))
+            kind = "checkpoint"
+        else:
+            if upserts is not None:
+                upserts.write.mode("errorifexists").parquet(os.path.join(path, "upserts"))
+                n_up = upserts.count()
+            if delete_keys is not None:
+                delete_keys.select(RECORD_KEY).write.mode("errorifexists").parquet(
+                    os.path.join(path, "deletes")
+                )
+                n_del = delete_keys.count()
+            kind = "delta"
+        manifest.append(
+            RevisionEntry(
+                revision=rev,
+                committed_at=self._now_iso(commit_timestamp),
+                author=author,
+                message=message,
+                kind=kind,
+                n_upserts=n_up,
+                n_deletes=n_del,
+            )
+        )
+        return rev
+
+    # ----- update operators (JSONiq update syntax, §2.12) ------------
+    def insert_records(self, db: str, res: str, records: DataFrame, key: str, **kw) -> int:
+        """insert/append json (JsonNodeTrx insertSubtree :183-194)."""
+        return self._write_commit(
+            db, res, records.withColumnRenamed(key, RECORD_KEY), None, **kw
+        )
+
+    def upsert_records(self, db: str, res: str, records: DataFrame, key: str, **kw) -> int:
+        return self._write_commit(
+            db, res, records.withColumnRenamed(key, RECORD_KEY), None, **kw
+        )
+
+    def replace_where(self, db: str, res: str, cond, updates: dict, **kw) -> int:
+        """replace json value of ... (JsonNodeTrx.java:107-115):
+        set columns on records matching cond; stored as an upsert
+        delta of only the touched records."""
+        cur = self.doc(db, res)
+        touched = cur.filter(cond)
+        for col, value in updates.items():
+            touched = touched.withColumn(
+                col, value if hasattr(value, "_jc") else F.lit(value)
+            )
+        return self._write_commit(db, res, touched, None, **kw)
+
+    def delete_where(self, db: str, res: str, cond, **kw) -> int:
+        """delete json (JsonNodeTrx.java:117 remove()): tombstone by
+        key — deleted records are absent from later revisions but
+        remain in earlier ones."""
+        cur = self.doc(db, res)
+        keys = cur.filter(cond).select(RECORD_KEY)
+        return self._write_commit(db, res, None, keys, **kw)
+
+    def rename_field(self, db: str, res: str, old: str, new: str, **kw) -> int:
+        """rename json (JsonNodeTrx.java:109 setObjectKeyName).
+        Schema change → forced checkpoint commit."""
+        cur = self.doc(db, res).withColumnRenamed(old, new)
+        return self._write_commit(db, res, cur, None, full_state=True, **kw)
+
+    # ----- reads ------------------------------------------------------
+    def doc(
+        self,
+        db: str,
+        res: str,
+        revision: int | None = None,
+        timestamp: datetime | None = None,
+    ) -> DataFrame:
+        """Open the resource at a revision / point in time
+        (jn:doc Doc.java, jn:open DocByPointInTime.java).
+
+        Merge-on-read: base checkpoint + deltas, latest wins per key.
+        Cost is bounded by checkpoint_every, independent of total
+        history length."""
+        manifest = self._manifest(db, res)
+        if timestamp is not None:
+            if revision is not None:
+                raise ValueError("pass either revision or timestamp, not both")
+            revision = manifest.revision_at(timestamp)
+        revision = revision or manifest.latest_revision()
+        if revision < 1:
+            raise KeyError(f"resource {db}/{res} has no revisions")
+        manifest.entry(revision)  # bounds check
+        ckpt = manifest.latest_checkpoint_at_or_before(revision)
+        base_path = os.path.join(self._rev_dir(db, res, ckpt), "data")
+        base = self.spark.read.parquet(base_path)
+        if ckpt == revision:
+            return base
+        parts = [base.withColumn(REVISION_COL, F.lit(ckpt)).withColumn(DELETED_COL, F.lit(False))]
+        for r in range(ckpt + 1, revision + 1):
+            e = manifest.entry(r)
+            rd = self._rev_dir(db, res, r)
+            if e.kind == "checkpoint":  # unreachable (ckpt is latest), safety
+                continue
+            if e.n_upserts:
+                up = self.spark.read.parquet(os.path.join(rd, "upserts"))
+                parts.append(
+                    up.withColumn(REVISION_COL, F.lit(r)).withColumn(DELETED_COL, F.lit(False))
+                )
+            if e.n_deletes:
+                dl = self.spark.read.parquet(os.path.join(rd, "deletes"))
+                for c in base.columns:
+                    if c != RECORD_KEY:
+                        dl = dl.withColumn(c, F.lit(None).cast(dict(base.dtypes)[c]))
+                parts.append(
+                    dl.select(base.columns)
+                    .withColumn(REVISION_COL, F.lit(r))
+                    .withColumn(DELETED_COL, F.lit(True))
+                )
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        w = Window.partitionBy(RECORD_KEY).orderBy(F.col(REVISION_COL).desc())
+        return (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col(DELETED_COL)))
+            .drop("_rn", REVISION_COL, DELETED_COL)
+        )
+
+    def open_revisions(self, db: str, res: str, ts1: datetime, ts2: datetime) -> list[int]:
+        """jn:open-revisions — all revisions committed in [ts1, ts2]
+        (OpenRevisions.java)."""
+        if ts1.tzinfo is None:
+            ts1 = ts1.replace(tzinfo=timezone.utc)
+        if ts2.tzinfo is None:
+            ts2 = ts2.replace(tzinfo=timezone.utc)
+        return [
+            e.revision
+            for e in self._manifest(db, res).entries
+            if ts1 <= e.committed_at_dt <= ts2
+        ]
+
+    def history(self, db: str, res: str) -> DataFrame:
+        """/history — revision, timestamp, author, message
+        (HistoryHandler.kt; sdb:revision/timestamp accessors)."""
+        entries = self._manifest(db, res).entries
+        return self.spark.createDataFrame(
+            [
+                (e.revision, e.committed_at, e.author, e.message, e.kind, e.n_upserts, e.n_deletes)
+                for e in entries
+            ],
+            "revision int, committed_at string, author string, message string, "
+            "kind string, n_upserts long, n_deletes long",
+        )
+
+    def latest_revision(self, db: str, res: str) -> int:
+        """sdb:most-recent-revision (GetMostRecentRevision.java)."""
+        return self._manifest(db, res).latest_revision()
+
+    def revision_timestamp(self, db: str, res: str, revision: int) -> datetime:
+        """sdb:revision-timestamp (GetRevisionTimestamp.java)."""
+        return self._manifest(db, res).entry(revision).committed_at_dt
+
+    def history_view(self, db: str, res: str, max_revision: int | None = None) -> DataFrame:
+        """Union-of-revisions view with a `revision` column — the
+        substrate for the temporal operator family (jn:all-times /
+        past / future / previous / next, axis/temporal/*.java).
+
+        Each record's row appears once per revision where it existed
+        (i.e., the record's state AS OF each revision). Deletions
+        stop the record appearing in later revisions."""
+        manifest = self._manifest(db, res)
+        last = max_revision or manifest.latest_revision()
+        views = []
+        for r in range(1, last + 1):
+            views.append(self.doc(db, res, revision=r).withColumn("revision", F.lit(r)))
+        out = views[0]
+        for v in views[1:]:
+            out = out.unionByName(v)
+        return out
+
+    # ----- diff (jn:diff, BasicJsonDiff.java:21) ---------------------
+    def diff(self, db: str, res: str, r1: int, r2: int) -> DataFrame:
+        """Record-level semantic diff between two revisions → ops
+        DataFrame (insert/delete/update with old/new JSON payloads —
+        the JSON-patch shape of JsonDiffSerializer.java)."""
+        d1 = self.doc(db, res, revision=r1)
+        d2 = self.doc(db, res, revision=r2)
+        payload = [c for c in d1.columns if c != RECORD_KEY]
+        o = d1.select(
+            F.col(RECORD_KEY),
+            F.to_json(F.struct(*[F.col(c) for c in payload])).alias("old"),
+        )
+        n = d2.select(
+            F.col(RECORD_KEY),
+            F.to_json(F.struct(*[F.col(c) for c in payload])).alias("new"),
+        )
+        joined = o.join(n, RECORD_KEY, "full_outer")
+        return joined.select(
+            RECORD_KEY,
+            F.when(F.col("old").isNull(), F.lit("insert"))
+            .when(F.col("new").isNull(), F.lit("delete"))
+            .when(F.col("old") != F.col("new"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("op"),
+            "old",
+            "new",
+        ).filter(F.col("op") != "unchanged")
+
+    def diff_json(self, db: str, res: str, r1: int, r2: int) -> str:
+        """Serialized diff in the reference's REST shape
+        (DiffHandler.kt): {"database", "resource", "old-revision",
+        "new-revision", "diffs": [...]}."""
+        import json as _json
+
+        ops = [
+            {
+                "type": r["op"],
+                "recordKey": r[RECORD_KEY],
+                **({"old": _json.loads(r["old"])} if r["old"] is not None else {}),
+                **({"new": _json.loads(r["new"])} if r["new"] is not None else {}),
+            }
+            for r in self.diff(db, res, r1, r2).orderBy(RECORD_KEY).collect()
+        ]
+        return _json.dumps(
+            {
+                "database": db,
+                "resource": res,
+                "old-revision": r1,
+                "new-revision": r2,
+                "diffs": ops,
+            }
+        )
+
+    # ----- bitemporal (jn:valid-at / jn:open-bitemporal) -------------
+    @staticmethod
+    def valid_at(
+        df: DataFrame,
+        instant: datetime,
+        valid_from: str = "validFrom",
+        valid_to: str = "validTo",
+    ) -> DataFrame:
+        """Interval stabbing: validFrom <= t <= validTo
+        (ValidAt.java:45). The reference needs a Relational Interval
+        Tree (RelationalIntervalTree.java:39); a columnar scan with
+        min/max stats pruning does the same job here."""
+        t = F.lit(instant.replace(tzinfo=None).isoformat(sep=" ")).cast("timestamp")
+        return df.filter(
+            (F.col(valid_from) <= t)
+            & (F.col(valid_to).isNull() | (t <= F.col(valid_to)))
+        )
+
+    def open_bitemporal(
+        self,
+        db: str,
+        res: str,
+        tx_time: datetime,
+        valid_time: datetime,
+        valid_from: str = "validFrom",
+        valid_to: str = "validTo",
+    ) -> DataFrame:
+        """Both time axes at once (OpenBitemporal.java): system
+        snapshot as of tx_time, then valid-time stabbing."""
+        snap = self.doc(db, res, timestamp=tx_time)
+        return self.valid_at(snap, valid_time, valid_from, valid_to)
