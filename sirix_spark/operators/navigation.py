@@ -1,0 +1,140 @@
+"""Path navigation over nested data — the Spark re-expression of the
+reference's axis system and path summary (SURVEY.md §2.9, §1.3).
+
+The reference walks a node tree with axes (ChildAxis,
+DescendantAxis:34, axis/filter/PathNameFilter) guided by a dynamic
+path summary (index/path/summary/PathSummaryReader.java — a tree of
+all distinct paths with per-path counts). In Spark the full schema is
+known at plan time, so:
+- `..field` (descendant deref, DerefDescendantExpr.java:49) expands
+  STATICALLY to the union of all matching paths — the same rewrite
+  the reference's JsonPathStep optimizer stage does against the path
+  summary, done here against the StructType.
+- the path summary itself becomes `path_summary(df)`: schema walk +
+  one aggregate pass for per-path non-null/element counts.
+
+Array hops are handled by composing explodes only along the matched
+paths (never a full flatten).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+
+def iter_paths(schema: StructType, prefix: str = "") -> list[tuple[str, DataType]]:
+    """All (dotted path, type) pairs; '[]' marks an array hop."""
+    out: list[tuple[str, DataType]] = []
+    for f in schema.fields:
+        p = f"{prefix}.{f.name}" if prefix else f.name
+        out.append((p, f.dataType))
+        t = f.dataType
+        # unwrap nested arrays
+        suffix = ""
+        while isinstance(t, ArrayType):
+            suffix += "[]"
+            t = t.elementType
+        if suffix:
+            out.append((p + suffix, t))
+        if isinstance(t, StructType):
+            out.extend(iter_paths(t, p + suffix))
+    return out
+
+
+def descendant_paths(schema: StructType, name: str) -> list[str]:
+    """All paths whose final step is `name` — the `..name` expansion
+    set (ordered by schema position = document order)."""
+    return [
+        p
+        for p, _ in iter_paths(schema)
+        if not p.endswith("[]") and (p == name or p.endswith("." + name))
+    ]
+
+
+def _path_to_column(path: str) -> Column:
+    """Dotted path with '[]' hops → a column expression. Array hops
+    become nested `transform`s, so the result of a path with k array
+    hops is a k-deep array of the leaf values."""
+    steps = path.replace("[]", ".[]").split(".")
+
+    def build(col: Column, rest: list[str]) -> Column:
+        if not rest:
+            return col
+        head, *tail = rest
+        if head == "[]":
+            return F.transform(col, lambda x: build(x, list(tail))) if tail else col
+        return build(col.getField(head), tail)
+
+    head, *tail = steps
+    root = F.col(head)
+    return build(root, tail)
+
+
+def select_descendant(df: DataFrame, name: str) -> DataFrame:
+    """`$doc..name` → one column per matching path (missing-free:
+    only schema-present paths exist, exactly like the reference's
+    path-summary-guided rewrite)."""
+    paths = descendant_paths(df.schema, name)
+    if not paths:
+        raise KeyError(f"no path ends in {name!r}")
+    return df.select(
+        *[_path_to_column(p).alias(p.replace("[]", "_arr")) for p in paths]
+    )
+
+
+def descendant_values(df: DataFrame, name: str) -> DataFrame:
+    """`$doc..name` as ONE flattened value sequence (document order
+    within each record): arrays along the way are exploded; output
+    column `value` is STRING — the JSONiq sequence is heterogeneous
+    (a `..url` can hit both string leaves and an object field named
+    `url`), so non-scalar hits are JSON-serialized."""
+    types = {p: t for p, t in iter_paths(df.schema)}
+    paths = descendant_paths(df.schema, name)
+    if not paths:
+        raise KeyError(f"no path ends in {name!r}")
+
+    def stringify(col: Column, t: DataType) -> Column:
+        if isinstance(t, (StructType, ArrayType)):
+            return F.to_json(col)
+        return col.cast("string")
+
+    parts = []
+    for p in paths:
+        depth = p.count("[]")
+        leaf_t = types[p]
+        if depth:
+            flat = _path_to_column(p)
+            for _ in range(depth - 1):
+                flat = F.flatten(flat)
+            elem = F.explode_outer(flat).alias("_v")
+            parts.append(
+                df.select(elem).select(stringify(F.col("_v"), leaf_t).alias("value"))
+            )
+        else:
+            parts.append(df.select(stringify(_path_to_column(p), leaf_t).alias("value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def path_summary(df: DataFrame) -> DataFrame:
+    """The path summary as a stats table: (path, type, count) with
+    counts of non-null occurrences (array paths count elements).
+    One aggregate pass — no per-path scans."""
+    aggs = []
+    names = []
+    for p, t in iter_paths(df.schema):
+        dotted = p.replace("[]", "")
+        safe = p.replace(".", "__").replace("[]", "_arr")
+        if p.endswith("[]"):
+            expr = F.sum(F.coalesce(F.size(_path_to_column(p[: -2])), F.lit(0)))
+        else:
+            expr = F.count(_path_to_column(p))
+        aggs.append(expr.alias(safe))
+        names.append((p, t.simpleString(), safe, dotted))
+    row = df.agg(*aggs).collect()[0]
+    data = [(p, ts, int(row[safe])) for p, ts, safe, _ in names]
+    return df.sparkSession.createDataFrame(data, "path string, type string, count long")

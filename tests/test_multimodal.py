@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: binary columns + Arrow-batched
+mapInPandas decode/feature/resize stages over the deterministic FAKE
+container (real codecs aren't in the container; the Spark-side
+schema/batching/partitioning is what's under test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sirix_spark.functions import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, M.encode_fake_image(4, 3, seed=1), "img/1"),
+        (2, M.encode_fake_image(8, 2, seed=7), "img/2"),
+        (3, b"not-an-image", "img/3"),
+        (4, None, "img/4"),
+    ]
+    return spark.createDataFrame(rows, "id long, content binary, uri string").repartition(2)
+
+
+def test_metadata_sniff_jvm_side(images):
+    rows = {r["id"]: r for r in M.with_media_metadata(images).collect()}
+    assert rows[1]["looks_fake_img"] is True
+    assert rows[3]["looks_fake_img"] is False
+    assert rows[1]["n_bytes"] == len(M.MAGIC) + 8 + 12
+
+
+def test_feature_extraction(images):
+    rows = {r["id"]: r for r in M.extract_image_features(images).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["valid"]) == (4, 3, True)
+    assert rows[2]["mean_pixel"] is not None
+    # poison blobs degrade to valid=false instead of failing the stage
+    assert rows[3]["valid"] is False and rows[4]["valid"] is False
+    # input columns preserved alongside features
+    assert rows[1]["uri"] == "img/1"
+
+
+def test_resize_roundtrip(images):
+    resized = M.resize_images(images.filter("id <= 2"), 2, 2)
+    feats = {r["id"]: r for r in M.extract_image_features(resized).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (2, 2)
+    assert (feats[2]["width"], feats[2]["height"]) == (2, 2)
+
+
+def test_decode_stub_boundary():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"JPEG-bytes-we-cannot-decode-here")
+    w, h, px = M.decode_image(M.encode_fake_image(2, 2, seed=0))
+    assert (w, h, len(px)) == (2, 2, 4)
