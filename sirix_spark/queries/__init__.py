@@ -29,6 +29,7 @@ def build_registry() -> dict[str, Query]:
         dedup,
         joins,
         json_nav,
+        semantics,
         setops,
         similarity,
         temporal,
@@ -36,7 +37,17 @@ def build_registry() -> dict[str, Query]:
     )
 
     registry: dict[str, Query] = {}
-    for mod in (analytics, joins, temporal, json_nav, setops, text, dedup, similarity):
+    for mod in (
+        analytics,
+        joins,
+        temporal,
+        json_nav,
+        setops,
+        text,
+        dedup,
+        similarity,
+        semantics,
+    ):
         for name, q in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name}")

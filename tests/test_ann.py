@@ -1,0 +1,96 @@
+"""ANN differential tests: IVF and LSH candidates must score
+identically to brute force on the pairs they return, and recall
+against exact top-k is measured (loose floor — synthetic uniform
+embeddings are LSH-hostile; exactness of scoring is the hard gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sirix_spark.functions.similarity import cosine
+from sirix_spark.operators import ann
+from sirix_spark.tables import load
+
+K = 10
+NQ = 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (
+        emb.filter(F.col("vec_id") < NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def brute(emb, queries):
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    rows = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .collect()
+    )
+    exact = {}
+    for r in rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return exact, {(r["query_id"], r["vec_id"]): r["cos"] for r in rows}
+
+
+def test_ivf_search(emb, queries, brute):
+    exact_sets, exact_cos = brute
+    cents = ann.train_centroids(emb, n_cells=8, n_iter=2)
+    res = ann.ivf_search(emb, cents, queries, k=K, nprobe=3).collect()
+    assert res, "IVF returned nothing"
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:  # scores must match brute force exactly
+            assert r["cos"] == exact_cos[key]
+    recalls = [
+        len({r["vec_id"] for r in rows} & exact_sets[q]) / K for q, rows in by_q.items()
+    ]
+    assert sum(recalls) / len(recalls) > 0.2
+
+
+def test_lsh_search(emb, queries, brute):
+    exact_sets, exact_cos = brute
+    res = ann.lsh_search(emb, queries, dim=64, k=K, n_tables=8, n_planes=6).collect()
+    assert res, "LSH returned nothing"
+    for r in res:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cos"] == exact_cos[key]
+    # ranks are 1..k contiguous per query
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_assign_deterministic(emb):
+    cents = ann.train_centroids(emb, n_cells=4, n_iter=1)
+    a1 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(4))
