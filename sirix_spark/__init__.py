@@ -11,5 +11,19 @@ diff serialization) plus large-scale training-data pipeline operators
 
 from sirix_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: keep `import sirix_spark` light for executors
+    if name == "Sirix":
+        from sirix_spark.api import Sirix
+
+        return Sirix
+    if name == "VersionedStore":
+        from sirix_spark.store import VersionedStore
+
+        return VersionedStore
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Sirix", "VersionedStore"]
 __version__ = "0.1.0"
