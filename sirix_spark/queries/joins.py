@@ -220,8 +220,103 @@ ASOF LEFT JOIN ev e
 """
 
 
+# --- outer joins -----------------------------------------------------
+def left_outer_join(spark, sf_dir):
+    # every customer with their URGENT-order count (0 for none) —
+    # outer-join null semantics pinned against the oracle.
+    customer = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+        )
+    )
+
+
+LEFT_OUTER_JOIN_SQL = """
+SELECT c_custkey, coalesce(n_urgent, 0) AS n_urgent
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+  ON c_custkey = u.o_custkey
+"""
+
+
+def full_outer_summary(spark, sf_dir):
+    # full-outer of two aggregate views keyed by custkey: spenders vs
+    # event actors (user_id domain only overlaps low custkeys).
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    acts = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        spend.join(acts, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+FULL_OUTER_SUMMARY_SQL = """
+SELECT COALESCE(s.k, a.k) AS k,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) s
+FULL OUTER JOIN (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1) a
+  ON s.k = a.k
+"""
+
+
+# --- range (band) join ----------------------------------------------
+def range_join_price_bands(spark, sf_dir):
+    """Non-equi join of parts against price bands (broadcast the band
+    table → BroadcastNestedLoopJoin, no shuffle of the fact side;
+    the reference's generic theta-join case)."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    part = load(spark, sf_dir, "part")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT band, count(*) AS cnt
+FROM part
+JOIN (VALUES ('low', 0.0, 930.0), ('mid', 930.0, 970.0), ('high', 970.0, 1e9))
+     b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
 QUERIES = {
     "customers_per_region": Query(customers_per_region, CUSTOMERS_PER_REGION_SQL, ("join",)),
+    "left_outer_join": Query(left_outer_join, LEFT_OUTER_JOIN_SQL, ("join",)),
+    "full_outer_summary": Query(full_outer_summary, FULL_OUTER_SUMMARY_SQL, ("join",)),
+    "range_join_price_bands": Query(range_join_price_bands, RANGE_JOIN_SQL, ("join",)),
     "revenue_by_priority": Query(revenue_by_priority, REVENUE_BY_PRIORITY_SQL, ("join",)),
     "national_revenue": Query(national_revenue, NATIONAL_REVENUE_SQL, ("join",)),
     "semi_join_customers": Query(semi_join_customers, SEMI_JOIN_CUSTOMERS_SQL, ("join",)),
