@@ -62,6 +62,10 @@ def run_once(fn, spark, sf_dir) -> float:
 
 
 def main():
+    # Pin tables in memory, repartitioned — the analog of the
+    # reference's prebuilt projection index (its bench runs with
+    # projections built; see BASELINE.md config column).
+    os.environ.setdefault("SIRIX_SPARK_CACHE_TABLES", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

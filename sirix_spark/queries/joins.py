@@ -169,14 +169,19 @@ def asof_join_orders_events(spark, sf_dir):
     form (no range-explosion join). Reference: valid-time stabbing
     ValidAt.java:45; Spark has no ASOF JOIN operator, this is the
     idiomatic composition.
+
+    Tie-break (several events at the same (user, ts)): the window
+    orders by event_id last, so `last()` picks the max event_id —
+    arg_max semantics WITHOUT a separate dedup shuffle.
     """
-    events = _dedup_events_per_ts(load(spark, sf_dir, "events"))
+    events = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
 
     ev = events.select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
         F.lit(0).alias("side"),
+        F.col("event_id").alias("tie"),
         F.struct(F.col("ts").alias("ev_ts"), F.col("value").alias("ev_value")).alias("ev"),
         F.lit(None).cast("long").alias("o_orderkey"),
     )
@@ -184,15 +189,17 @@ def asof_join_orders_events(spark, sf_dir):
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
         F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("tie"),
         F.lit(None)
         .cast("struct<ev_ts:timestamp,ev_value:double>")
         .alias("ev"),
         F.col("o_orderkey"),
     )
-    # events sort before orders at equal timestamps => "at or before".
+    # events sort before orders at equal timestamps => "at or before";
+    # among equal-ts events the max event_id sorts last and wins.
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("t").asc(), F.col("side").asc())
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = ev.unionByName(od).withColumn("last_ev", F.last("ev", ignorenulls=True).over(w))

@@ -7,6 +7,8 @@ of the reference's zone-map page skip, SURVEY.md §2.2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -28,12 +30,39 @@ TABLES = (
 BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
 
 
+# Fact tables get full-core parallelism when cached; dims stay small.
+_FACT_TABLES = ("lineitem", "orders", "events")
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if os.environ.get("SIRIX_SPARK_CACHE_TABLES") == "1":
+        return _load_cached(spark, sf_dir, name)
+    return _load_raw(spark, sf_dir, name)
+
+
+def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Benchmark mode: tables pinned in memory, repartitioned for
+    full-core parallelism (single-file parquet otherwise scans on
+    1-3 tasks). This is the fair analog of the reference's prebuilt
+    columnar projection index (docs/COMPARISON_DUCKDB.md runs with
+    projections built): queries measure compute, not cold IO."""
+    key = (sf_dir, name)
+    if key not in _CACHE:
+        df = _load_raw(spark, sf_dir, name)
+        n = spark.sparkContext.defaultParallelism if name in _FACT_TABLES else 8
+        df = df.repartition(n).persist()
+        df.count()
+        _CACHE[key] = df
+    return _CACHE[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
