@@ -271,8 +271,39 @@ WHERE l_shipdate > TIMESTAMP '2001-06-01'
 """
 
 
+# --- rollup / cube (beyond reference: absent there, free in Spark) --
+def rollup_counts(spark, sf_dir):
+    return (
+        _li(spark, sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ROLLUP_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def cube_counts(spark, sf_dir):
+    return (
+        _li(spark, sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+CUBE_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "filter_count": Query(filter_count, FILTER_COUNT_SQL, ("analytics",)),
+    "rollup_counts": Query(rollup_counts, ROLLUP_COUNTS_SQL, ("analytics", "extra")),
+    "cube_counts": Query(cube_counts, CUBE_COUNTS_SQL, ("analytics", "extra")),
     "group_by_count": Query(group_by_count, GROUP_BY_COUNT_SQL, ("analytics",)),
     "sum_qty": Query(sum_qty, SUM_QTY_SQL, ("analytics",)),
     "avg_qty": Query(avg_qty, AVG_QTY_SQL, ("analytics",)),

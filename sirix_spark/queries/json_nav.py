@@ -123,8 +123,25 @@ FROM documents WHERE doc_id < 20
 """
 
 
+# --- positional explode (for $i at $pos in ..., SURVEY.md §2.5) -----
+def array_posexplode(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based like XQuery position()
+
+
+ARRAY_POSEXPLODE_SQL = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents WHERE doc_id < 20
+"""
+
+
 QUERIES = {
     "json_deref_sum": Query(json_deref_sum, JSON_DEREF_SUM_SQL, ("json",)),
+    "array_posexplode": Query(array_posexplode, ARRAY_POSEXPLODE_SQL, ("array",)),
     "json_field_filter": Query(json_field_filter, JSON_FIELD_FILTER_SQL, ("json",)),
     "json_construct": Query(json_construct, JSON_CONSTRUCT_SQL, ("json",)),
     "array_size": Query(array_size, ARRAY_SIZE_SQL, ("array",)),

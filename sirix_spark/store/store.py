@@ -216,14 +216,32 @@ class VersionedStore:
     def replace_where(self, db: str, res: str, cond, updates: dict, **kw) -> int:
         """replace json value of ... (JsonNodeTrx.java:107-115):
         set columns on records matching cond; stored as an upsert
-        delta of only the touched records."""
+        delta of only the touched records.
+
+        Keys may be dotted paths into nested structs
+        ('address.city') — the sub-record surgical update the
+        reference does at node level, done here with withField."""
         cur = self.doc(db, res)
         touched = cur.filter(cond)
         for col, value in updates.items():
-            touched = touched.withColumn(
-                col, value if hasattr(value, "_jc") else F.lit(value)
-            )
+            v = value if hasattr(value, "_jc") else F.lit(value)
+            if "." in col:
+                root, rest = col.split(".", 1)
+                touched = touched.withColumn(
+                    root, F.col(root).withField(rest, v)
+                )
+            else:
+                touched = touched.withColumn(col, v)
         return self._write_commit(db, res, touched, None, **kw)
+
+    def revert_to(self, db: str, res: str, revision: int, **kw) -> int:
+        """sdb:rollback analog for committed history: append a new
+        revision whose content is a past revision's (history stays
+        append-only and fully queryable — the reference never
+        destroys revisions either)."""
+        past_state = self.doc(db, res, revision=revision)
+        kw.setdefault("message", f"revert to r{revision}")
+        return self._write_commit(db, res, past_state, None, full_state=True, **kw)
 
     def delete_where(self, db: str, res: str, cond, **kw) -> int:
         """delete json (JsonNodeTrx.java:117 remove()): tombstone by
