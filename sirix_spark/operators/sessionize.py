@@ -1,0 +1,117 @@
+"""Sessionization — gap-based session assignment per key.
+
+Batch form: the classic two-window composition (lag → new-session
+flag → running sum), one shuffle by user. This is the SQL-expressible
+semantics the oracle pins.
+
+Streaming form: applyInPandasWithState keeps an open session per key
+and emits sessions as they close — the custom stateful operator
+pattern (reference has no streaming; this extends the engine for
+pipeline workloads, SURVEY.md §2.13 plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_S = 6 * 3600
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_S,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign 1-based session ids per key; events more than
+    `gap_seconds` apart start a new session."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_us = gap_seconds * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_S,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    s = sessionize(df, gap_seconds, key_col, ts_col)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+# ---------------- streaming stateful variant -------------------------
+SESSION_STATE_SCHEMA = "start long, last long, n long, sid long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, session_start long, session_end long"
+)
+
+
+def sessionize_stream(events, gap_seconds: int = DEFAULT_GAP_S):
+    """Streaming sessionization with applyInPandasWithState: emits a
+    row per CLOSED session (gap exceeded or watermark timeout).
+
+    Input stream needs columns (user_id long, ts timestamp) and an
+    event-time watermark already applied."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, sid = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [[user_id, sid, n, start, last]],
+                    columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+                )
+            return
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        if state.exists:
+            start, last, n, sid = state.get
+        else:
+            start, last, n, sid = None, None, 0, 0
+        closed = []
+        for t in ts_list:
+            if last is None:
+                sid += 1
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append([user_id, sid, n, start, last])
+                sid += 1
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n, sid))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

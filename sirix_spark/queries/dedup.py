@@ -43,6 +43,35 @@ _NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E73
 _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
+def _shingles(col):
+    """Distinct 3-word shingles (falls back to the whole text for
+    <3-word docs). Shingling, not unigrams, is what makes MinHash/
+    Jaccard discriminative on small-vocabulary corpora — word sets
+    of such docs are nearly identical while shingle sets are not."""
+    words = F.split(_NORM(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= 3, grams).otherwise(F.array(_NORM(col)))
+    )
+
+
+_SHINGLES_SQL = f"""list_distinct(
+  CASE WHEN len(string_split({_NORM_SQL}, ' ')) >= 3
+       THEN list_transform(range(1, len(string_split({_NORM_SQL}, ' ')) - 1),
+              i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
+                   string_split({_NORM_SQL}, ' ')[i+1] || ' ' ||
+                   string_split({_NORM_SQL}, ' ')[i+2])
+       ELSE [{_NORM_SQL}] END)"""
+
+
 def _docs(spark, sf_dir):
     return load(spark, sf_dir, "documents")
 
@@ -79,14 +108,12 @@ def _perm_lambda(a: int, b: int):
 def minhash_signatures(spark, sf_dir):
     """Per-row MinHash over distinct words: map-only, no shuffle.
 
-    Two-step projection on purpose: the md5-hashed word array is
+    Two-step projection on purpose: the md5-hashed shingle array is
     materialized once behind a projection boundary, then the 16
     permutations fold over it — 7× faster than inlining the hash
     into each permutation expression (measured at sf0.1; without the
     boundary Catalyst re-evaluates md5 per permutation)."""
-    hashed = F.transform(
-        F.array_distinct(F.split(_NORM(F.col("text")), " ")), bucket_hash
-    )
+    hashed = F.transform(_shingles(F.col("text")), bucket_hash)
     base = _docs(spark, sf_dir).select("doc_id", hashed.alias("_h"))
     return base.select(
         "doc_id",
@@ -100,18 +127,19 @@ def minhash_signatures(spark, sf_dir):
 def _minhash_sig_sql_cols() -> str:
     hw = bucket_hash_sql("w")
     terms = [
-        f"list_aggregate(list_transform(list_distinct(string_split({_NORM_SQL}, ' ')), "
-        f"w -> {perm_sql(hw, a, b)}), 'min') AS m{j}"
+        f"list_aggregate(list_transform(sh, w -> {perm_sql(hw, a, b)}), 'min') AS m{j}"
         for j, (a, b) in enumerate(SEEDS)
     ]
     return ",\n       ".join(terms)
 
 
-MINHASH_SIGNATURES_SQL = f"""
-SELECT doc_id,
+_SIG_SQL_BODY = f"""
+  SELECT doc_id,
        {_minhash_sig_sql_cols()}
-FROM documents
+  FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
 """
+
+MINHASH_SIGNATURES_SQL = _SIG_SQL_BODY
 
 
 # --- LSH candidate pairs --------------------------------------------
@@ -151,9 +179,7 @@ def _band_key_sql(prefix: str) -> list[str]:
 
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH sig AS (
-  SELECT doc_id,
-         {_minhash_sig_sql_cols()}
-  FROM documents
+{_SIG_SQL_BODY}
 ),
 banded AS (
   SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
@@ -173,14 +199,13 @@ def jaccard_near_dup(spark, sf_dir):
     """
     docs = _docs(spark, sf_dir)
     words = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(_NORM(F.col("text")), " "))).alias("w"),
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
     )
     df_counts = words.groupBy("w").agg(F.count("*").alias("df"))
     rare = words.join(
         F.broadcast(df_counts.filter(F.col("df") <= DF_MAX)), "w"
     ).select("doc_id", "w")
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = rare.alias("a")
     b = rare.alias("b")
     common = (
@@ -190,37 +215,43 @@ def jaccard_near_dup(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # lower bound on true Jaccard: `common` counts only rare-shingle
+    # overlap, sizes are full shingle-set sizes (documented, matches
+    # the oracle exactly); floor-scaled to 1e-4 ticks for
+    # cross-engine determinism (see quality_score docstring).
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("jaccard_e4", F.floor(jac * 10000).cast("bigint"))
+        .filter(F.col("jaccard_e4") >= int(JACCARD_MIN * 10000))
+        .select("doc_a", "doc_b", "jaccard_e4")
     )
 
 
 JACCARD_NEAR_DUP_SQL = f"""
 WITH words AS (
-  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS w
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS w
   FROM documents
 ),
 rare AS (
   SELECT doc_id, w FROM words
   WHERE w IN (SELECT w FROM words GROUP BY w HAVING count(*) <= {DF_MAX})
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) AS jaccard
+       CAST(floor(common / CAST(sa.sz + sb.sz - common AS DOUBLE) * 10000) AS BIGINT)
+         AS jaccard_e4
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 4) >= {JACCARD_MIN}
+WHERE CAST(floor(common / CAST(sa.sz + sb.sz - common AS DOUBLE) * 10000) AS BIGINT)
+      >= {int(JACCARD_MIN * 10000)}
 """
 
 

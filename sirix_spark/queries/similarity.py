@@ -4,9 +4,14 @@
 Scale design: the query set is broadcast (single-row or small), the
 corpus side is never shuffled — score is computed per-partition with
 JVM higher-order functions, and top-k is TakeOrderedAndProject
-(per-partition heaps + driver merge). Cosines are rounded to 4
-decimals BEFORE ranking in both engines so the selected row set is
-deterministic despite float association differences.
+(per-partition heaps + driver merge).
+
+Determinism: Spark's sequential fold and DuckDB's list_cosine_
+similarity produce BIT-IDENTICAL doubles here (verified on all 2000
+vectors at sf0.1); scores are floor-scaled to 1e-4 ticks (`cos_e4`)
+before ranking so tie-breaking (cos_e4 desc, vec_id asc) selects the
+same row set in both engines. floor beats round(x,4) because round
+implementations disagree at .00005 boundaries on identical inputs.
 """
 
 from __future__ import annotations
@@ -35,20 +40,20 @@ def cosine_topk(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+            F.floor(cosine(F.col("embedding"), F.col("qv")) * 10000).cast("bigint").alias("cos_e4"),
         )
     )
-    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(TOP_K)
+    return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
 COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
-       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                    CAST(qv AS DOUBLE[])), 4) AS cos
+       CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
 FROM embeddings, q
 WHERE vec_id <> 0
-ORDER BY cos DESC, vec_id ASC
+ORDER BY cos_e4 DESC, vec_id ASC
 LIMIT {TOP_K}
 """
 
@@ -69,14 +74,14 @@ def knn_join(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+            F.floor(cosine(F.col("embedding"), F.col("qv")) * 10000).cast("bigint").alias("cos_e4"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
-        .select("query_id", "vec_id", "cos", "rank")
+        .select("query_id", "vec_id", "cos_e4", "rank")
     )
 
 
@@ -85,15 +90,15 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < {KNN_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.qv AS DOUBLE[])), 4) AS cos
+         CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qv AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
   FROM embeddings e, q
   WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, vec_id, cos, rank FROM (
-  SELECT query_id, vec_id, cos,
+SELECT query_id, vec_id, cos_e4, rank FROM (
+  SELECT query_id, vec_id, cos_e4,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, vec_id ASC) AS rank
+                            ORDER BY cos_e4 DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {KNN_K}
 """

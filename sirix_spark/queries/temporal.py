@@ -262,8 +262,38 @@ WHERE (CASE WHEN s1.user_id IS NULL THEN 'insert'
 """
 
 
+# --- sessionization (custom operator; batch semantics) --------------
+def sessionize_events(spark, sf_dir):
+    from sirix_spark.operators.sessionize import session_stats
+
+    return session_stats(load(spark, sf_dir, "events"), gap_seconds=6 * 3600)
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "previous_next_event": Query(previous_next_event, PREVIOUS_NEXT_SQL, ("temporal",)),
+    "sessionize_events": Query(sessionize_events, SESSIONIZE_SQL, ("temporal", "custom")),
     "first_last_event": Query(first_last_event, FIRST_LAST_SQL, ("temporal",)),
     "all_times": Query(all_times, ALL_TIMES_SQL, ("temporal",)),
     "item_history": Query(item_history, ITEM_HISTORY_SQL, ("temporal",)),

@@ -47,22 +47,27 @@ FROM documents
 # --- quality scoring -------------------------------------------------
 def quality_score(spark, sf_dir):
     """Deterministic quality features: word count, stopword ratio,
-    mean word length; score = weighted blend (rounded)."""
+    mean word length; score = weighted blend.
+
+    Cross-engine determinism: fractional outputs are floor-scaled to
+    1e-4 ticks (`*_e4` bigints) instead of round(x,4) — both engines
+    compute bit-identical doubles here, and floor of identical bits
+    is identical, while round() implementations legitimately disagree
+    at .00005 boundaries (Spark rounds the shortest decimal repr,
+    DuckDB rounds numerically)."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     avg_wl = (F.length("text") - n_words + 1) / n_words
     stop_ratio = n_stop.cast("double") / n_words
-    score = F.round(
-        F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0)), 4
-    )
+    score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_stop.alias("n_stop"),
-        F.round(avg_wl, 4).alias("avg_word_len"),
-        score.alias("quality"),
+        F.floor(avg_wl * 10000).cast("bigint").alias("avg_word_len_e4"),
+        F.floor(score * 10000).cast("bigint").alias("quality_e4"),
     )
 
 
@@ -70,13 +75,14 @@ QUALITY_SCORE_SQL = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_words,
        len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS n_stop,
-       round((length(text) - len(string_split(text, ' ')) + 1)
-             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len,
-       round(0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL})))
+       CAST(floor((length(text) - len(string_split(text, ' ')) + 1)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000) AS BIGINT)
+         AS avg_word_len_e4,
+       CAST(floor((0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL})))
                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
            + 0.5 * least((length(text) - len(string_split(text, ' ')) + 1)
-                         / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0),
-             4) AS quality
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0))
+           * 10000) AS BIGINT) AS quality_e4
 FROM documents
 """
 

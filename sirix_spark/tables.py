@@ -38,6 +38,9 @@ _CACHE: dict[tuple[str, str], DataFrame] = {}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp semantics must match the DuckDB oracle (naive UTC)
+    # even when the caller's session wasn't built by get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if os.environ.get("SIRIX_SPARK_CACHE_TABLES") == "1":
         return _load_cached(spark, sf_dir, name)
     return _load_raw(spark, sf_dir, name)
