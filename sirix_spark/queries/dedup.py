@@ -305,8 +305,59 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
 """
 
 
+# --- LSH candidates → edit-distance verification --------------------
+LEV_PREFIX = 80
+
+
+def fuzzy_verify_pairs(spark, sf_dir):
+    """Two-stage fuzzy dedup: MinHash-LSH candidate pairs verified
+    with exact Levenshtein over a text prefix. The candidate set
+    bounds the quadratic edit-distance work — the only scalable way
+    to run edit distance over a corpus."""
+    cands = minhash_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(_NORM(F.col("text")), 1, LEV_PREFIX).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )
+
+
+FUZZY_VERIFY_SQL = f"""
+WITH sig AS (
+{_SIG_SQL_BODY}
+),
+banded AS (
+  SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+prefixes AS (
+  SELECT doc_id, substring({_NORM_SQL}, 1, {LEV_PREFIX}) AS prefix FROM documents
+)
+SELECT doc_a, doc_b, levenshtein(pa.prefix, pb.prefix) AS edit_dist
+FROM cands
+JOIN prefixes pa ON pa.doc_id = doc_a
+JOIN prefixes pb ON pb.doc_id = doc_b
+WHERE levenshtein(pa.prefix, pb.prefix) <= 40
+"""
+
+
 QUERIES = {
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, ("dedup",)),
+    "fuzzy_verify_pairs": Query(fuzzy_verify_pairs, FUZZY_VERIFY_SQL, ("dedup",)),
     "minhash_signatures": Query(minhash_signatures, MINHASH_SIGNATURES_SQL, ("dedup",)),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, ("dedup",)),
     "jaccard_near_dup": Query(jaccard_near_dup, JACCARD_NEAR_DUP_SQL, ("dedup",)),
