@@ -43,10 +43,15 @@ HEADLINE = [
     "token_count",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "jaccard_near_dup",
+    "fuzzy_verify_pairs",
     "simhash",
     "cosine_topk",
     "knn_join",
+    "sessionize_events",
+    "left_outer_join",
+    "range_join_price_bands",
 ]
 
 N_TIMED = 3

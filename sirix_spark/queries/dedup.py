@@ -43,14 +43,13 @@ _NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E73
 _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
-def _shingles(col):
-    """Distinct 3-word shingles (falls back to the whole text for
-    <3-word docs). Shingling, not unigrams, is what makes MinHash/
-    Jaccard discriminative on small-vocabulary corpora — word sets
-    of such docs are nearly identical while shingle sets are not."""
-    words = F.split(_NORM(col), " ")
+def _shingles_from_words(words):
+    """Distinct 3-word shingles from an already-materialized word
+    array COLUMN. Callers must project the split into a real column
+    first (see _shingled_docs) — inlining the split makes every
+    element_at re-evaluate it: O(words²) string splitting per row."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ",
             F.element_at(words, i),
@@ -59,17 +58,33 @@ def _shingles(col):
         ),
     )
     return F.array_distinct(
-        F.when(F.size(words) >= 3, grams).otherwise(F.array(_NORM(col)))
+        F.when(F.size(words) >= 3, grams).otherwise(
+            F.array(F.array_join(words, " "))
+        )
     )
 
 
-_SHINGLES_SQL = f"""list_distinct(
-  CASE WHEN len(string_split({_NORM_SQL}, ' ')) >= 3
-       THEN list_transform(range(1, len(string_split({_NORM_SQL}, ' ')) - 1),
-              i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
-                   string_split({_NORM_SQL}, ' ')[i+1] || ' ' ||
-                   string_split({_NORM_SQL}, ' ')[i+2])
-       ELSE [{_NORM_SQL}] END)"""
+def _shingled_docs(spark, sf_dir):
+    """(doc_id, sh) with shingles materialized behind projection
+    boundaries. Shingling, not unigrams, is what makes MinHash/
+    Jaccard discriminative on small-vocabulary corpora — word sets
+    of such docs are nearly identical while shingle sets are not."""
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.split(_NORM(F.col("text")), " ").alias("_w")
+    )
+    return words.select("doc_id", _shingles_from_words(F.col("_w")).alias("sh"))
+
+
+# (doc_id, sh) subquery: split once, shingle from the list column
+_SHINGLED_DOCS_SQL = f"""(
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents)
+)"""
 
 
 def _docs(spark, sf_dir):
@@ -113,8 +128,9 @@ def minhash_signatures(spark, sf_dir):
     permutations fold over it — 7× faster than inlining the hash
     into each permutation expression (measured at sf0.1; without the
     boundary Catalyst re-evaluates md5 per permutation)."""
-    hashed = F.transform(_shingles(F.col("text")), bucket_hash)
-    base = _docs(spark, sf_dir).select("doc_id", hashed.alias("_h"))
+    base = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.transform(F.col("sh"), bucket_hash).alias("_h")
+    )
     return base.select(
         "doc_id",
         *[
@@ -136,7 +152,7 @@ def _minhash_sig_sql_cols() -> str:
 _SIG_SQL_BODY = f"""
   SELECT doc_id,
        {_minhash_sig_sql_cols()}
-  FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+  FROM {_SHINGLED_DOCS_SQL}
 """
 
 MINHASH_SIGNATURES_SQL = _SIG_SQL_BODY
@@ -197,15 +213,19 @@ def jaccard_near_dup(spark, sf_dir):
     documented semantics (identical in the oracle), and the thing
     that keeps the posting-list self-join skew-free at corpus scale.
     """
-    docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("w")
+    from pyspark.sql import Window
+
+    sh_docs = _shingled_docs(spark, sf_dir)
+    # set sizes straight from the array — no explode/aggregate pass
+    sizes = sh_docs.select("doc_id", F.size("sh").alias("sz"))
+    words = sh_docs.select("doc_id", F.explode(F.col("sh")).alias("w"))
+    # document frequency via window over the posting list itself:
+    # one shuffle computes df AND applies the prune
+    rare = (
+        words.withColumn("df", F.count("*").over(Window.partitionBy("w")))
+        .filter(F.col("df") <= DF_MAX)
+        .select("doc_id", "w")
     )
-    df_counts = words.groupBy("w").agg(F.count("*").alias("df"))
-    rare = words.join(
-        F.broadcast(df_counts.filter(F.col("df") <= DF_MAX)), "w"
-    ).select("doc_id", "w")
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = rare.alias("a")
     b = rare.alias("b")
     common = (
@@ -230,15 +250,18 @@ def jaccard_near_dup(spark, sf_dir):
 
 
 JACCARD_NEAR_DUP_SQL = f"""
-WITH words AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS w
-  FROM documents
+WITH sh_docs AS (
+  SELECT * FROM {_SHINGLED_DOCS_SQL}
+),
+words AS (
+  SELECT doc_id, unnest(sh) AS w FROM sh_docs
 ),
 rare AS (
-  SELECT doc_id, w FROM words
-  WHERE w IN (SELECT w FROM words GROUP BY w HAVING count(*) <= {DF_MAX})
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df FROM words
+  ) WHERE df <= {DF_MAX}
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sh_docs),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id
