@@ -191,8 +191,157 @@ FROM customer
 """
 
 
+# --- scalar function library, batch 2 --------------------------------
+def scalar_functions2(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1).alias("prio_num"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("mo_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.instr("o_orderpriority", "-").alias("dash_pos"),
+        F.repeat(F.col("o_orderstatus"), 3).alias("st3"),
+        F.reverse(F.col("o_orderpriority")).alias("rev"),
+        F.translate("o_orderpriority", "-", "_").alias("trans"),
+        F.left(F.col("o_orderpriority"), F.lit(3)).alias("l3"),
+        F.right(F.col("o_orderpriority"), F.lit(3)).alias("r3"),
+    )
+
+
+SCALAR_FUNCTIONS2_SQL = r"""
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mo_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       strpos(o_orderpriority, '-') AS dash_pos,
+       repeat(o_orderstatus, 3) AS st3,
+       reverse(o_orderpriority) AS rev,
+       translate(o_orderpriority, '-', '_') AS trans,
+       left(o_orderpriority, 3) AS l3,
+       right(o_orderpriority, 3) AS r3
+FROM orders WHERE o_orderkey < 100
+"""
+
+
+# --- statistical aggregates (explicit formulas over exact sums) -----
+def stats_agg(spark, sf_dir):
+    """var/stddev/covar expressed over exact decimal sums so both
+    engines compute identical doubles (built-in stddev/var use
+    engine-specific streaming algorithms that drift in the last
+    ulps)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount").cast("decimal(18,6)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((F.col("l_discount") * F.col("l_discount")).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_qty"),
+        F.floor(var_x * 10000).cast("bigint").alias("var_qty_e4"),
+        F.floor(F.sqrt(var_y) * 1000000).cast("bigint").alias("std_disc_e6"),
+    )
+
+
+STATS_AGG_SQL = """
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       CAST(floor((sxx - sx * sx / n) / (n - 1) * 10000) AS BIGINT) AS var_qty_e4,
+       CAST(floor(sqrt((syy - sy * sy / n) / (n - 1)) * 1000000) AS BIGINT) AS std_disc_e6
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(l_quantity) AS sx,
+         sum(l_quantity * l_quantity) AS sxx,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,12))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+# --- scalar subquery --------------------------------------------------
+def above_avg_orders(spark, sf_dir):
+    """Orders above the global average price (scalar subquery →
+    broadcast single-row join)."""
+    o = load(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "ap"
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("ap"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ABOVE_AVG_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS cnt FROM orders
+WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                             / count(*) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+# --- ordered string aggregation --------------------------------------
+def string_agg_nations(spark, sf_dir):
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+STRING_AGG_NATIONS_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- exact percentile (interpolated median) --------------------------
+def median_price(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100).cast("bigint").alias(
+            "median_e2"
+        )
+    )
+
+
+MEDIAN_PRICE_SQL = """
+SELECT o_orderpriority,
+       CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_e2
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "null_semantics": Query(null_semantics, NULL_SEMANTICS_SQL, ("semantics",)),
+    "scalar_functions2": Query(scalar_functions2, SCALAR_FUNCTIONS2_SQL, ("functions",)),
+    "stats_agg": Query(stats_agg, STATS_AGG_SQL, ("analytics",)),
+    "above_avg_orders": Query(above_avg_orders, ABOVE_AVG_ORDERS_SQL, ("semantics",)),
+    "string_agg_nations": Query(string_agg_nations, STRING_AGG_NATIONS_SQL, ("functions",)),
+    "median_price": Query(median_price, MEDIAN_PRICE_SQL, ("analytics",)),
     "null_group_key": Query(null_group_key, NULL_GROUP_KEY_SQL, ("semantics",)),
     "decimal_overflow_sum": Query(
         decimal_overflow_sum, DECIMAL_OVERFLOW_SUM_SQL, ("semantics",)

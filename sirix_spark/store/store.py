@@ -350,6 +350,82 @@ class VersionedStore:
         """sdb:revision-timestamp (GetRevisionTimestamp.java)."""
         return self._manifest(db, res).entry(revision).committed_at_dt
 
+    def change_view(self, db: str, res: str, max_revision: int | None = None) -> DataFrame:
+        """One row per (record, revision-where-it-changed): the
+        scalable substrate for temporal queries over LONG histories —
+        a single union over delta files (no per-revision merge), so
+        cost is O(total changes), not O(revisions × records).
+
+        Columns: record_key, revision, _deleted, payload. The
+        history_view (state AS OF every revision) densifies this; at
+        100 TB you run item_history/first/last/diff straight off the
+        change view instead."""
+        manifest = self._manifest(db, res)
+        last = max_revision or manifest.latest_revision()
+        first_ckpt_path = os.path.join(self._rev_dir(db, res, 1), "data")
+        base = self.spark.read.parquet(first_ckpt_path)
+        payload_types = dict(base.dtypes)
+        parts = [
+            base.withColumn(REVISION_COL, F.lit(1)).withColumn(DELETED_COL, F.lit(False))
+        ]
+        for r in range(2, last + 1):
+            e = manifest.entry(r)
+            rd = self._rev_dir(db, res, r)
+            if e.kind == "checkpoint":
+                # checkpoints repeat unchanged rows; the true delta of
+                # a checkpoint commit is recovered by diffing against
+                # r-1 — cheap variant: read upserts if also present,
+                # else treat as full state (rename/revert commits).
+                snap = self.spark.read.parquet(os.path.join(rd, "data"))
+                prev = self.doc(db, res, revision=r - 1)
+                changed = snap.exceptAll(prev)
+                parts.append(
+                    changed.withColumn(REVISION_COL, F.lit(r)).withColumn(
+                        DELETED_COL, F.lit(False)
+                    )
+                )
+                deleted = prev.select(RECORD_KEY).subtract(snap.select(RECORD_KEY))
+                if payload_types:
+                    dl = deleted
+                    for c in base.columns:
+                        if c != RECORD_KEY:
+                            dl = dl.withColumn(c, F.lit(None).cast(payload_types[c]))
+                    parts.append(
+                        dl.select(base.columns)
+                        .withColumn(REVISION_COL, F.lit(r))
+                        .withColumn(DELETED_COL, F.lit(True))
+                    )
+                continue
+            if e.n_upserts:
+                up = self.spark.read.parquet(os.path.join(rd, "upserts"))
+                parts.append(
+                    up.withColumn(REVISION_COL, F.lit(r)).withColumn(
+                        DELETED_COL, F.lit(False)
+                    )
+                )
+            if e.n_deletes:
+                dl = self.spark.read.parquet(os.path.join(rd, "deletes"))
+                for c in base.columns:
+                    if c != RECORD_KEY:
+                        dl = dl.withColumn(c, F.lit(None).cast(payload_types[c]))
+                parts.append(
+                    dl.select(base.columns)
+                    .withColumn(REVISION_COL, F.lit(r))
+                    .withColumn(DELETED_COL, F.lit(True))
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumnRenamed(REVISION_COL, "revision")
+
+    def compact(self, db: str, res: str, **kw) -> int:
+        """Force a checkpoint commit (no logical change): bounds
+        future merge-on-read cost — the analog of the reference's
+        projection re-encode (docs/COMPARISON_DUCKDB.md:105-110)."""
+        cur = self.doc(db, res)
+        kw.setdefault("message", "compact")
+        return self._write_commit(db, res, cur, None, full_state=True, **kw)
+
     def history_view(self, db: str, res: str, max_revision: int | None = None) -> DataFrame:
         """Union-of-revisions view with a `revision` column — the
         substrate for the temporal operator family (jn:all-times /
