@@ -87,6 +87,28 @@ def main():
         run_once(fn, spark, sf_dir)  # warmup
         timings[name] = round(min(run_once(fn, spark, sf_dir) for _ in range(N_TIMED)), 4)
 
+    # --- secondary: the reference's own 9-query matrix over the
+    # reference-shaped records table (BASELINE.md primary metric),
+    # at 10M rows (reference published scale: 100M) ---
+    import tempfile
+
+    from sirix_spark.fixtures import generated_records, matrix_queries
+
+    n_records = int(os.environ.get("SIRIX_SPARK_RECORDS_N", 10_000_000))
+    rec_path = os.path.join(tempfile.mkdtemp(prefix="sirix_bench_"), "records")
+    generated_records(spark, n_records).write.parquet(rec_path)
+    records = spark.read.parquet(rec_path).persist()
+    records.count()
+    for name, fn in matrix_queries().items():
+        run = lambda: fn(records).write.format("noop").mode("overwrite").save()  # noqa: E731
+        run()
+        t = []
+        for _ in range(N_TIMED):
+            t0 = time.perf_counter()
+            run()
+            t.append(time.perf_counter() - t0)
+        timings[f"records10m_{name}"] = round(min(t), 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -96,6 +118,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "records_n": n_records,
             }
         )
     )

@@ -14,6 +14,32 @@ DEPTS = ("Eng", "Sales", "Mkt", "Ops", "HR", "Finance", "Legal", "Supp")
 CITIES = ("NYC", "LA", "SF", "ATL", "BOS", "CHI", "DEN", "DAL")
 
 
+def matrix_queries() -> dict[str, "callable"]:
+    """The reference's 9 bench queries (SirixVsDuckBenchMain.java:
+    39-47 / BASELINE.md), as DataFrame closures over a records df."""
+    return {
+        "filterCount": lambda df: df.filter((F.col("age") > 40) & F.col("active")).agg(
+            F.count("*").alias("cnt")
+        ),
+        "groupByDept": lambda df: df.groupBy("dept").agg(F.count("*").alias("cnt")),
+        "sumAge": lambda df: df.agg(F.sum("age").alias("s")),
+        "avgAge": lambda df: df.agg((F.sum("age") / F.count("age")).alias("a")),
+        "minMaxAge": lambda df: df.agg(
+            F.min("age").alias("mn"), F.max("age").alias("mx")
+        ),
+        "groupBy2Keys": lambda df: df.groupBy("dept", "city").agg(
+            F.count("*").alias("cnt")
+        ),
+        "filterGroupBy": lambda df: df.filter("active")
+        .groupBy("dept")
+        .agg(F.count("*").alias("cnt")),
+        "countDistinct": lambda df: df.agg(F.countDistinct("dept").alias("cd")),
+        "compoundAndFilterCount": lambda df: df.filter(
+            (F.col("age") > 30) & (F.col("age") < 50) & F.col("active")
+        ).agg(F.count("*").alias("cnt")),
+    }
+
+
 def generated_records(spark: SparkSession, n: int) -> DataFrame:
     """The 9-query matrix table at any scale: one narrow int column
     fanned out to the full schema with xxhash64-derived fields —
