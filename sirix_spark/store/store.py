@@ -170,9 +170,13 @@ class VersionedStore:
                     delete_keys.select(RECORD_KEY), RECORD_KEY, "left_anti"
                 )
             if upserts is not None:
+                # allowMissingColumns: new fields appear as NULL on
+                # old records — the dynamic-schema growth the
+                # reference tracks in its path summary
+                # (PathSummaryWriter.java / mergeSchema).
                 state = state.join(
                     upserts.select(RECORD_KEY), RECORD_KEY, "left_anti"
-                ).unionByName(upserts, allowMissingColumns=False)
+                ).unionByName(upserts, allowMissingColumns=True)
                 n_up = upserts.count()
             if delete_keys is not None:
                 n_del = delete_keys.count()
@@ -308,7 +312,7 @@ class VersionedStore:
                 )
         unioned = parts[0]
         for p in parts[1:]:
-            unioned = unioned.unionByName(p)
+            unioned = unioned.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(RECORD_KEY).orderBy(F.col(REVISION_COL).desc())
         return (
             unioned.withColumn("_rn", F.row_number().over(w))
@@ -415,7 +419,7 @@ class VersionedStore:
                 )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out.withColumnRenamed(REVISION_COL, "revision")
 
     def compact(self, db: str, res: str, **kw) -> int:

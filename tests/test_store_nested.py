@@ -48,3 +48,19 @@ def test_revert_to(spark, store):
     # the interim revisions remain queryable (append-only history)
     assert store.doc("db", "r", revision=3).count() == 1
     assert store.history("db", "r").count() == 4
+
+
+def test_schema_evolution_new_column(spark, store):
+    """Dynamic schema growth (the path-summary behavior): records
+    committed later may carry new fields; old records read as NULL
+    for them, old revisions keep the old schema."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.store("db", "evo", df, key="id")
+    new = spark.createDataFrame(
+        [(2, "b", "extra")], "id long, v string, note string"
+    )
+    store.insert_records("db", "evo", new, key="id")
+    rows = {r["record_key"]: r.asDict() for r in store.doc("db", "evo").collect()}
+    assert rows[2]["note"] == "extra"
+    assert rows[1]["note"] is None
+    assert "note" not in store.doc("db", "evo", revision=1).columns
