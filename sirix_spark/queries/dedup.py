@@ -213,24 +213,41 @@ def jaccard_near_dup(spark, sf_dir):
     documented semantics (identical in the oracle), and the thing
     that keeps the posting-list self-join skew-free at corpus scale.
     """
-    from pyspark.sql import Window
-
-    sh_docs = _shingled_docs(spark, sf_dir)
+    # persist the shingle arrays: they feed three consumers (sizes,
+    # posting explode, and the generator re-evaluates its input), and
+    # higher-order-function expressions run interpreted — recomputing
+    # them dominates the query (measured 2.2s vs 0.14s at sf0.1).
+    # At scale this is the standard checkpoint-the-expensive-
+    # intermediate pattern.
+    sh_docs = _shingled_docs(spark, sf_dir).persist()
     # set sizes straight from the array — no explode/aggregate pass
     sizes = sh_docs.select("doc_id", F.size("sh").alias("sz"))
     words = sh_docs.select("doc_id", F.explode(F.col("sh")).alias("w"))
-    # document frequency via window over the posting list itself:
-    # one shuffle computes df AND applies the prune
-    rare = (
-        words.withColumn("df", F.count("*").over(Window.partitionBy("w")))
-        .filter(F.col("df") <= DF_MAX)
-        .select("doc_id", "w")
+    # Single pass instead of a posting-list self-join: group each
+    # shingle's (DF-pruned) posting list, emit its doc-id pairs
+    # in-line. Pair sets are order-independent (a<b filter), so the
+    # unordered collect_list is safe; the DF prune bounds the
+    # per-shingle pair fan-out at DF_MAX^2.
+    grouped = (
+        words.groupBy("w")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= DF_MAX)
     )
-    a = rare.alias("a")
-    b = rare.alias("b")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(
+                    F.col("ds"),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p.getField("doc_a") < p.getField("doc_b"),
+    )
     common = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
