@@ -210,55 +210,60 @@ DIFF_T1 = "2024-01-10 00:00:00"
 DIFF_T2 = "2024-01-20 00:00:00"
 
 
-def _state_at(events: DataFrame, ts: str) -> DataFrame:
-    return (
-        events.filter(F.col("ts") <= F.lit(ts).cast("timestamp"))
-        .groupBy("user_id")
-        .agg(F.max_by("value", "ts").alias("value"))
-    )
-
-
 def snapshot_diff(spark, sf_dir):
-    """Node-level diff between the state at T1 and T2 → JSON-patch
+    """Record-level diff between the state at T1 and T2 → JSON-patch
     style ops (insert/update/delete), keyed by record identity.
-    Reference: BasicJsonDiff.java:21 / JsonDiffSerializer.java."""
-    ev = _events(spark, sf_dir)
-    s1 = _state_at(ev, DIFF_T1).select(
-        F.col("user_id"), F.col("value").alias("old_value")
+    Reference: BasicJsonDiff.java:21 / JsonDiffSerializer.java.
+
+    ONE shuffle: both snapshot states come from conditional
+    aggregates (max_by ... FILTER) in a single groupBy — no
+    per-snapshot aggregation or full-outer join. (user_id, ts) is
+    unique in the events table (verified at every sf), so
+    max_by(value, ts) is unambiguous; the append-only stream means
+    'delete' cannot occur."""
+    ev = load(spark, sf_dir, "events")
+    states = ev.groupBy("user_id").agg(
+        F.expr(
+            f"max_by(value, ts) FILTER (WHERE ts <= TIMESTAMP '{DIFF_T1}')"
+        ).alias("old_value"),
+        F.expr(
+            f"max_by(value, ts) FILTER (WHERE ts <= TIMESTAMP '{DIFF_T2}')"
+        ).alias("new_value"),
     )
-    s2 = _state_at(ev, DIFF_T2).select(
-        F.col("user_id"), F.col("value").alias("new_value")
-    )
-    joined = s1.join(s2, "user_id", "full_outer")
-    return joined.select(
+    return states.select(
         "user_id",
-        F.when(F.col("old_value").isNull(), F.lit("insert"))
+        F.when(
+            F.col("old_value").isNull() & F.col("new_value").isNull(), F.lit("absent")
+        )
+        .when(F.col("old_value").isNull(), F.lit("insert"))
         .when(F.col("new_value").isNull(), F.lit("delete"))
         .when(F.col("old_value") != F.col("new_value"), F.lit("update"))
         .otherwise(F.lit("unchanged"))
         .alias("op"),
         "old_value",
         "new_value",
-    ).filter(F.col("op") != "unchanged")
+    ).filter(~F.col("op").isin("unchanged", "absent"))
 
 
 SNAPSHOT_DIFF_SQL = f"""
-WITH {_DEDUP_CTE},
-s1 AS (SELECT user_id, arg_max(value, ts) AS old_value FROM ev
-       WHERE ts <= TIMESTAMP '{DIFF_T1}' GROUP BY user_id),
-s2 AS (SELECT user_id, arg_max(value, ts) AS new_value FROM ev
-       WHERE ts <= TIMESTAMP '{DIFF_T2}' GROUP BY user_id)
-SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
-       CASE WHEN s1.user_id IS NULL THEN 'insert'
-            WHEN s2.user_id IS NULL THEN 'delete'
-            WHEN old_value <> new_value THEN 'update'
-            ELSE 'unchanged' END AS op,
-       old_value, new_value
-FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
-WHERE (CASE WHEN s1.user_id IS NULL THEN 'insert'
-            WHEN s2.user_id IS NULL THEN 'delete'
-            WHEN old_value <> new_value THEN 'update'
-            ELSE 'unchanged' END) <> 'unchanged'
+WITH states AS (
+  SELECT user_id,
+         arg_max(value, ts) FILTER (ts <= TIMESTAMP '{DIFF_T1}')
+           AS old_value,
+         arg_max(value, ts) FILTER (ts <= TIMESTAMP '{DIFF_T2}')
+           AS new_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, op, old_value, new_value FROM (
+  SELECT user_id,
+         CASE WHEN old_value IS NULL AND new_value IS NULL THEN 'absent'
+              WHEN old_value IS NULL THEN 'insert'
+              WHEN new_value IS NULL THEN 'delete'
+              WHEN old_value <> new_value THEN 'update'
+              ELSE 'unchanged' END AS op,
+         old_value, new_value
+  FROM states
+) WHERE op NOT IN ('unchanged', 'absent')
 """
 
 
