@@ -84,3 +84,12 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """SQL entry point (SURVEY.md §3: optional Spark-SQL-over-temp-
+    views entry): register every table as a temp view so users can
+    `spark.sql(...)` directly — including running the DuckDB oracle
+    strings from the registry nearly verbatim."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
