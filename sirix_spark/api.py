@@ -170,6 +170,13 @@ class Resource:
     def open_bitemporal(self, tx_time: datetime, valid_time: datetime, **cols) -> DataFrame:
         return self._s.open_bitemporal(self.db, self.res, tx_time, valid_time, **cols)
 
+    # --- secondary indexes (jn:create-*-index family) ---
+    @property
+    def indexes(self):
+        from sirix_spark.store.indexes import ProjectionIndexes
+
+        return _BoundIndexes(ProjectionIndexes(self._s), self.db, self.res)
+
     # --- metadata ---
     def with_hash(self, revision: int | None = None) -> DataFrame:
         """sdb:hash — stable content hash per record (GetHash.java;
@@ -180,3 +187,29 @@ class Resource:
         return df.withColumn(
             "hash", F.sha2(F.to_json(F.struct(*[F.col(c) for c in payload])), 256)
         )
+
+
+class _BoundIndexes:
+    """Resource-bound view of the index API (create/find/scan/drop)."""
+
+    def __init__(self, idx, db: str, res: str):
+        self._idx = idx
+        self._db = db
+        self._res = res
+
+    def create_projection(self, name: str, columns: list[str], sort_by=None, **kw):
+        return self._idx.create_projection_index(
+            self._db, self._res, name, columns, sort_by=sort_by, **kw
+        )
+
+    def create_cas(self, name: str, column: str, **kw):
+        return self._idx.create_cas_index(self._db, self._res, name, column, **kw)
+
+    def find(self, columns: list[str], revision: int | None = None):
+        return self._idx.find_index(self._db, self._res, columns, revision)
+
+    def scan(self, columns: list[str], revision: int | None = None, predicate=None):
+        return self._idx.scan(self._db, self._res, columns, revision, predicate)
+
+    def drop(self, name: str) -> bool:
+        return self._idx.drop_index(self._db, self._res, name)

@@ -80,3 +80,19 @@ def test_reference_readme_walkthrough(sirix, spark):
     h1 = res.with_hash(2).filter(F.col("record_key") == 1).collect()[0]["hash"]
     h2 = res.with_hash(3).filter(F.col("record_key") == 1).collect()[0]["hash"]
     assert h1 == h2
+
+
+def test_resource_index_api(sirix, spark):
+    from pyspark.sql import functions as F
+
+    res = sirix.store_df(
+        "db1",
+        "indexed",
+        spark.createDataFrame([(i, i * 10.0) for i in range(50)], "k long, price double"),
+        key="k",
+    )
+    res.indexes.create_cas("by_price", "price")
+    assert res.indexes.find(["price"])["name"] == "by_price"
+    rows = res.indexes.scan(["price"], predicate=F.col("price") > 480).collect()
+    assert {r["price"] for r in rows} == {490.0}
+    assert res.indexes.drop("by_price") is True
