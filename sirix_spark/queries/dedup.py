@@ -345,6 +345,108 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
 """
 
 
+# --- embedding-cosine near-dup (sign-bit LSH + exact verify) --------
+N_EMB_BANDS = 4
+EMB_BITS_PER_BAND = 8
+EMB_COS_MIN_E4 = 3500  # threshold parameter; 0.35 on this corpus
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over `embeddings`:
+    random-hyperplane-style LSH blocking (band key = packed sign bits
+    of 8 consecutive dimensions, 4 bands over dims 0..31) followed by
+    exact cosine verification of candidates. Semantics: a pair is
+    reported iff it collides in ≥1 band AND floor(cos*1e4) ≥
+    EMB_COS_MIN_E4 — identical in the oracle.
+
+    Scale design: band keys are map-only; the self-join shuffles by
+    band key so only same-bucket vectors meet (never O(n²)); the
+    verify join is two hash joins on vec_id. Cosine determinism per
+    queries/similarity.py (sequential fold == list_cosine_similarity,
+    floor-scaled ticks).
+
+    Reference parity: complements the HNSW vector index family
+    (index/vector/VectorIndex.java:37-93) with the dedup-shaped use.
+    """
+    from sirix_spark.functions.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def band_key(band: int):
+        packed = None
+        for b in range(EMB_BITS_PER_BAND):
+            dim = band * EMB_BITS_PER_BAND + b + 1  # element_at is 1-based
+            term = F.when(
+                F.element_at(F.col("embedding"), dim) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            packed = term if packed is None else packed + term
+        return F.concat_ws("_", F.lit(band), packed)
+
+    banded = emb.select(
+        "vec_id",
+        F.explode(F.array(*[band_key(band) for band in range(N_EMB_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cos_e4",
+            F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("bigint"),
+        )
+        .filter(F.col("cos_e4") >= EMB_COS_MIN_E4)
+        .select("vec_a", "vec_b", "cos_e4")
+    )
+
+
+def _emb_band_key_sql(band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{band * EMB_BITS_PER_BAND + b + 1}] >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(EMB_BITS_PER_BAND)
+    )
+    return f"concat_ws('_', '{band}', {bits})"
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH banded AS (
+  SELECT vec_id,
+         unnest([{", ".join(_emb_band_key_sql(band) for band in range(N_EMB_BANDS))}])
+           AS band_key
+  FROM embeddings
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         CAST(floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[]))
+                    * 10000) AS BIGINT) AS cos_e4
+  FROM cands
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= {EMB_COS_MIN_E4}
+"""
+
+
 # --- LSH candidates → edit-distance verification --------------------
 LEV_PREFIX = 80
 
@@ -401,5 +503,6 @@ QUERIES = {
     "minhash_signatures": Query(minhash_signatures, MINHASH_SIGNATURES_SQL, ("dedup",)),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, ("dedup",)),
     "jaccard_near_dup": Query(jaccard_near_dup, JACCARD_NEAR_DUP_SQL, ("dedup",)),
+    "embedding_near_dup": Query(embedding_near_dup, EMBEDDING_NEAR_DUP_SQL, ("dedup", "similarity")),
     "simhash": Query(simhash, _simhash_sql(), ("dedup",)),
 }

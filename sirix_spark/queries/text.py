@@ -137,9 +137,143 @@ FROM documents
 """
 
 
+# --- deterministic hash sampling ------------------------------------
+SAMPLE_PCT = 10
+
+
+def hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample: keep doc iff
+    h(doc_id) mod 100 < SAMPLE_PCT, h = the shared cross-engine md5
+    hash (functions/hashing.py). Unlike `df.sample()`, this is
+    reproducible across engines, runs, and partitionings — the only
+    sampling a training-data pipeline should use for held-out splits.
+    Map-only: no shuffle at any scale."""
+    from sirix_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir)
+    h = md5_long(F.col("doc_id").cast("string"))
+    return docs.filter(h % 100 < SAMPLE_PCT).select("doc_id", "lang", "n_chars")
+
+
+_H_DOC_SQL = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_H_DOC_SQL} % 100 < {SAMPLE_PCT}
+"""
+
+
+# --- stratified (per-language quota) sampling -----------------------
+STRATUM_K = 20
+
+
+def stratified_sample(spark, sf_dir):
+    """Per-language quota sample: the STRATUM_K docs with the lowest
+    hash rank within each `lang` stratum (hash order = deterministic
+    uniform shuffle; ties broken by doc_id). One shuffle by lang;
+    rank is a per-stratum top-k, not a global sort."""
+    from pyspark.sql import Window
+
+    from sirix_spark.functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir)
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_H_DOC_SQL} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {STRATUM_K}
+"""
+
+
+# --- corpus n-gram frequency ----------------------------------------
+NGRAM_TOP = 20
+
+
+def ngram_freq(spark, sf_dir):
+    """Top-NGRAM_TOP word bigrams corpus-wide over normalized text.
+    explode → one shuffle with map-side combine → top-k
+    (TakeOrderedAndProject); deterministic tiebreak (count desc,
+    gram asc)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(NGRAM_TOP)
+    )
+
+
+NGRAM_FREQ_SQL = rf"""
+WITH w AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END) AS gram
+  FROM w
+)
+SELECT gram, count(*) AS n FROM grams
+GROUP BY gram ORDER BY n DESC, gram ASC LIMIT {NGRAM_TOP}
+"""
+
+
+# --- document length histogram --------------------------------------
+HIST_BUCKET = 100
+
+
+def length_histogram(spark, sf_dir):
+    """Doc-length distribution: fixed-width buckets over n_chars.
+    Integer-only outputs (deterministic); one shuffle with map-side
+    combine — the standard corpus-stats pass before filtering."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars") / HIST_BUCKET).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(n_chars / {HIST_BUCKET}.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "token_count": Query(token_count, TOKEN_COUNT_SQL, ("text",)),
     "quality_score": Query(quality_score, QUALITY_SCORE_SQL, ("text",)),
     "lang_id": Query(lang_id, LANG_ID_SQL, ("text",)),
     "fingerprint": Query(fingerprint, FINGERPRINT_SQL, ("text",)),
+    "hash_sample": Query(hash_sample, HASH_SAMPLE_SQL, ("text", "sampling")),
+    "stratified_sample": Query(stratified_sample, STRATIFIED_SAMPLE_SQL, ("text", "sampling")),
+    "ngram_freq": Query(ngram_freq, NGRAM_FREQ_SQL, ("text",)),
+    "length_histogram": Query(length_histogram, LENGTH_HISTOGRAM_SQL, ("text",)),
 }
