@@ -47,6 +47,10 @@ HEADLINE = [
     "jaccard_near_dup",
     "fuzzy_verify_pairs",
     "simhash",
+    "embedding_near_dup",
+    "multimodal_features",
+    "ngram_freq",
+    "stratified_sample",
     "cosine_topk",
     "knn_join",
     "sessionize_events",

@@ -29,6 +29,7 @@ def build_registry() -> dict[str, Query]:
         dedup,
         joins,
         json_nav,
+        multimodal,
         semantics,
         setops,
         similarity,
@@ -47,6 +48,7 @@ def build_registry() -> dict[str, Query]:
         dedup,
         similarity,
         semantics,
+        multimodal,
     ):
         for name, q in mod.QUERIES.items():
             if name in registry:

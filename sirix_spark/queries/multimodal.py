@@ -1,0 +1,124 @@
+"""Multimodal pipeline operators as first-class oracle-checked
+queries: binary media columns processed through the Arrow-batched
+mapInPandas decode path (functions/multimodal.py).
+
+The media corpus is derived deterministically from `documents`
+(content = FAKE-container image whose width/height/seed are pure
+functions of doc_id, with a poison non-image blob every 97th doc), so
+the DuckDB oracle can compute the expected decoded features
+arithmetically — the Python decode stage is value-checked end-to-end,
+not just shape-checked. Outputs are integer/boolean only; no float
+drift surface.
+
+Scale design: blob synthesis + decode are mapInPandas stages (Arrow
+batches, bounded memory, no shuffle); the JVM-side metadata sniff
+(with_media_metadata) runs BEFORE decode so poison blobs are routed
+around the expensive path by built-in expressions — the 100 TB
+pattern for media tables.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sirix_spark.functions.multimodal import (
+    HEADER,
+    MAGIC,
+    extract_image_features,
+)
+from sirix_spark.queries import Query
+from sirix_spark.tables import load
+
+POISON_EVERY = 97
+
+
+def _media(spark, sf_dir):
+    """(doc_id, content): deterministic synthetic media table.
+
+    width = 8 + doc_id % 8, height = 8 + (doc_id // 8) % 8,
+    seed = doc_id % 251; every POISON_EVERY-th doc gets a non-image
+    blob (decode must tolerate it, not fail the stage)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % POISON_EVERY == 0:
+                    out.append(b"NOTANIMG")
+                    continue
+                w = 8 + doc_id % 8
+                h = 8 + (doc_id // 8) % 8
+                seed = doc_id % 251
+                payload = bytes((seed + i * 31) % 256 for i in range(w * h))
+                out.append(MAGIC + struct.pack("<II", w, h) + payload)
+            pdf["content"] = out
+            yield pdf
+
+    return docs.mapInPandas(gen, schema="doc_id long, content binary")
+
+
+def multimodal_features(spark, sf_dir):
+    """Decode the media table via the Arrow mapInPandas stage and
+    return integer/boolean features per blob (poison blobs →
+    valid=false with NULL dims)."""
+    feats = extract_image_features(_media(spark, sf_dir))
+    return feats.select("doc_id", "width", "height", "n_bytes", "valid")
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {POISON_EVERY} = 0 THEN NULL
+            ELSE CAST(8 + doc_id % 8 AS INT) END AS width,
+       CASE WHEN doc_id % {POISON_EVERY} = 0 THEN NULL
+            ELSE CAST(8 + (doc_id // 8) % 8 AS INT) END AS height,
+       CASE WHEN doc_id % {POISON_EVERY} = 0 THEN 8
+            ELSE {HEADER} + (8 + doc_id % 8) * (8 + (doc_id // 8) % 8)
+            END AS n_bytes,
+       doc_id % {POISON_EVERY} <> 0 AS valid
+FROM documents
+"""
+
+
+def multimodal_filter_decode(spark, sf_dir):
+    """The scale pattern: JVM-side magic-byte sniff filters blobs
+    BEFORE the Python decode stage touches them — only plausible
+    images cross the Arrow boundary. Returns per-source aggregate of
+    decoded bytes (integer-only)."""
+    from sirix_spark.functions.multimodal import with_media_metadata
+
+    media = with_media_metadata(_media(spark, sf_dir))
+    plausible = media.filter(F.col("looks_fake_img")).drop("n_bytes", "looks_fake_img")
+    feats = extract_image_features(plausible)
+    return feats.agg(
+        F.count("*").alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+    )
+
+
+MULTIMODAL_FILTER_DECODE_SQL = f"""
+WITH imgs AS (
+  SELECT 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+  FROM documents WHERE doc_id % {POISON_EVERY} <> 0
+)
+SELECT count(*) AS n_images,
+       sum({HEADER} + w * h) AS total_bytes,
+       sum(w * h) AS total_pixels
+FROM imgs
+"""
+
+
+QUERIES = {
+    "multimodal_features": Query(
+        multimodal_features, MULTIMODAL_FEATURES_SQL, ("multimodal",)
+    ),
+    "multimodal_filter_decode": Query(
+        multimodal_filter_decode, MULTIMODAL_FILTER_DECODE_SQL, ("multimodal",)
+    ),
+}
