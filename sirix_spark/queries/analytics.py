@@ -300,10 +300,33 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def grouping_sets_counts(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond reference, free in Spark):
+    per-flag and per-status marginals in one pass — the shape rollup/
+    cube can't express (no combined or grand-total row)."""
+    _li(spark, sf_dir).createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+GROUPING_SETS_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 QUERIES = {
     "filter_count": Query(filter_count, FILTER_COUNT_SQL, ("analytics",)),
     "rollup_counts": Query(rollup_counts, ROLLUP_COUNTS_SQL, ("analytics", "extra")),
     "cube_counts": Query(cube_counts, CUBE_COUNTS_SQL, ("analytics", "extra")),
+    "grouping_sets_counts": Query(
+        grouping_sets_counts, GROUPING_SETS_COUNTS_SQL, ("analytics", "extra")
+    ),
     "group_by_count": Query(group_by_count, GROUP_BY_COUNT_SQL, ("analytics",)),
     "sum_qty": Query(sum_qty, SUM_QTY_SQL, ("analytics",)),
     "avg_qty": Query(avg_qty, AVG_QTY_SQL, ("analytics",)),
