@@ -1,0 +1,233 @@
+"""XML support: distributed shredder → node table, serializer, axes.
+
+Reference parity (the XML half of the store): SirixDB shreds XML into
+fine-grained nodes with ELEMENT/ATTRIBUTE/TEXT/COMMENT/PI/DOCUMENT
+kinds (bundles/sirix-core/.../node/NodeKind.java:108-467), each node
+carrying parentKey and descendantCount for navigation
+(docs/ARCHITECTURE.md:70-100); XML import/serialize lives in
+bundles/sirix-query/.../function/xml/io/*.java.
+
+Spark-first re-expression: the shredded form IS a DataFrame — one row
+per node with document-order `node_key`, `parent_key`,
+`descendant_count`, `ancestors`, and a slash `path` (the path-summary
+analog). Axes are then plain relational ops, no tree cursors:
+
+    children   = nodes.filter(parent_key == k)
+    descendants= nodes.filter((node_key > k) & (node_key <= k + descendant_count(k)))
+    ancestors  = array_contains(ancestors, k)
+    siblings   = same parent_key, pos ordering
+
+Shredding runs as an Arrow-batched mapInPandas over (doc, xml string)
+rows — each task parses its own documents with stdlib ElementTree, so
+a corpus of XML files scales exactly like any other partitioned read
+(one document never spans tasks; the reference's parallel shredder
+makes the same per-document assumption,
+service/json/shredder/ParallelJsonShredder.java:72).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Node kinds (names mirror the reference's NodeKind).
+DOCUMENT = "XML_DOCUMENT"
+ELEMENT = "ELEMENT"
+ATTRIBUTE = "ATTRIBUTE"
+TEXT = "TEXT"
+COMMENT = "COMMENT"
+PI = "PROCESSING_INSTRUCTION"
+
+NODE_SCHEMA = (
+    "doc string, node_key long, parent_key long, kind string, "
+    "name string, value string, pos int, level int, path string, "
+    "descendant_count long, ancestors array<long>"
+)
+
+
+def _shred_one(doc: str, xml: str) -> list[dict]:
+    """Pre-order walk of one document → node rows. node_key is the
+    document-order index; descendant_count closes over the subtree
+    (the reference stores exactly these two to answer the descendant
+    axis without traversal)."""
+    parser = ET.XMLParser(target=ET.TreeBuilder(insert_comments=True, insert_pis=True))
+    root = ET.fromstring(xml, parser=parser)
+    rows: list[dict] = []
+    counter = [0]
+
+    def emit(parent_key, kind, name, value, pos, level, path, ancestors):
+        key = counter[0]
+        counter[0] += 1
+        rows.append(
+            {
+                "doc": doc,
+                "node_key": key,
+                "parent_key": parent_key,
+                "kind": kind,
+                "name": name,
+                "value": value,
+                "pos": pos,
+                "level": level,
+                "path": path,
+                "descendant_count": 0,
+                "ancestors": list(ancestors),
+            }
+        )
+        return key
+
+    def walk(el, parent_key, pos, level, parent_path, ancestors):
+        if el.tag is ET.Comment:
+            emit(parent_key, COMMENT, None, el.text, pos, level, parent_path, ancestors)
+            return
+        if el.tag is ET.ProcessingInstruction:
+            emit(parent_key, PI, None, el.text, pos, level, parent_path, ancestors)
+            return
+        path = f"{parent_path}/{el.tag}"
+        key = emit(parent_key, ELEMENT, el.tag, None, pos, level, path, ancestors)
+        idx = len(rows) - 1
+        child_ancestors = ancestors + [key]
+        child_pos = 0
+        for aname, avalue in el.attrib.items():
+            emit(key, ATTRIBUTE, aname, avalue, child_pos, level + 1,
+                 f"{path}/@{aname}", child_ancestors)
+            child_pos += 1
+        if el.text is not None and el.text.strip():
+            emit(key, TEXT, None, el.text, child_pos, level + 1, path, child_ancestors)
+            child_pos += 1
+        for child in el:
+            walk(child, key, child_pos, level + 1, path, child_ancestors)
+            child_pos += 1
+            if child.tail is not None and child.tail.strip():
+                emit(key, TEXT, None, child.tail, child_pos, level + 1, path,
+                     child_ancestors)
+                child_pos += 1
+        rows[idx]["descendant_count"] = counter[0] - key - 1
+
+    doc_key = emit(None, DOCUMENT, None, None, 0, 0, "", [])
+    walk(root, doc_key, 0, 1, "", [doc_key])
+    rows[0]["descendant_count"] = counter[0] - 1
+    return rows
+
+
+def shred_xml(df: DataFrame, doc_col: str = "doc", xml_col: str = "xml") -> DataFrame:
+    """(doc, xml string) rows → node table (NODE_SCHEMA)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc, xml in zip(pdf[doc_col], pdf[xml_col]):
+                out.extend(_shred_one(doc, xml))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc", "node_key", "parent_key", "kind", "name", "value",
+                    "pos", "level", "path", "descendant_count", "ancestors",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=NODE_SCHEMA)
+
+
+def read_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Read whole XML files (one row per file) and shred. The file is
+    the unit of parallelism, as in the reference's parallel shredder."""
+    files = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("doc", F.input_file_name())
+        .withColumnRenamed("value", "xml")
+    )
+    return shred_xml(files)
+
+
+# --- axes (relational, no cursors) ----------------------------------
+def children(nodes: DataFrame, node_key: int) -> DataFrame:
+    return nodes.filter(F.col("parent_key") == node_key).orderBy("pos")
+
+
+def descendants(nodes: DataFrame, doc: str, node_key: int, count: int) -> DataFrame:
+    """Descendant axis from the stored (node_key, descendant_count)
+    interval — a range predicate, pushable to the scan."""
+    return nodes.filter(
+        (F.col("doc") == doc)
+        & (F.col("node_key") > node_key)
+        & (F.col("node_key") <= node_key + count)
+    )
+
+
+def ancestors_of(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    target = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key))
+    keys = target.select(F.explode("ancestors").alias("k"))
+    return nodes.join(keys, nodes.node_key == F.col("k")).drop("k")
+
+
+def following_siblings(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    t = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key)).select(
+        F.col("parent_key").alias("_pk"), F.col("pos").alias("_pos")
+    )
+    return nodes.join(F.broadcast(t)).filter(
+        (F.col("parent_key") == F.col("_pk")) & (F.col("pos") > F.col("_pos"))
+    ).drop("_pk", "_pos")
+
+
+def path_summary(nodes: DataFrame) -> DataFrame:
+    """Distinct paths with node counts — the XML path summary
+    (index/path/summary/PathSummaryReader.java analog)."""
+    return (
+        nodes.filter(F.col("path") != "")
+        .groupBy("path", "kind")
+        .count()
+        .orderBy("path", "kind")
+    )
+
+
+# --- serializer ------------------------------------------------------
+def _esc(s: str, attr: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s.replace('"', "&quot;") if attr else s
+
+
+def serialize_xml(nodes: DataFrame) -> DataFrame:
+    """Node table → (doc, xml string), one row per document; rebuild
+    runs per-document via applyInPandas (each document's nodes are
+    grouped to one task — same unit of parallelism as the shred)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("node_key")
+        by_parent: dict[int, list] = {}
+        rows = pdf.to_dict("records")
+        for r in rows:
+            if r["parent_key"] is not None and not pd.isna(r["parent_key"]):
+                by_parent.setdefault(int(r["parent_key"]), []).append(r)
+        for v in by_parent.values():
+            v.sort(key=lambda r: r["pos"])
+
+        def render(r) -> str:
+            kind = r["kind"]
+            if kind == TEXT:
+                return _esc(r["value"])
+            if kind == COMMENT:
+                return f"<!--{r['value']}-->"
+            if kind == PI:
+                return f"<?{r['value']}?>"
+            if kind == ELEMENT:
+                kids = by_parent.get(int(r["node_key"]), [])
+                attrs = "".join(
+                    f' {k["name"]}="{_esc(k["value"], attr=True)}"'
+                    for k in kids
+                    if k["kind"] == ATTRIBUTE
+                )
+                inner = "".join(render(k) for k in kids if k["kind"] != ATTRIBUTE)
+                if not inner:
+                    return f"<{r['name']}{attrs}/>"
+                return f"<{r['name']}{attrs}>{inner}</{r['name']}>"
+            return ""
+
+        doc_row = next(r for r in rows if r["kind"] == DOCUMENT)
+        xml = "".join(render(k) for k in by_parent.get(int(doc_row["node_key"]), []))
+        return pd.DataFrame({"doc": [doc_row["doc"]], "xml": [xml]})
+
+    return nodes.groupBy("doc").applyInPandas(build, schema="doc string, xml string")
