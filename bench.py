@@ -100,7 +100,11 @@ def main():
 
     n_records = int(os.environ.get("SIRIX_SPARK_RECORDS_N", 10_000_000))
     rec_path = os.path.join(tempfile.mkdtemp(prefix="sirix_bench_"), "records")
+    # ingest metric: generate + write the snapshot (the analog of the
+    # reference's shred; BASELINE.md reports 182k records/s for it)
+    t0 = time.perf_counter()
     generated_records(spark, n_records).write.parquet(rec_path)
+    timings["records10m_ingest_write"] = round(time.perf_counter() - t0, 4)
     records = spark.read.parquet(rec_path).persist()
     records.count()
     for name, fn in matrix_queries().items():
