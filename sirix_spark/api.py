@@ -23,6 +23,8 @@ function/jn/JNFun.java:84-260 and function/sdb/SDBFun.java):
     sdb:hash($n)                   → Resource.with_hash (stable payload hash)
     sdb:explain                    → sirix_spark.plans.explain_str
     jn:size / array ops            → pyspark built-ins (size, slice, ...)
+    xml:load / xml import          → Sirix.read_xml / shred_xml
+    xml serialize (function/xml/io)→ Sirix.serialize_xml
 
 Queries themselves are plain DataFrame operations on what these
 return — the engine adds no query dialect of its own (SURVEY.md §3:
@@ -63,6 +65,25 @@ class Sirix:
         """jn:load — parse JSON file(s)."""
         self.store.load_json(db, res, path, key=key, **kw)
         return self.resource(db, res)
+
+    # --- XML (the xml: function family; sources/xml_source.py) ---
+    def read_xml(self, path: str) -> DataFrame:
+        """Shred whole XML files at `path` into the node table."""
+        from sirix_spark.sources.xml_source import read_xml
+
+        return read_xml(self.spark, path)
+
+    @staticmethod
+    def shred_xml(df: DataFrame, doc_col: str = "doc", xml_col: str = "xml") -> DataFrame:
+        from sirix_spark.sources.xml_source import shred_xml
+
+        return shred_xml(df, doc_col, xml_col)
+
+    @staticmethod
+    def serialize_xml(nodes: DataFrame) -> DataFrame:
+        from sirix_spark.sources.xml_source import serialize_xml
+
+        return serialize_xml(nodes)
 
     def resource(self, db: str, res: str) -> "Resource":
         return Resource(self, db, res)
