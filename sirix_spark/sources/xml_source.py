@@ -173,6 +173,24 @@ def following_siblings(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
     ).drop("_pk", "_pos")
 
 
+def level_order(nodes: DataFrame) -> DataFrame:
+    """LevelOrderAxis analog: breadth-first document traversal from
+    the stored level + document-order key (axis/LevelOrderAxis.java)."""
+    return nodes.orderBy("doc", "level", "node_key")
+
+
+def post_order(nodes: DataFrame) -> DataFrame:
+    """PostOrderAxis analog: a node post-orders at the end of its
+    subtree interval, so sorting by (node_key + descendant_count,
+    node_key desc) IS post-order — no traversal, O(1) per node from
+    the stored metadata (axis/PostOrderAxis.java)."""
+    return nodes.orderBy(
+        "doc",
+        (F.col("node_key") + F.col("descendant_count")).asc(),
+        F.col("node_key").desc(),
+    )
+
+
 def path_summary(nodes: DataFrame) -> DataFrame:
     """Distinct paths with node counts — the XML path summary
     (index/path/summary/PathSummaryReader.java analog)."""

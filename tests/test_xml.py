@@ -84,6 +84,23 @@ def test_roundtrip_canonical(spark):
         )
 
 
+def test_level_and_post_order(spark):
+    from sirix_spark.sources.xml_source import level_order, post_order
+
+    nodes = _nodes(spark, xml=SAMPLE2)
+    lv = [r.level for r in level_order(nodes).collect()]
+    assert lv == sorted(lv)
+    po = post_order(nodes).collect()
+    # post-order: every parent appears after all of its descendants
+    seen = set()
+    for r in po:
+        if r.parent_key is not None:
+            pass
+        for a in r.ancestors:
+            assert a not in seen, "ancestor emitted before descendant in post-order"
+        seen.add(r.node_key)
+
+
 def test_multi_document_distributed(spark):
     df = spark.createDataFrame(
         [(f"doc{i}", SAMPLE2) for i in range(8)], "doc string, xml string"
