@@ -296,8 +296,120 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# --- window frames (beyond reference — SURVEY.md §2.5 notes the
+# reference has no analytic windows; positional $pos is the closest.
+# These pin the full frame family: running, sliding, rank, ntile) ----
+DEC = "decimal(18,6)"
+
+
+def running_sum_per_user(spark, sf_dir):
+    # Cumulative frame. value is decimal-valued double: accumulate as
+    # exact decimal so partition/merge order can't perturb bits
+    # (same contract as analytics.py).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+RUNNING_SUM_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def moving_avg_per_user(spark, sf_dir):
+    # Sliding ROWS frame; avg as exact-sum / count for bit parity.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("*").over(w))
+        .alias("moving_avg"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / count(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def dense_rank_orders(spark, sf_dir):
+    # Ties share a rank, so rank<=3 is a deterministic row set even
+    # though per-tie emission order isn't (driver compare sorts).
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("drank", F.dense_rank().over(w))
+        .filter(F.col("drank") <= 3)
+        .select("o_orderpriority", "drank", "o_orderkey", "o_totalprice")
+    )
+
+
+DENSE_RANK_SQL = """
+SELECT o_orderpriority, drank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         dense_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS drank
+  FROM orders
+) WHERE drank <= 3
+"""
+
+
+def ntile_value_quartiles(spark, sf_dir):
+    # ntile over a total order (event_id tiebreak) → deterministic
+    # bucket assignment; emit per-bucket stats, not per-row tiles.
+    # Scale caveat: an unpartitioned window is a single-partition
+    # sort — exact ntile is inherently global. The 100 TB path is
+    # approx percentile boundaries + width_bucket assignment
+    # (map-only); this entry pins the exact semantics.
+    w = Window.orderBy("value", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+NTILE_SQL = """
+SELECT quartile, count(*) AS cnt,
+       min(value) AS min_value, max(value) AS max_value
+FROM (SELECT value, ntile(4) OVER (ORDER BY value, event_id) AS quartile
+      FROM events)
+GROUP BY quartile
+"""
+
+
 QUERIES = {
     "previous_next_event": Query(previous_next_event, PREVIOUS_NEXT_SQL, ("temporal",)),
+    "running_sum_per_user": Query(running_sum_per_user, RUNNING_SUM_SQL, ("window",)),
+    "moving_avg_per_user": Query(moving_avg_per_user, MOVING_AVG_SQL, ("window",)),
+    "dense_rank_orders": Query(dense_rank_orders, DENSE_RANK_SQL, ("window",)),
+    "ntile_value_quartiles": Query(ntile_value_quartiles, NTILE_SQL, ("window",)),
     "sessionize_events": Query(sessionize_events, SESSIONIZE_SQL, ("temporal", "custom")),
     "first_last_event": Query(first_last_event, FIRST_LAST_SQL, ("temporal",)),
     "all_times": Query(all_times, ALL_TIMES_SQL, ("temporal",)),
