@@ -319,8 +319,49 @@ GROUP BY band
 """
 
 
+# --- shipping priority (TPC-H Q3 shape): the composite pipeline -----
+def shipping_priority(spark, sf_dir):
+    # Selective dim filter broadcast into two fact scans, shuffle agg
+    # on the order key, then TakeOrderedAndProject for the top-10 —
+    # one plan exercising pushdown + broadcast + partial agg + top-k
+    # together. Tiebreak on unique l_orderkey keeps LIMIT
+    # deterministic; revenue bits match via the decimal contract.
+    cutoff = "1998-06-01"
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "customers_per_region": Query(customers_per_region, CUSTOMERS_PER_REGION_SQL, ("join",)),
+    "shipping_priority": Query(shipping_priority, SHIPPING_PRIORITY_SQL, ("join", "topk")),
     "left_outer_join": Query(left_outer_join, LEFT_OUTER_JOIN_SQL, ("join",)),
     "full_outer_summary": Query(full_outer_summary, FULL_OUTER_SUMMARY_SQL, ("join",)),
     "range_join_price_bands": Query(range_join_price_bands, RANGE_JOIN_SQL, ("join",)),
