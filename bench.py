@@ -32,6 +32,8 @@ HEADLINE = [
     "computed_agg",
     "pricing_summary",
     "top_k_orders",
+    "shipping_priority",
+    "running_sum_per_user",
     "customers_per_region",
     "revenue_by_priority",
     "national_revenue",
