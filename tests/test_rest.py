@@ -1,0 +1,102 @@
+"""REST façade tests — the SirixVerticle route surface
+(SirixVerticle.kt:371-520) over the versioned store, driven through a
+real HTTP client (urllib) against an embedded server."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from sirix_spark.api import Sirix
+    from sirix_spark.rest import SirixRestServer
+
+    sirix = Sirix(spark, str(tmp_path_factory.mktemp("rest_store")))
+    srv = SirixRestServer(sirix).start()
+    yield srv
+    srv.stop()
+
+
+def _req(srv, path, method="GET", body=None):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}",
+        data=body.encode() if body is not None else None,
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            raw = r.read().decode()
+            return r.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        raw = e.read().decode()
+        return e.code, json.loads(raw) if raw else None
+
+
+def test_crud_roundtrip_and_time_travel(server):
+    # POST creates revision 1
+    recs = [{"id": 1, "name": "a", "v": 10}, {"id": 2, "name": "b", "v": 20}]
+    code, out = _req(server, "/db1/res1?key=id", "POST", json.dumps(recs))
+    assert (code, out) == (201, {"revision": 1})
+    # duplicate POST is rejected
+    code, _ = _req(server, "/db1/res1?key=id", "POST", json.dumps(recs))
+    assert code == 409
+
+    # PUT upserts → revision 2
+    code, out = _req(server, "/db1/res1?key=id", "PUT", json.dumps([{"id": 2, "name": "b", "v": 99}]))
+    assert (code, out) == (200, {"revision": 2})
+
+    # GET latest reflects the upsert; ?revision=1 is the frozen past.
+    # The POSTed ?key= column comes back canonicalized as record_key.
+    code, rows = _req(server, "/db1/res1")
+    assert code == 200 and {r["record_key"]: r["v"] for r in rows} == {1: 10, 2: 99}
+    _, rows1 = _req(server, "/db1/res1?revision=1")
+    assert {r["record_key"]: r["v"] for r in rows1} == {1: 10, 2: 20}
+
+    # listing endpoints
+    assert _req(server, "/")[1] == {"databases": ["db1"]}
+    assert _req(server, "/db1")[1] == {"resources": ["res1"]}
+
+    # history has both commits
+    code, hist = _req(server, "/db1/res1/history")
+    assert code == 200 and [h["revision"] for h in hist] == [1, 2]
+
+    # revision-timestamp resolves to revision 1's snapshot
+    ts1 = urllib.parse.quote(hist[0]["committed_at"])
+    _, rows_ts = _req(server, f"/db1/res1?revision-timestamp={ts1}")
+    assert {r["record_key"]: r["v"] for r in rows_ts} == {1: 10, 2: 20}
+
+    # diff between revisions is the JSON-patch shape
+    code, patch = _req(server, "/db1/res1/diff?first-revision=1&second-revision=2")
+    assert code == 200
+    ops = patch if isinstance(patch, list) else patch["diffs"]
+    assert any("update" in json.dumps(op) for op in ops)
+
+    # revision range read
+    _, revs = _req(server, "/db1/res1?start-revision=1&end-revision=2")
+    assert [r["revision"] for r in revs] == [1, 2]
+
+    # SQL query entry (view named after the resource)
+    code, rows = _req(server, "/db1/res1?query=SELECT+sum(v)+AS+s+FROM+res1")
+    assert code == 200 and rows == [{"s": 109}]
+
+    # limit applies (serializer maxNodes analog)
+    _, rows = _req(server, "/db1/res1?limit=1")
+    assert len(rows) == 1
+
+    # DELETE resource then 404
+    assert _req(server, "/db1/res1", "DELETE")[0] == 204
+    assert _req(server, "/db1/res1")[0] == 404
+    assert _req(server, "/db1", "DELETE")[0] == 204
+
+
+def test_errors(server):
+    assert _req(server, "/nope/none")[0] == 404
+    assert _req(server, "/nope")[0] == 404
+    code, _ = _req(server, "/db2/res2?key=id", "PUT", json.dumps([{"id": 1}]))
+    assert code == 404
