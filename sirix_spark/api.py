@@ -97,6 +97,13 @@ class Sirix:
     def drop_database(self, db: str) -> None:
         self.store.drop_database(db)
 
+    def serve(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the REST façade over this store (SirixVerticle analog;
+        rest.py). Returns the started server; `.port` / `.stop()`."""
+        from sirix_spark.rest import SirixRestServer
+
+        return SirixRestServer(self, host=host, port=port).start()
+
 
 class Resource:
     """One versioned record set (the JsonResourceSession analog)."""

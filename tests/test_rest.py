@@ -15,10 +15,9 @@ import pytest
 @pytest.fixture(scope="module")
 def server(spark, tmp_path_factory):
     from sirix_spark.api import Sirix
-    from sirix_spark.rest import SirixRestServer
 
     sirix = Sirix(spark, str(tmp_path_factory.mktemp("rest_store")))
-    srv = SirixRestServer(sirix).start()
+    srv = sirix.serve()
     yield srv
     srv.stop()
 
