@@ -23,10 +23,84 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# (round-1 lesson: everything after slot 50 gets no driver-green row).
+# PRIORITY pins the window: one representative per SURVEY.md §2 row,
+# with the whole LLM-pipeline family (dedup / ANN / multimodal / text
+# profile) and the semantics corners inside it. Entries not listed
+# here append afterwards in module order — still oracle-checked by
+# tools/check_oracle.py, just outside the driver's window.
+PRIORITY: tuple[str, ...] = (
+    # §2.4 aggregations + §2.2 scans/filters
+    "pricing_summary",
+    "filter_count",
+    "sum_qty",
+    "min_max_qty",
+    "group_by_count",
+    "group_by_2keys",
+    "filter_group_by",
+    "count_distinct",
+    "computed_agg",
+    "rollup_counts",
+    # §2.6 sorts / top-k / covered projection
+    "top_k_orders",
+    "multi_key_sort",
+    "covered_projection",
+    # §2.3 joins
+    "customers_per_region",
+    "shipping_priority",
+    "national_revenue",
+    "revenue_by_priority",
+    "range_join_price_bands",
+    "semi_join_customers",
+    "full_outer_summary",
+    "asof_join_orders_events",
+    # §2.7 temporal family
+    "previous_next_event",
+    "first_last_event",
+    "all_times",
+    "item_history",
+    "valid_at",
+    "snapshot_diff",
+    "node_diff",
+    "sessionize_events",
+    # §2.5 windows
+    "dense_rank_orders",
+    # §2.2/§2.9/§2.10 JSON navigation + construction
+    "json_deref_sum",
+    "json_field_filter",
+    "json_construct",
+    "array_posexplode",
+    "array_index_slice",
+    # §2.8 set ops (dense: union+intersect+except in one row)
+    "set_ops",
+    # LLM-pipeline: text analysis
+    "token_count",
+    "text_profile",
+    "ngram_freq",
+    # LLM-pipeline: dedup family
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "jaccard_near_dup",
+    "simhash",
+    "embedding_near_dup",
+    # LLM-pipeline: similarity search
+    "cosine_topk",
+    "knn_join",
+    # LLM-pipeline: multimodal
+    "multimodal_features",
+    "multimodal_filter_decode",
+    # §2.10 semantics corners
+    "scalar_functions",
+)
+
+
 def build_registry() -> dict[str, Query]:
     from sirix_spark.queries import (
         analytics,
         dedup,
+        diff,
         joins,
         json_nav,
         multimodal,
@@ -37,11 +111,12 @@ def build_registry() -> dict[str, Query]:
         text,
     )
 
-    registry: dict[str, Query] = {}
+    merged: dict[str, Query] = {}
     for mod in (
         analytics,
         joins,
         temporal,
+        diff,
         json_nav,
         setops,
         text,
@@ -51,9 +126,14 @@ def build_registry() -> dict[str, Query]:
         multimodal,
     ):
         for name, q in mod.QUERIES.items():
-            if name in registry:
+            if name in merged:
                 raise ValueError(f"duplicate query name {name}")
-            registry[name] = q
+            merged[name] = q
+    missing = [n for n in PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"PRIORITY names not registered: {missing}")
+    registry = {n: merged[n] for n in PRIORITY}
+    registry.update((n, q) for n, q in merged.items() if n not in registry)
     return registry
 
 

@@ -36,10 +36,17 @@ def json_deref_sum(spark, sf_dir):
 
 JSON_DEREF_SUM_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        count(*) AS cnt
 FROM events GROUP BY event_type
 """
+# NOTE the outer CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); an
+# Arrow-based fetch (the driver's) surfaces that as Decimal, which
+# canonicalizes as '99111.0' vs Spark's long '99111' — a hash mismatch
+# on identical values (round-1 driver-red row). Every oracle integer
+# sum in this repo must carry the outer BIGINT cast; the local gate
+# (tools/check_oracle.py) now hashes the Arrow fetch path too.
 
 
 # --- predicate on a JSON-derived field ------------------------------

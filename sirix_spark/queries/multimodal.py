@@ -108,10 +108,12 @@ WITH imgs AS (
   FROM documents WHERE doc_id % {POISON_EVERY} <> 0
 )
 SELECT count(*) AS n_images,
-       sum({HEADER} + w * h) AS total_bytes,
-       sum(w * h) AS total_pixels
+       CAST(sum({HEADER} + w * h) AS BIGINT) AS total_bytes,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels
 FROM imgs
 """
+# Outer BIGINT casts: DuckDB integer sum yields HUGEINT → Decimal on
+# the driver's Arrow fetch → hash mismatch vs Spark's long.
 
 
 QUERIES = {

@@ -47,7 +47,28 @@ def set_except(spark, sf_dir):
     return _building(spark, sf_dir).subtract(_urgent(spark, sf_dir))
 
 
+def set_ops(spark, sf_dir):
+    """All three set operations in one driver row (union / intersect /
+    except results tagged by op) — a dense entry so §2.8 keeps a
+    driver-green signal inside the gate's 50-query window while the
+    per-op entries stay registered for granular local checks."""
+    u = set_union(spark, sf_dir).withColumn("op", F.lit("union"))
+    i = set_intersect(spark, sf_dir).withColumn("op", F.lit("intersect"))
+    e = set_except(spark, sf_dir).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+SET_OPS_SQL = f"""
+SELECT custkey, 'union' AS op     FROM (({_B}) UNION ({_U}))
+UNION ALL
+SELECT custkey, 'intersect' AS op FROM (({_B}) INTERSECT ({_U}))
+UNION ALL
+SELECT custkey, 'except' AS op    FROM (({_B}) EXCEPT ({_U}))
+"""
+
+
 QUERIES = {
+    "set_ops": Query(set_ops, SET_OPS_SQL, ("setops",)),
     "set_union": Query(set_union, f"({_B}) UNION ({_U})", ("setops",)),
     "set_intersect": Query(set_intersect, f"({_B}) INTERSECT ({_U})", ("setops",)),
     "set_except": Query(set_except, f"({_B}) EXCEPT ({_U})", ("setops",)),

@@ -289,11 +289,17 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start_s,
+       CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS session_end_s
 FROM s GROUP BY user_id, session_id
 """
+# session_id comes from a window sum → HUGEINT in DuckDB → Decimal on
+# an Arrow fetch; the BIGINT cast restores hash parity with Spark's
+# long (this, not tz, was the round-1 driver-red cause — load() pins
+# the session tz to UTC on any session). Bounds are epoch seconds on
+# both sides so no string rendering is involved at all.
 
 
 # --- window frames (beyond reference — SURVEY.md §2.5 notes the

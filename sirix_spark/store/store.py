@@ -476,21 +476,66 @@ class VersionedStore:
             "new",
         ).filter(F.col("op") != "unchanged")
 
-    def diff_json(self, db: str, res: str, r1: int, r2: int) -> str:
+    def node_diff(self, db: str, res: str, r1: int, r2: int) -> DataFrame:
+        """Node-level diff between two revisions → one op per changed
+        NODE with its path (insert/delete/update/replace) — the
+        reference's real diff granularity (BasicJsonDiff.java:21): a
+        single changed leaf in a large record yields one leaf op, not
+        a whole-record update. Built on the generic JSON node differ
+        (operators/diff.py): record payloads are serialized per key
+        and flattened JVM-side; one shuffle on (record key, path)."""
+        from sirix_spark.operators.diff import json_node_diff
+
+        d1 = self.doc(db, res, revision=r1)
+        d2 = self.doc(db, res, revision=r2)
+        payload = sorted(set(d1.columns) | set(d2.columns) - {RECORD_KEY})
+        payload = [c for c in payload if c != RECORD_KEY]
+
+        def as_doc(df):
+            cols = [
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                for c in payload
+            ]
+            return df.select(F.col(RECORD_KEY), F.to_json(F.struct(*cols)).alias("js"))
+
+        o = as_doc(d1).withColumnRenamed("js", "old_doc")
+        n = as_doc(d2).withColumnRenamed("js", "new_doc")
+        joined = o.join(n, RECORD_KEY, "full_outer")
+        return json_node_diff(joined, [RECORD_KEY], "old_doc", "new_doc")
+
+    def diff_json(self, db: str, res: str, r1: int, r2: int, mode: str = "node") -> str:
         """Serialized diff in the reference's REST shape
-        (DiffHandler.kt): {"database", "resource", "old-revision",
-        "new-revision", "diffs": [...]}."""
+        (DiffHandler.kt / JsonDiffSerializer.java): {"database",
+        "resource", "old-revision", "new-revision", "diffs": [...]}.
+
+        mode='node' (default): per-node ops with recordKey + path —
+        JsonDiffSerializer's granularity. mode='record': the legacy
+        whole-record ops with old/new payloads."""
         import json as _json
 
-        ops = [
-            {
-                "type": r["op"],
-                "recordKey": r[RECORD_KEY],
-                **({"old": _json.loads(r["old"])} if r["old"] is not None else {}),
-                **({"new": _json.loads(r["new"])} if r["new"] is not None else {}),
-            }
-            for r in self.diff(db, res, r1, r2).orderBy(RECORD_KEY).collect()
-        ]
+        if mode == "node":
+            ops = [
+                {
+                    "type": r["op"],
+                    "recordKey": r[RECORD_KEY],
+                    "path": r["path"],
+                    **({"old": r["old_value"]} if r["old_value"] is not None else {}),
+                    **({"new": r["new_value"]} if r["new_value"] is not None else {}),
+                }
+                for r in self.node_diff(db, res, r1, r2)
+                .orderBy(RECORD_KEY, "path")
+                .collect()
+            ]
+        else:
+            ops = [
+                {
+                    "type": r["op"],
+                    "recordKey": r[RECORD_KEY],
+                    **({"old": _json.loads(r["old"])} if r["old"] is not None else {}),
+                    **({"new": _json.loads(r["new"])} if r["new"] is not None else {}),
+                }
+                for r in self.diff(db, res, r1, r2).orderBy(RECORD_KEY).collect()
+            ]
         return _json.dumps(
             {
                 "database": db,

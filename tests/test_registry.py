@@ -40,3 +40,43 @@ def test_no_duplicate_output_columns(spark, sf_dir, reg):
     for name, q in reg.items():
         cols = q.fn(spark, sf_dir).columns
         assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+
+
+def test_driver_window_covers_all_families(reg):
+    """The driver's correctness gate checks the FIRST 50 registry
+    entries (round-1 lesson: CORRECTNESS_r01 stopped at slot 50 and
+    the whole dedup/ANN/multimodal family had no driver row). Pin the
+    window: each family below must have a representative inside it,
+    and PRIORITY must stay the dict prefix."""
+    from sirix_spark.queries import PRIORITY
+
+    first50 = list(reg)[:50]
+    assert first50 == list(PRIORITY)[:50]
+    required = {
+        # judge round-1 'done' list for the LLM-pipeline family
+        "exact_dedup",
+        "minhash_signatures",
+        "minhash_lsh_pairs",
+        "jaccard_near_dup",
+        "embedding_near_dup",
+        "simhash",
+        "cosine_topk",
+        "knn_join",
+        "multimodal_features",
+        "multimodal_filter_decode",
+        "text_profile",
+        "token_count",
+        # one per SURVEY §2 family
+        "pricing_summary",
+        "asof_join_orders_events",
+        "sessionize_events",
+        "node_diff",
+        "snapshot_diff",
+        "valid_at",
+        "set_ops",
+        "json_deref_sum",
+        "scalar_functions",
+        "dense_rank_orders",
+    }
+    missing = required - set(first50)
+    assert not missing, f"not in driver window: {missing}"

@@ -36,8 +36,15 @@ def test_batch_sessionize(ev):
     assert rows[(1, 2)]["n_events"] == 1
     assert rows[(2, 1)]["n_events"] == 1
     assert rows[(2, 2)]["n_events"] == 2
-    assert rows[(2, 2)]["session_start"] == "2024-01-02 09:00:00"
-    assert rows[(2, 2)]["session_end"] == "2024-01-02 09:30:00"
+    # epoch-second bounds (tz-independent output; session tz is UTC
+    # in the test session, so wall time == UTC instant)
+    import calendar
+
+    def epoch(s):
+        return calendar.timegm(datetime.fromisoformat(s).timetuple())
+
+    assert rows[(2, 2)]["session_start_s"] == epoch("2024-01-02 09:00:00")
+    assert rows[(2, 2)]["session_end_s"] == epoch("2024-01-02 09:30:00")
 
 
 def test_stream_sessionize_closes_sessions(spark, ev, tmp_path):

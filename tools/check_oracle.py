@@ -51,15 +51,32 @@ def value_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from sirix_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if plain:
+        # Driver-replica mode: a DEFAULT SparkSession (no UTC pin, no
+        # sirix conf) — queries must be environment-independent on it
+        # (run this under TZ=America/New_York to prove it).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from sirix_spark import get_spark
+
+        spark = get_spark("oracle-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -89,6 +106,15 @@ def main():
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # Arrow fetch path: the driver fetches via Arrow, where
+            # DuckDB HUGEINT/DECIMAL surface as Decimal (canon '4.0'
+            # vs int '4') — hash this path too so type instability in
+            # an oracle fails HERE, not on the driver (round-1 lesson).
+            atbl = con.execute(oracles[name]).arrow()
+            arows = [
+                tuple(col[i].as_py() for col in atbl.columns)
+                for i in range(atbl.num_rows)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -102,6 +128,10 @@ def main():
             sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
             if sh != dh:
                 problems.append(f"value-hash {sh} vs {dh}")
+            ah = value_hash(dcols, arows)
+            if sh != ah:
+                problems.append(f"arrow-fetch value-hash {sh} vs {ah}")
+                drows = arows  # make the diff sample show the arrow view
         dt = time.time() - t0
         if problems:
             n_fail += 1
