@@ -85,17 +85,14 @@ def item_history(history: DataFrame) -> DataFrame:
 
 def is_deleted(history: DataFrame, record_key, revision: int) -> bool:
     """Tombstone check (sdb:is-deleted): existed earlier, absent at
-    `revision`."""
-    existed = (
-        history.filter(
-            (F.col(RECORD_KEY) == record_key) & (F.col("revision") < revision)
-        ).limit(1).count()
-        > 0
+    `revision`. One aggregate over the key's history — a single
+    driver action, not two counts."""
+    row = (
+        history.filter(F.col(RECORD_KEY) == record_key)
+        .agg(
+            F.max(F.col("revision") < revision).alias("existed"),
+            F.max(F.col("revision") == revision).alias("present"),
+        )
+        .first()
     )
-    present = (
-        history.filter(
-            (F.col(RECORD_KEY) == record_key) & (F.col("revision") == revision)
-        ).limit(1).count()
-        > 0
-    )
-    return existed and not present
+    return bool(row["existed"]) and not bool(row["present"])

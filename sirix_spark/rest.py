@@ -40,12 +40,32 @@ rule, docs/ARCHITECTURE.md concurrency model).
 from __future__ import annotations
 
 import json
+import re
 import threading
-from datetime import datetime
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from sirix_spark.api import Sirix
+
+# URL path segments name databases/resources, which are DIRECTORIES
+# under store.root — an unvalidated '..' segment would let any HTTP
+# client list or rmtree arbitrary paths (DELETE /.. would drop the
+# parent of the store root). Whitelist, don't blacklist: a segment is
+# a plain name — no separators, no leading dot.
+_SAFE_SEG = re.compile(r"^[A-Za-z0-9_-][A-Za-z0-9_.-]*$")
+
+# ?query= creates a temp view named after the resource on the SHARED
+# SparkSession; two concurrent requests for different revisions of the
+# same resource would race and one could query the other's snapshot.
+# Serialize view-create → SQL → materialize per view name.
+_VIEW_LOCKS: dict[str, threading.Lock] = {}
+_VIEW_LOCKS_GUARD = threading.Lock()
+
+
+def _view_lock(name: str) -> threading.Lock:
+    with _VIEW_LOCKS_GUARD:
+        return _VIEW_LOCKS.setdefault(name, threading.Lock())
 
 
 def _rows_json(df, limit: int | None) -> str:
@@ -59,7 +79,12 @@ def _parse_ts(s: str) -> datetime:
     if len(s) > 6 and s[-6] == " ":
         # '+' in an unencoded tz offset arrives as space after URL decode
         s = s[:-6] + "+" + s[-5:]
-    return datetime.fromisoformat(s).replace(tzinfo=None)
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is not None:
+        # Convert to UTC wall time (manifest timestamps are naive UTC);
+        # merely dropping tzinfo would shift lookups by the offset.
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -80,6 +105,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self):
         u = urlparse(self.path)
         parts = [p for p in u.path.split("/") if p]
+        bad = [p for p in parts if not _SAFE_SEG.match(p)]
+        if bad:
+            raise ValueError(f"invalid path segment {bad[0]!r}")
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
         return parts, q
 
@@ -130,9 +158,14 @@ class _Handler(BaseHTTPRequestHandler):
             if "query" in q:
                 rev = int(q["revision"]) if "revision" in q else None
                 df = store.doc(db, res, revision=rev)
-                df.createOrReplaceTempView(res)
-                out = self.sirix.spark.sql(q["query"])
-                return self._send(200, _rows_json(out, limit))
+                # Hold the per-view lock through materialization: the
+                # query's DF is lazy, so the view must not be replaced
+                # until the rows are collected.
+                with _view_lock(res):
+                    df.createOrReplaceTempView(res)
+                    out = self.sirix.spark.sql(q["query"])
+                    payload = _rows_json(out, limit)
+                return self._send(200, payload)
             if "start-revision" in q:
                 a, b = int(q["start-revision"]), int(q["end-revision"])
                 revs = [

@@ -158,8 +158,12 @@ class VersionedStore:
         if full_state:
             # `upserts` IS the complete new state (schema-changing
             # commits like rename): write it as a checkpoint directly.
-            upserts.write.mode("errorifexists").parquet(os.path.join(path, "data"))
-            n_up = upserts.count()
+            data_path = os.path.join(path, "data")
+            upserts.write.mode("errorifexists").parquet(data_path)
+            # count the WRITTEN files, not the plan: parquet count is
+            # footer-metadata-only, so this avoids re-running the
+            # upstream computation a second time.
+            n_up = self.spark.read.parquet(data_path).count()
             kind = "checkpoint"
         elif checkpoint:
             # Materialize full state = prev state + this delta.
@@ -177,6 +181,9 @@ class VersionedStore:
                 state = state.join(
                     upserts.select(RECORD_KEY), RECORD_KEY, "left_anti"
                 ).unionByName(upserts, allowMissingColumns=True)
+                # the written file is the MERGED state, so the delta
+                # counts can't be read back from it — the extra count
+                # job on checkpoint commits (every Nth) is accepted
                 n_up = upserts.count()
             if delete_keys is not None:
                 n_del = delete_keys.count()
@@ -184,13 +191,17 @@ class VersionedStore:
             kind = "checkpoint"
         else:
             if upserts is not None:
-                upserts.write.mode("errorifexists").parquet(os.path.join(path, "upserts"))
-                n_up = upserts.count()
+                up_path = os.path.join(path, "upserts")
+                upserts.write.mode("errorifexists").parquet(up_path)
+                # footer-metadata count of the written delta — no
+                # second evaluation of the upsert plan
+                n_up = self.spark.read.parquet(up_path).count()
             if delete_keys is not None:
+                del_path = os.path.join(path, "deletes")
                 delete_keys.select(RECORD_KEY).write.mode("errorifexists").parquet(
-                    os.path.join(path, "deletes")
+                    del_path
                 )
-                n_del = delete_keys.count()
+                n_del = self.spark.read.parquet(del_path).count()
             kind = "delta"
         manifest.append(
             RevisionEntry(

@@ -8,6 +8,7 @@ import json
 import urllib.error
 import urllib.parse
 import urllib.request
+from datetime import datetime
 
 import pytest
 
@@ -99,3 +100,48 @@ def test_errors(server):
     assert _req(server, "/nope")[0] == 404
     code, _ = _req(server, "/db2/res2?key=id", "PUT", json.dumps([{"id": 1}]))
     assert code == 404
+
+
+def test_path_traversal_rejected(server):
+    """ADVICE round-1 (high): '..'/dotted segments must never reach
+    the filesystem — DELETE /.. would rmtree the store root's parent."""
+    for path in ("/..", "/../..", "/db1/..", "/.hidden", "/db1/..%2Fres"):
+        for method in ("GET", "DELETE"):
+            code, out = _req(server, path, method)
+            assert code == 400, (path, method, code)
+            assert "invalid path segment" in out["error"]
+    # still works for legal names after the guard
+    code, _ = _req(server, "/no_such_db")
+    assert code == 404
+
+
+def test_parse_ts_normalizes_offsets():
+    """ADVICE round-1 (low): a '+05:00' timestamp must convert to UTC
+    wall time, not have its offset silently dropped."""
+    from sirix_spark.rest import _parse_ts
+
+    assert _parse_ts("2024-01-01T10:00:00+05:00") == datetime(2024, 1, 1, 5, 0, 0)
+    assert _parse_ts("2024-01-01T10:00:00Z") == datetime(2024, 1, 1, 10, 0, 0)
+    assert _parse_ts("2024-01-01T10:00:00") == datetime(2024, 1, 1, 10, 0, 0)
+    # unencoded '+05:00' whose '+' arrived as a space
+    assert _parse_ts("2024-01-01T10:00:00 05:00") == datetime(2024, 1, 1, 5, 0, 0)
+
+
+def test_concurrent_query_revisions_no_view_race(server):
+    """ADVICE round-1 (medium): concurrent ?query= for different
+    revisions of one resource must each see their own snapshot."""
+    import concurrent.futures
+
+    recs = [{"id": 1, "v": 1}]
+    _req(server, "/racedb/r?key=id", "POST", json.dumps(recs))
+    _req(server, "/racedb/r?key=id", "PUT", json.dumps([{"id": 1, "v": 2}]))
+
+    def fetch(rev):
+        q = urllib.parse.quote(f"SELECT v FROM r")
+        code, out = _req(server, f"/racedb/r?revision={rev}&query={q}")
+        assert code == 200
+        return rev, out[0]["v"]
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(fetch, [1, 2] * 8))
+    assert all(v == rev for rev, v in results), results

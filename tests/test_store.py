@@ -175,11 +175,22 @@ def test_diff_ops(store, scripted):
     ops = {r[RECORD_KEY]: r["op"] for r in store.diff(db, res, 1, 5).collect()}
     assert ops == {1: "delete", 2: "update", 3: "update", 4: "insert"}
 
+    # default = node mode (JsonDiffSerializer granularity): whole-doc
+    # ops at path '', changed leaves as per-field ops at their path
     payload = json.loads(store.diff_json(db, res, 1, 5))
     assert payload["old-revision"] == 1 and payload["new-revision"] == 5
+    by = {(d["recordKey"], d["path"]): d for d in payload["diffs"]}
+    ins = by[(4, "")]
+    assert ins["type"] == "insert" and json.loads(ins["new"])["customer"] == "dave"
+    dele = by[(1, "")]
+    assert dele["type"] == "delete" and "new" not in dele
+    upd = by[(2, "/status")]
+    assert upd["type"] == "update" and (upd["old"], upd["new"]) == ("new", "shipped")
+
+    # legacy record mode keeps whole-record payloads
+    payload = json.loads(store.diff_json(db, res, 1, 5, mode="record"))
     by_key = {d["recordKey"]: d for d in payload["diffs"]}
-    assert by_key[4]["type"] == "insert" and by_key[4]["new"]["customer"] == "dave"
-    assert by_key[1]["type"] == "delete" and "new" not in by_key[1]
+    assert by_key[4]["new"]["customer"] == "dave"
     assert by_key[2]["old"]["status"] == "new" and by_key[2]["new"]["status"] == "shipped"
 
     # identity diff is empty
