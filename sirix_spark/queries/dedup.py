@@ -159,10 +159,52 @@ MINHASH_SIGNATURES_SQL = _SIG_SQL_BODY
 
 
 # --- LSH candidate pairs --------------------------------------------
+# Degenerate-bucket cap: an LSH bucket with B members emits B² pairs,
+# and real corpora HAVE degenerate buckets (near-empty docs, an
+# all-positive embedding region). Buckets above the cap are DROPPED —
+# that is the documented semantics, identical in the oracle: a bucket
+# that big is a non-discriminative key carrying no near-dup signal,
+# exactly the DF_MAX rationale in jaccard_near_dup. This bounds
+# per-bucket fan-out at LSH_BUCKET_MAX² regardless of corpus size.
+LSH_BUCKET_MAX = 100
+
+
+def _bucket_pairs(banded: "DataFrame", id_col: str, a_name: str, b_name: str):
+    """(id, band_key) rows → distinct capped same-bucket id pairs.
+
+    Single-pass grouped emission (the jaccard_near_dup pattern): group
+    by band_key, cap the bucket, emit its pairs in-line — one shuffle
+    by band_key plus the distinct, instead of a banded self-join whose
+    worst bucket is unbounded. Pair order is canonical (a < b)."""
+    grouped = (
+        banded.groupBy("band_key")
+        .agg(F.collect_list(id_col).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= LSH_BUCKET_MAX))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(
+                    F.col("ds"),
+                    lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+                ),
+            )
+        ),
+        lambda p: p.getField(a_name) < p.getField(b_name),
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col(f"p.{a_name}").alias(a_name), F.col(f"p.{b_name}").alias(b_name))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(spark, sf_dir):
     """Near-dup candidate pairs: docs colliding in ≥1 of N_BANDS
-    bands (each band = ROWS_PER_BAND minhashes). Shuffle is by band
-    key — only same-bucket docs ever meet."""
+    bands (each band = ROWS_PER_BAND minhashes), buckets larger than
+    LSH_BUCKET_MAX dropped. Shuffle is by band key — only same-bucket
+    docs ever meet, and the cap bounds each bucket's pair fan-out."""
     sig = minhash_signatures(spark, sf_dir)
     bands = F.array(
         *[
@@ -175,13 +217,7 @@ def minhash_lsh_pairs(spark, sf_dir):
         ]
     )
     banded = sig.select("doc_id", F.explode(bands).alias("band_key"))
-    a = banded.alias("a")
-    bdf = banded.alias("b")
-    return (
-        a.join(bdf, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, "doc_id", "doc_a", "doc_b")
 
 
 def _band_key_sql(prefix: str) -> list[str]:
@@ -193,16 +229,35 @@ def _band_key_sql(prefix: str) -> list[str]:
     ]
 
 
+def _capped_sql(id_col: str) -> str:
+    """SQL mirror of _bucket_pairs' cap: keep only rows whose bucket
+    has ≤ LSH_BUCKET_MAX members (and ≥ 2, vacuous for pair output)."""
+    return f"""
+  SELECT {id_col}, band_key FROM (
+    SELECT {id_col}, band_key, count(*) OVER (PARTITION BY band_key) AS bsz
+    FROM banded
+  ) WHERE bsz <= {LSH_BUCKET_MAX}
+"""
+
+
+_MINHASH_CAND_SQL = f"""
+banded AS (
+  SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
+),
+capped AS ({_capped_sql("doc_id")}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
 MINHASH_LSH_PAIRS_SQL = f"""
 WITH sig AS (
 {_SIG_SQL_BODY}
 ),
-banded AS (
-  SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+{_MINHASH_CAND_SQL}
+SELECT doc_a, doc_b FROM cands
 """
 
 
@@ -359,8 +414,11 @@ def embedding_near_dup(spark, sf_dir):
     reported iff it collides in ≥1 band AND floor(cos*1e4) ≥
     EMB_COS_MIN_E4 — identical in the oracle.
 
-    Scale design: band keys are map-only; the self-join shuffles by
-    band key so only same-bucket vectors meet (never O(n²)); the
+    Scale design: band keys are map-only; candidates come from the
+    capped single-pass bucket emission (_bucket_pairs) so only
+    same-bucket vectors meet and a degenerate bucket — e.g. an
+    all-positive embedding region — is dropped at LSH_BUCKET_MAX
+    instead of emitting B² pairs (never O(n²)); the
     verify join is two hash joins on vec_id. Cosine determinism per
     queries/similarity.py (sequential fold == list_cosine_similarity,
     floor-scaled ticks).
@@ -388,17 +446,7 @@ def embedding_near_dup(spark, sf_dir):
             "band_key"
         ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cands = _bucket_pairs(banded, "vec_id", "vec_a", "vec_b")
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (
@@ -429,9 +477,10 @@ WITH banded AS (
            AS band_key
   FROM embeddings
 ),
+capped AS ({_capped_sql("vec_id")}),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.vec_id < b.vec_id
 ),
 scored AS (
@@ -478,14 +527,7 @@ FUZZY_VERIFY_SQL = f"""
 WITH sig AS (
 {_SIG_SQL_BODY}
 ),
-banded AS (
-  SELECT doc_id, unnest([{", ".join(_band_key_sql(""))}]) AS band_key FROM sig
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+{_MINHASH_CAND_SQL},
 prefixes AS (
   SELECT doc_id, substring({_NORM_SQL}, 1, {LEV_PREFIX}) AS prefix FROM documents
 )
