@@ -233,6 +233,15 @@ class _BoundIndexes:
     def create_cas(self, name: str, column: str, **kw):
         return self._idx.create_cas_index(self._db, self._res, name, column, **kw)
 
+    def create_vector(self, name: str, column: str = "embedding", **kw):
+        return self._idx.create_vector_index(self._db, self._res, name, column, **kw)
+
+    def find_vector(self, column: str = "embedding", revision: int | None = None):
+        return self._idx.find_vector_index(self._db, self._res, column, revision)
+
+    def vector_search(self, queries, k: int = 10, **kw):
+        return self._idx.vector_search(self._db, self._res, queries, k=k, **kw)
+
     def find(self, columns: list[str], revision: int | None = None):
         return self._idx.find_index(self._db, self._res, columns, revision)
 

@@ -165,12 +165,68 @@ def ancestors_of(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
 
 
 def following_siblings(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    """FollowingSiblingAxis.java analog. Scoped to `doc`: node_key /
+    parent_key are per-document indexes, so the doc filter is part of
+    the key, not an optimization. Attribute nodes are not siblings
+    (XPath sibling axes exclude them)."""
     t = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key)).select(
         F.col("parent_key").alias("_pk"), F.col("pos").alias("_pos")
     )
     return nodes.join(F.broadcast(t)).filter(
-        (F.col("parent_key") == F.col("_pk")) & (F.col("pos") > F.col("_pos"))
+        (F.col("doc") == doc)
+        & (F.col("parent_key") == F.col("_pk"))
+        & (F.col("pos") > F.col("_pos"))
+        & (F.col("kind") != ATTRIBUTE)
     ).drop("_pk", "_pos")
+
+
+def preceding_siblings(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    """PrecedingSiblingAxis.java analog: same parent, earlier sibling
+    position, attributes excluded. (The reference iterates in reverse
+    document order; order rows by node_key desc for that reading.)"""
+    t = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key)).select(
+        F.col("parent_key").alias("_pk"), F.col("pos").alias("_pos")
+    )
+    return nodes.join(F.broadcast(t)).filter(
+        (F.col("doc") == doc)
+        & (F.col("parent_key") == F.col("_pk"))
+        & (F.col("pos") < F.col("_pos"))
+        & (F.col("kind") != ATTRIBUTE)
+    ).drop("_pk", "_pos")
+
+
+def following(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    """FollowingAxis.java analog: everything strictly after the
+    node's subtree in document order — ONE interval predicate from
+    the stored (node_key, descendant_count), pushable to the scan.
+    Attributes ride inside their element's subtree but are excluded
+    from the axis itself (XPath: following contains no attribute
+    nodes)."""
+    t = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key)).select(
+        (F.col("node_key") + F.col("descendant_count")).alias("_end")
+    )
+    return nodes.join(F.broadcast(t)).filter(
+        (F.col("doc") == doc)
+        & (F.col("node_key") > F.col("_end"))
+        & (F.col("kind") != ATTRIBUTE)
+    ).drop("_end")
+
+
+def preceding(nodes: DataFrame, doc: str, node_key: int) -> DataFrame:
+    """PrecedingAxis.java analog: nodes strictly before in document
+    order, minus ancestors (per XPath; the stored ancestors array
+    gives the exclusion set without walking parent pointers) and
+    attributes. Interval predicate + one array_contains — no
+    traversal."""
+    t = nodes.filter((F.col("doc") == doc) & (F.col("node_key") == node_key)).select(
+        F.col("ancestors").alias("_anc")
+    )
+    return nodes.join(F.broadcast(t)).filter(
+        (F.col("doc") == doc)
+        & (F.col("node_key") < node_key)
+        & ~F.array_contains(F.col("_anc"), F.col("node_key"))
+        & (F.col("kind") != ATTRIBUTE)
+    ).drop("_anc")
 
 
 def level_order(nodes: DataFrame) -> DataFrame:

@@ -65,7 +65,9 @@ class IndexCatalog:
         cands = [
             i
             for i in self.indexes
-            if i["revision"] == revision and set(columns) <= set(i["columns"])
+            if i.get("type") != "vector"  # vector indexes route via vector_search
+            and i["revision"] == revision
+            and set(columns) <= set(i["columns"])
         ]
         if not cands:
             return None
@@ -139,6 +141,195 @@ class ProjectionIndexes:
     def find_index(self, db: str, res: str, columns: list[str], revision: int | None = None):
         revision = revision or self.store.latest_revision(db, res)
         return self._catalog(db, res).find_covering(columns, revision)
+
+    # ----- vector indexes (VectorIndex.java:37-93 lifecycle) ---------
+    def create_vector_index(
+        self,
+        db: str,
+        res: str,
+        name: str,
+        column: str = "embedding",
+        method: str = "ivf",
+        n_cells: int = 16,
+        n_iter: int = 3,
+        n_tables: int = 4,
+        n_planes: int = 8,
+        revision: int | None = None,
+    ) -> dict:
+        """jn:create-vector-index — persist an ANN structure for an
+        embedding column at a revision (reference lifecycle:
+        VectorIndex.java:37-93 / VectorIndexBuilder.java; the HNSW
+        graph itself doesn't distribute, so the Spark-native
+        structures from operators/ann.py are materialized instead):
+
+        - method='ivf': train coarse centroids, assign every vector
+          to its nearest cell, write the corpus parquet PARTITIONED
+          BY cell — a probe reads only `nprobe` cell directories
+          (static partition pruning), the ncells/nprobe candidate
+          reduction that survives a 1000-executor scale-up. Centroids
+          (small: n_cells × dim floats) live in the catalog entry.
+        - method='lsh': persist bit-packed sign signatures per hash
+          table next to the vectors; planes are deterministic from
+          (table, plane, dim) so only the shape goes in the catalog.
+        """
+        from sirix_spark.operators.ann import (
+            ivf_assign,
+            lsh_signature,
+            train_centroids,
+        )
+        from sirix_spark.store.store import RECORD_KEY
+
+        revision = revision or self.store.latest_revision(db, res)
+        df = self.store.doc(db, res, revision=revision)
+        first = df.select(column).first()
+        if first is None or first[0] is None:
+            raise ValueError(f"no vectors in column {column!r}")
+        dim = len(first[0])
+        base = df.select(RECORD_KEY, column)
+        path = os.path.join(
+            self.store._res_path(db, res), f"vidx_{name}_r{revision:06d}"
+        )
+        if method == "ivf":
+            centroids = train_centroids(base, n_cells, emb_col=column, n_iter=n_iter)
+            assigned = ivf_assign(base, centroids, column)
+            assigned.write.partitionBy("cell").mode("errorifexists").parquet(path)
+            params = {"centroids": centroids, "dim": dim, "n_cells": n_cells}
+        elif method == "lsh":
+            sig = lsh_signature(base, dim, n_tables, n_planes, column)
+            sig.write.mode("errorifexists").parquet(path)
+            params = {"dim": dim, "n_tables": n_tables, "n_planes": n_planes}
+        else:
+            raise ValueError(f"unknown vector index method {method!r}")
+        entry = {
+            "name": name,
+            "type": "vector",
+            "method": method,
+            "columns": [RECORD_KEY, column],
+            "column": column,
+            "revision": revision,
+            "path": path,
+            "params": params,
+        }
+        self._catalog(db, res).add(entry)
+        return entry
+
+    def find_vector_index(
+        self, db: str, res: str, column: str, revision: int | None = None
+    ) -> dict | None:
+        revision = revision or self.store.latest_revision(db, res)
+        for i in self._catalog(db, res).indexes:
+            if (
+                i.get("type") == "vector"
+                and i.get("column") == column
+                and i["revision"] == revision
+            ):
+                return i
+        return None
+
+    def vector_search(
+        self,
+        db: str,
+        res: str,
+        queries: DataFrame,
+        k: int = 10,
+        column: str = "embedding",
+        revision: int | None = None,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """kNN with auto-routing: serve from a built vector index when
+        one covers (column, revision), else exact brute force over the
+        snapshot (fail-closed fallback, same contract as scan()).
+        `queries` is (query_id, qv); result (query_id, record_key,
+        cos, rank) with exact cosine rank over the candidate set.
+
+        IVF probe: the nprobe nearest cells per query are collected on
+        the driver (the query set is small by definition — it's the
+        probe side, not the corpus) and pushed as an isin() filter so
+        the partitioned index scan prunes to the probed cell
+        directories."""
+        from sirix_spark.functions.similarity import cosine
+        from sirix_spark.operators.ann import ivf_probe_cells, lsh_signature
+        from sirix_spark.store.store import RECORD_KEY
+        from pyspark.sql import Window
+
+        revision = revision or self.store.latest_revision(db, res)
+        idx = self.find_vector_index(db, res, column, revision)
+        spark = self.store.spark
+
+        if idx is not None and idx["method"] == "ivf":
+            probed = ivf_probe_cells(queries, idx["params"]["centroids"], nprobe)
+            cells = sorted(
+                {c for r in probed.select("probe_cells").collect() for c in r[0]}
+            )
+            corpus = spark.read.parquet(idx["path"]).filter(F.col("cell").isin(cells))
+            cand = corpus.join(
+                F.broadcast(
+                    probed.select(
+                        "query_id", "qv", F.explode("probe_cells").alias("cell")
+                    )
+                ),
+                "cell",
+            )
+        elif idx is not None and idx["method"] == "lsh":
+            p = idx["params"]
+            qsig = lsh_signature(
+                queries.withColumnRenamed("qv", column),
+                p["dim"],
+                p["n_tables"],
+                p["n_planes"],
+                column,
+            ).withColumnRenamed(column, "qv")
+            tables = list(range(p["n_tables"]))
+            corpus = spark.read.parquet(idx["path"])
+            c_b = corpus.select(
+                RECORD_KEY,
+                column,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(t).alias("t"), F.col(f"sig_{t}").alias("s"))
+                            for t in tables
+                        ]
+                    )
+                ).alias("b"),
+            ).select(RECORD_KEY, column, "b.t", "b.s")
+            q_b = qsig.select(
+                "query_id",
+                "qv",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(t).alias("t"), F.col(f"sig_{t}").alias("s"))
+                            for t in tables
+                        ]
+                    )
+                ).alias("b"),
+            ).select("query_id", "qv", "b.t", "b.s")
+            cand = (
+                c_b.join(F.broadcast(q_b), ["t", "s"])
+                .select("query_id", "qv", RECORD_KEY, column)
+                .distinct()
+            )
+        else:
+            # fail-closed: exact scan of the snapshot
+            corpus = self.store.doc(db, res, revision=revision).select(
+                RECORD_KEY, column
+            )
+            cand = corpus.crossJoin(F.broadcast(queries))
+
+        scored = cand.select(
+            "query_id",
+            F.col(RECORD_KEY),
+            F.round(cosine(F.col(column), F.col("qv")), 4).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col(RECORD_KEY).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", RECORD_KEY, "cos", "rank")
+        )
 
     def scan(
         self,

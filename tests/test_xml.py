@@ -111,3 +111,74 @@ def test_multi_document_distributed(spark):
     assert len({r["count"] for r in per_doc}) == 1  # identical shapes
     # b-element count across all docs: 3 per doc
     assert nodes.filter((F.col("kind") == ELEMENT) & (F.col("name") == "b")).count() == 24
+
+
+def test_axis_family_vs_pointer_model(spark):
+    """preceding / preceding-sibling / following / following-sibling
+    vs an independent pointer-chasing model: the axes use the stored
+    (node_key, descendant_count) intervals + ancestors arrays, the
+    model derives ancestry by walking parent_key chains over the
+    collected rows. Two documents in the table pin per-document
+    scoping (node_key is a per-doc index — cross-doc leakage would
+    double every axis)."""
+    from sirix_spark.sources.xml_source import (
+        following,
+        following_siblings,
+        preceding,
+        preceding_siblings,
+    )
+
+    df = spark.createDataFrame(
+        [("dA", SAMPLE), ("dB", SAMPLE)], "doc string, xml string"
+    )
+    nodes = shred_xml(df).cache()
+    rows = {(r["doc"], r["node_key"]): r for r in nodes.collect()}
+
+    def anc_chain(doc, k):
+        out, cur = set(), rows[(doc, k)]["parent_key"]
+        while cur is not None:
+            out.add(cur)
+            cur = rows[(doc, cur)]["parent_key"]
+        return out
+
+    doc = "dA"
+    doc_keys = sorted(k for d, k in rows if d == doc)
+    for k in doc_keys:
+        me = rows[(doc, k)]
+        ancs = anc_chain(doc, k)
+        model = {
+            "preceding": {
+                j for j in doc_keys
+                if j < k and j not in ancs
+                and rows[(doc, j)]["kind"] != ATTRIBUTE
+            },
+            "following": {
+                j for j in doc_keys
+                if j > k and k not in anc_chain(doc, j)
+                and rows[(doc, j)]["kind"] != ATTRIBUTE
+            },
+            "preceding_sibling": {
+                j for j in doc_keys
+                if rows[(doc, j)]["parent_key"] == me["parent_key"]
+                and rows[(doc, j)]["pos"] < me["pos"]
+                and rows[(doc, j)]["kind"] != ATTRIBUTE
+            } if me["parent_key"] is not None else set(),
+            "following_sibling": {
+                j for j in doc_keys
+                if rows[(doc, j)]["parent_key"] == me["parent_key"]
+                and rows[(doc, j)]["pos"] > me["pos"]
+                and rows[(doc, j)]["kind"] != ATTRIBUTE
+            } if me["parent_key"] is not None else set(),
+        }
+        got = {
+            "preceding": {r["node_key"] for r in preceding(nodes, doc, k).collect()},
+            "following": {r["node_key"] for r in following(nodes, doc, k).collect()},
+            "preceding_sibling": {
+                r["node_key"] for r in preceding_siblings(nodes, doc, k).collect()
+            },
+            "following_sibling": {
+                r["node_key"] for r in following_siblings(nodes, doc, k).collect()
+            },
+        }
+        for axis in model:
+            assert got[axis] == model[axis], (axis, k)
