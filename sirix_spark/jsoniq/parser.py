@@ -1,0 +1,530 @@
+"""JSONiq-subset tokenizer + recursive-descent parser.
+
+AST is a tree of small dataclasses; the compiler
+(sirix_spark/jsoniq/compiler.py) lowers it to DataFrame operations.
+Shapes mirror the reference corpus
+(JsonIntegrationTest.java / JsonSessionDBStore-compiled FLWOR).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class JsoniqSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tokens
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\(:.*?:\))
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<var>\$\$|\$[A-Za-z_][\w-]*)
+  | (?P<qname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
+  | (?P<name>[A-Za-z_][\w-]*)
+  | (?P<op>:=|\[\?|=>>|!=|<=|>=|\[\]|[.,:;(){}\[\]=<>+*/-])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+KEYWORDS = {
+    "for", "let", "where", "group", "by", "order", "return", "in", "at",
+    "ascending", "descending", "if", "then", "else", "and", "or", "not",
+    "eq", "ne", "lt", "le", "gt", "ge", "div", "idiv", "mod", "to",
+    "insert", "delete", "replace", "rename", "append", "json", "value",
+    "of", "with", "into", "as", "position", "some", "every", "satisfies",
+    "instance", "true", "false", "null",
+}
+
+
+@dataclass
+class Token:
+    kind: str  # string | number | var | qname | name | op | kw | eof
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Token]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise JsoniqSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group()
+        if kind == "name" and text in KEYWORDS:
+            kind = "kw"
+        out.append(Token(kind, text, m.start()))
+    out.append(Token("eof", "", len(src)))
+    return out
+
+
+# ------------------------------------------------------------------ AST
+@dataclass
+class Lit:
+    value: object  # str | float | int | bool | None
+
+
+@dataclass
+class Var:
+    name: str  # without the $; "$$" stays "$$"
+
+
+@dataclass
+class Path:
+    base: object
+    steps: list = field(default_factory=list)
+    # step forms: ("field", name) ("unbox",) ("index", Expr)
+    #             ("slice", Expr|None, Expr|None) ("pred", Expr)
+    #             ("descend", name)   # =>> recursive field lookup
+
+
+@dataclass
+class Call:
+    name: str  # qname or plain
+    args: list = field(default_factory=list)
+
+
+@dataclass
+class Unary:
+    op: str
+    operand: object
+
+
+@dataclass
+class Binop:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class IfExpr:
+    cond: object
+    then: object
+    orelse: object
+
+
+@dataclass
+class ObjectCtor:
+    # entries: ("pair", key_expr, value_expr) | ("merge", expr)
+    entries: list = field(default_factory=list)
+
+
+@dataclass
+class ArrayCtor:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class SeqCtor:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class ForClause:
+    var: str
+    pos_var: str | None
+    source: object
+
+
+@dataclass
+class LetClause:
+    var: str
+    value: object
+
+
+@dataclass
+class GroupKey:
+    var: str
+    value: object | None  # None = group by existing binding
+
+
+@dataclass
+class OrderKey:
+    value: object
+    descending: bool = False
+
+
+@dataclass
+class Flwor:
+    clauses: list = field(default_factory=list)  # For/Let interleaved
+    where: object | None = None
+    group_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)
+    ret: object = None
+
+
+@dataclass
+class Quantified:
+    kind: str  # some | every
+    var: str
+    source: object
+    predicate: object
+
+
+@dataclass
+class UpdateExpr:
+    kind: str  # insert | delete | replace | rename | append
+    target: object
+    value: object | None = None  # insert/replace/append payload, rename name
+    position: object | None = None  # insert ... at position N
+
+
+# --------------------------------------------------------------- parser
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def at(self, kind: str, text: str | None = None) -> bool:
+        t = self.cur
+        return t.kind == kind and (text is None or t.text == text)
+
+    def eat(self, kind: str, text: str | None = None) -> Token:
+        if not self.at(kind, text):
+            raise JsoniqSyntaxError(
+                f"expected {text or kind} at {self.cur.pos}, got {self.cur.text!r}"
+            )
+        t = self.cur
+        self.i += 1
+        return t
+
+    def opt(self, kind: str, text: str | None = None) -> bool:
+        if self.at(kind, text):
+            self.i += 1
+            return True
+        return False
+
+    # -- entry
+    def parse(self):
+        expr = self.expr()
+        self.eat("eof")
+        return expr
+
+    def expr(self):
+        if self.at("kw", "for") or self.at("kw", "let"):
+            return self.flwor()
+        if self.at("kw", "if"):
+            return self.if_expr()
+        if self.cur.kind == "kw" and self.cur.text in (
+            "insert", "delete", "replace", "rename", "append",
+        ):
+            return self.update_expr()
+        if self.at("kw", "some") or self.at("kw", "every"):
+            return self.quantified()
+        return self.or_expr()
+
+    # -- FLWOR
+    def flwor(self) -> Flwor:
+        f = Flwor()
+        while True:
+            if self.opt("kw", "for"):
+                var = self.eat("var").text[1:]
+                pos_var = None
+                if self.opt("kw", "at"):
+                    pos_var = self.eat("var").text[1:]
+                self.eat("kw", "in")
+                f.clauses.append(ForClause(var, pos_var, self.expr_single()))
+            elif self.opt("kw", "let"):
+                var = self.eat("var").text[1:]
+                self.eat("op", ":=")
+                f.clauses.append(LetClause(var, self.expr_single()))
+            else:
+                break
+        if self.opt("kw", "where"):
+            f.where = self.or_expr()
+        if self.at("kw", "group"):
+            self.eat("kw", "group")
+            self.eat("kw", "by")
+            while True:
+                v = self.eat("var").text[1:]
+                val = None
+                if self.opt("op", ":="):
+                    val = self.or_expr()
+                f.group_by.append(GroupKey(v, val))
+                if not self.opt("op", ","):
+                    break
+        if self.at("kw", "order"):
+            self.eat("kw", "order")
+            self.eat("kw", "by")
+            while True:
+                k = OrderKey(self.or_expr())
+                if self.opt("kw", "descending"):
+                    k.descending = True
+                else:
+                    self.opt("kw", "ascending")
+                f.order_by.append(k)
+                if not self.opt("op", ","):
+                    break
+        self.eat("kw", "return")
+        f.ret = self.expr()
+        return f
+
+    def quantified(self) -> Quantified:
+        kind = self.eat("kw").text
+        var = self.eat("var").text[1:]
+        self.eat("kw", "in")
+        source = self.expr_single()
+        self.eat("kw", "satisfies")
+        return Quantified(kind, var, source, self.or_expr())
+
+    # -- updates (JSONiq update syntax, JsonNodeTrx parity)
+    def update_expr(self) -> UpdateExpr:
+        kw = self.eat("kw").text
+        if kw in ("insert", "append"):
+            self.eat("kw", "json")
+            value = self.expr_single()
+            self.eat("kw", "into")
+            target = self.expr_single()
+            position = None
+            if self.opt("kw", "at"):
+                self.eat("kw", "position")
+                position = self.expr_single()
+            return UpdateExpr(kw, target, value, position)
+        if kw == "delete":
+            self.eat("kw", "json")
+            return UpdateExpr("delete", self.expr_single())
+        if kw == "replace":
+            self.eat("kw", "json")
+            self.eat("kw", "value")
+            self.eat("kw", "of")
+            target = self.expr_single()
+            self.eat("kw", "with")
+            return UpdateExpr("replace", target, self.expr_single())
+        if kw == "rename":
+            self.eat("kw", "json")
+            target = self.expr_single()
+            self.eat("kw", "as")
+            return UpdateExpr("rename", target, self.expr_single())
+        raise JsoniqSyntaxError(f"unsupported update {kw!r}")
+
+    # -- expression ladder
+    def expr_single(self):
+        if self.at("kw", "if"):
+            return self.if_expr()
+        return self.or_expr()
+
+    def if_expr(self) -> IfExpr:
+        self.eat("kw", "if")
+        self.eat("op", "(")
+        cond = self.or_expr()
+        self.eat("op", ")")
+        self.eat("kw", "then")
+        then = self.expr_single()
+        self.eat("kw", "else")
+        return IfExpr(cond, then, self.expr_single())
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.opt("kw", "or"):
+            left = Binop("or", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.cmp_expr()
+        while self.opt("kw", "and"):
+            left = Binop("and", left, self.cmp_expr())
+        return left
+
+    _CMP_KW = {"eq", "ne", "lt", "le", "gt", "ge"}
+    _CMP_OP = {"=", "!=", "<", "<=", ">", ">="}
+
+    def cmp_expr(self):
+        left = self.range_expr()
+        t = self.cur
+        if t.kind == "kw" and t.text in self._CMP_KW:
+            self.i += 1
+            return Binop(t.text, left, self.range_expr())
+        if t.kind == "op" and t.text in self._CMP_OP:
+            self.i += 1
+            sym = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+            return Binop(sym[t.text], left, self.range_expr())
+        if t.kind == "kw" and t.text == "instance":
+            # `instance of object()` — type test; parse and record
+            self.i += 1
+            self.eat("kw", "of")
+            ty = self.eat("name").text
+            self.eat("op", "(")
+            self.eat("op", ")")
+            return Call("instance-of", [left, Lit(ty)])
+        return left
+
+    def range_expr(self):
+        left = self.add_expr()
+        if self.opt("kw", "to"):
+            return Call("fn:range", [left, self.add_expr()])
+        return left
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while self.cur.kind == "op" and self.cur.text in ("+", "-"):
+            op = self.eat("op").text
+            left = Binop(op, left, self.mul_expr())
+        return left
+
+    def mul_expr(self):
+        left = self.unary_expr()
+        while (self.cur.kind == "op" and self.cur.text == "*") or (
+            self.cur.kind == "kw" and self.cur.text in ("div", "idiv", "mod")
+        ):
+            op = self.cur.text
+            self.i += 1
+            left = Binop(op, left, self.unary_expr())
+        return left
+
+    def unary_expr(self):
+        if self.at("op", "-"):
+            self.i += 1
+            return Unary("-", self.unary_expr())
+        if self.at("kw", "not"):
+            # `not(...)` is also a function call; treat keyword+paren as call
+            self.i += 1
+            self.eat("op", "(")
+            arg = self.expr()
+            self.eat("op", ")")
+            return Call("not", [arg])
+        return self.postfix_expr()
+
+    def postfix_expr(self):
+        node = self.primary()
+        steps = []
+        while True:
+            if self.at("op", "."):
+                self.i += 1
+                if self.cur.kind in ("name", "kw"):
+                    steps.append(("field", self.eat(self.cur.kind).text))
+                elif self.cur.kind == "string":
+                    steps.append(("field", _unquote(self.eat("string").text)))
+                elif self.cur.kind == "var":
+                    steps.append(("field_var", self.eat("var").text[1:]))
+                else:
+                    raise JsoniqSyntaxError(f"bad field at {self.cur.pos}")
+            elif self.at("op", "=>>"):
+                self.i += 1
+                steps.append(("descend", self.eat("name").text))
+            elif self.at("op", "[]"):
+                self.i += 1
+                steps.append(("unbox",))
+            elif self.at("op", "[?"):
+                self.i += 1
+                pred = self.or_expr()
+                self.eat("op", "]")
+                steps.append(("pred", pred))
+            elif self.at("op", "["):
+                self.i += 1
+                if self.opt("op", "]"):
+                    steps.append(("unbox",))
+                    continue
+                lo = None if self.at("op", ":") else self.or_expr()
+                if self.opt("op", ":"):
+                    hi = None if self.at("op", "]") else self.or_expr()
+                    steps.append(("slice", lo, hi))
+                else:
+                    steps.append(("index", lo))
+                self.eat("op", "]")
+            else:
+                break
+        return Path(node, steps) if steps else node
+
+    def primary(self):
+        t = self.cur
+        if t.kind == "string":
+            self.i += 1
+            return Lit(_unquote(t.text))
+        if t.kind == "number":
+            self.i += 1
+            return Lit(float(t.text) if "." in t.text or "e" in t.text.lower() else int(t.text))
+        if t.kind == "kw" and t.text in ("true", "false", "null"):
+            self.i += 1
+            if self.opt("op", "("):  # true() / false() / jn:null()
+                self.eat("op", ")")
+            return Lit({"true": True, "false": False, "null": None}[t.text])
+        if t.kind == "var":
+            self.i += 1
+            return Var(t.text if t.text == "$$" else t.text[1:])
+        if t.kind in ("qname", "name"):
+            name = t.text
+            if self.toks[self.i + 1].kind == "op" and self.toks[self.i + 1].text == "(":
+                self.i += 2
+                args = []
+                if not self.at("op", ")"):
+                    while True:
+                        args.append(self.expr())
+                        if not self.opt("op", ","):
+                            break
+                self.eat("op", ")")
+                return Call(name, args)
+            raise JsoniqSyntaxError(
+                f"bare name {name!r} at {t.pos} (missing $ or function parens?)"
+            )
+        if t.kind == "op" and t.text == "{":
+            return self.object_ctor()
+        if t.kind == "op" and t.text == "[":
+            self.i += 1
+            items = []
+            if not self.at("op", "]"):
+                while True:
+                    items.append(self.expr_single())
+                    if not self.opt("op", ","):
+                        break
+            self.eat("op", "]")
+            return ArrayCtor(items)
+        if t.kind == "op" and t.text == "(":
+            self.i += 1
+            if self.opt("op", ")"):
+                return SeqCtor([])
+            items = [self.expr()]
+            while self.opt("op", ","):
+                items.append(self.expr())
+            self.eat("op", ")")
+            return items[0] if len(items) == 1 else SeqCtor(items)
+        raise JsoniqSyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def object_ctor(self) -> ObjectCtor:
+        self.eat("op", "{")
+        entries = []
+        if not self.at("op", "}"):
+            while True:
+                if self.cur.kind == "var":
+                    v = self.eat("var").text
+                    if self.at("op", ":"):
+                        self.i += 1
+                        entries.append(("pair", Var(v[1:]), self.expr_single()))
+                    else:
+                        entries.append(("merge", Var(v[1:])))
+                else:
+                    if self.cur.kind == "string":
+                        key = Lit(_unquote(self.eat("string").text))
+                    elif self.cur.kind in ("name", "kw"):
+                        key = Lit(self.eat(self.cur.kind).text)
+                    else:
+                        raise JsoniqSyntaxError(f"bad object key at {self.cur.pos}")
+                    self.eat("op", ":")
+                    entries.append(("pair", key, self.expr_single()))
+                if not self.opt("op", ","):
+                    break
+        self.eat("op", "}")
+        return ObjectCtor(entries)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def parse(src: str):
+    """Parse a JSONiq-subset query string into the AST."""
+    return _Parser(tokenize(src)).parse()

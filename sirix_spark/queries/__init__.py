@@ -41,7 +41,9 @@ PRIORITY: tuple[str, ...] = (
     "filter_group_by",
     "count_distinct",
     "computed_agg",
-    "rollup_counts",
+    # JSONiq string entry point (the reference's query language)
+    "jsoniq_filter_project",
+    "jsoniq_group_count",
     # §2.6 sorts / top-k / covered projection
     "top_k_orders",
     "multi_key_sort",
@@ -90,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "knn_join",
     # LLM-pipeline: multimodal
     "multimodal_features",
-    "multimodal_filter_decode",
     # §2.10 semantics corners
     "scalar_functions",
 )
@@ -103,6 +104,7 @@ def build_registry() -> dict[str, Query]:
         diff,
         joins,
         json_nav,
+        jsoniq_queries,
         multimodal,
         semantics,
         setops,
@@ -118,6 +120,7 @@ def build_registry() -> dict[str, Query]:
         temporal,
         diff,
         json_nav,
+        jsoniq_queries,
         setops,
         text,
         dedup,

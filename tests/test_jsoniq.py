@@ -1,0 +1,230 @@
+"""JSONiq-subset entry point tests.
+
+Query shapes from the reference corpus
+(bundles/sirix-query/src/test/java/io/sirix/query/JsonIntegrationTest.java)
+run through parse → compile → DataFrame, asserted against directly
+constructed expected results (and the store model for updates).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sirix_spark.jsoniq import JsoniqSyntaxError, execute, parse
+from sirix_spark.jsoniq.compiler import JsoniqCompileError
+from sirix_spark.store.store import VersionedStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = VersionedStore(spark, str(tmp_path_factory.mktemp("jsoniq_store")))
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, ["x", "y"], {"state": "NY", "city": "New York"}),
+            (2, "b", 20, ["z"], {"state": "CA", "city": "Los Angeles"}),
+            (3, "a", 30, [], {"state": "NY", "city": "Buffalo"}),
+            (4, "c", 40, ["w", "v", "u"], {"state": "WA", "city": "Seattle"}),
+        ],
+        "id long, generic string, value long, tags array<string>, "
+        "location struct<state:string, city:string>",
+    )
+    st.store("db", "res", df, key="id")
+    return st
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ------------------------------------------------------------- parsing
+def test_parse_rejects_garbage():
+    with pytest.raises(JsoniqSyntaxError):
+        parse("for $i in jn:doc('a','b') return")
+    with pytest.raises(JsoniqSyntaxError):
+        parse("select * from t")
+
+
+def test_unsupported_raises_not_misruns(spark, store):
+    # window-function-less subset: unknown function must raise
+    with pytest.raises(JsoniqCompileError):
+        execute(
+            "for $i in jn:doc('db','res') return fn:unknown($i)",
+            spark, store=store,
+        )
+
+
+# ---------------------------------------------------------- doc + path
+def test_doc_roundtrip(spark, store):
+    out = execute("jn:doc('db','res')", spark, store=store)
+    assert out.count() == 4
+    assert "generic" in out.columns
+
+
+def test_filter_where_field(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.generic eq 'a' "
+        "return {'id': $i.record_key, 'value': $i.value}",
+        spark, store=store,
+    )
+    assert rows(out) == [(1, 10), (3, 30)]
+
+
+def test_nested_field_and_symbolic_cmp(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.location.state = 'NY' "
+        "and $i.value >= 30 return $i.location.city",
+        spark, store=store,
+    )
+    assert rows(out) == [("Buffalo",)]
+
+
+def test_deep_equal_and_object_merge(spark, store):
+    # for $i in … where deep-equal($i.generic, 'a') return {$i,'nodeKey': sdb:nodekey($i)}
+    out = execute(
+        "for $i in jn:doc('db','res') where deep-equal($i.generic, 'a') "
+        "return {$i, 'nodeKey': sdb:nodekey($i)}",
+        spark, store=store,
+    )
+    assert out.columns[-1] == "nodeKey"
+    assert [r["nodeKey"] for r in out.collect()] == [1, 3]
+
+
+def test_array_unbox_in_for(spark, store):
+    out = execute(
+        "for $t in jn:doc('db','res')[].tags[] return $t",
+        spark, store=store,
+    )
+    assert sorted(r[0] for r in out.collect()) == ["u", "v", "w", "x", "y", "z"]
+
+
+def test_array_index_and_slice(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.record_key eq 4 "
+        "return {'first': $i.tags[0], 'rest': $i.tags[1:3]}",
+        spark, store=store,
+    )
+    assert rows(out) == [("w", ["v", "u"])]
+
+
+def test_let_arithmetic_if(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') let $v := $i.value * 2 "
+        "where $v gt 20 return if ($v ge 80) then 'big' else 'small'",
+        spark, store=store,
+    )
+    assert [r[0] for r in out.collect()] == ["small", "small", "big"]
+
+
+def test_positional_at(spark, store):
+    out = execute(
+        "for $i at $pos in jn:doc('db','res') where $pos le 2 "
+        "return {'pos': $pos, 'id': $i.record_key}",
+        spark, store=store,
+    )
+    assert rows(out) == [(1, 1), (2, 2)]
+
+
+def test_string_functions(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') "
+        "where contains($i.location.city, 'o') and starts-with($i.generic, 'a') "
+        "return upper-case($i.location.city)",
+        spark, store=store,
+    )
+    assert sorted(r[0] for r in out.collect()) == ["BUFFALO", "NEW YORK"]
+
+
+# ------------------------------------------------------------ group by
+def test_group_by_aggregates(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') group by $g := $i.generic "
+        "order by $g return "
+        "{'generic': $g, 'n': count($i), 'total': sum($i.value), 'top': max($i.value)}",
+        spark, store=store,
+    )
+    assert rows(out) == [("a", 2, 40, 30), ("b", 1, 20, 20), ("c", 1, 40, 40)]
+
+
+def test_order_by_descending(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') order by $i.value descending "
+        "return $i.record_key",
+        spark, store=store,
+    )
+    assert [r[0] for r in out.collect()] == [4, 3, 2, 1]
+
+
+def test_standalone_count_over_flwor(spark, store):
+    out = execute(
+        "count(for $i in jn:doc('db','res') where $i.value gt 15 return $i)",
+        spark, store=store,
+    )
+    assert out.first()[0] == 3
+
+
+# ------------------------------------------------------------ temporal
+def test_all_times_revision(spark, store):
+    store.replace_where("db", "res", F.col("record_key") == 1, {"value": 11})
+    out = execute(
+        "for $rev in jn:all-times(jn:doc('db','res')) "
+        "where sdb:nodekey($rev) eq 1 "
+        "return {'r': sdb:revision($rev), 'value': $rev.value}",
+        spark, store=store,
+    )
+    assert rows(out) == [(1, 10), (2, 11)]
+
+
+# ------------------------------------------------------------- updates
+def test_update_replace_where(spark, store):
+    rev = execute(
+        "for $i in jn:doc('db','res') where deep-equal($i.generic, 'b') "
+        "return replace json value of $i.value with 99",
+        spark, store=store,
+    )
+    assert isinstance(rev, int)
+    cur = store.doc("db", "res")
+    assert cur.filter("generic = 'b'").first()["value"] == 99
+
+
+def test_update_insert_then_delete(spark, store):
+    execute(
+        "insert json {'generic': 'z', 'value': 7} into jn:doc('db','res')",
+        spark, store=store,
+    )
+    assert store.doc("db", "res").filter("generic = 'z'").count() == 1
+    execute(
+        "for $i in jn:doc('db','res') where $i.generic eq 'z' return delete json $i",
+        spark, store=store,
+    )
+    assert store.doc("db", "res").filter("generic = 'z'").count() == 0
+
+
+def test_update_rename_field(spark, store, tmp_path):
+    st = VersionedStore(spark, str(tmp_path))
+    st.store("d", "r", spark.createDataFrame([(1, 5)], "id long, foo long"), key="id")
+    execute("rename json jn:doc('d','r').foo as 'bar'", spark, store=st)
+    assert "bar" in st.doc("d", "r").columns
+    assert "foo" not in st.doc("d", "r").columns
+
+
+# ---------------------------------------------------- tables (no store)
+def test_tables_backend(spark, sf_dir):
+    from sirix_spark.tables import load
+
+    events = load(spark, sf_dir, "events")
+    out = execute(
+        "for $e in jn:doc('testdata','events') "
+        "group by $t := $e.event_type "
+        "order by $t "
+        "return {'event_type': $t, 'n': count($e)}",
+        spark, tables={"events": events},
+    )
+    expected = [
+        tuple(r)
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+        .collect()
+    ]
+    assert rows(out) == expected

@@ -63,7 +63,6 @@ def test_driver_window_covers_all_families(reg):
         "cosine_topk",
         "knn_join",
         "multimodal_features",
-        "multimodal_filter_decode",
         "text_profile",
         "token_count",
         # one per SURVEY §2 family
@@ -77,6 +76,9 @@ def test_driver_window_covers_all_families(reg):
         "json_deref_sum",
         "scalar_functions",
         "dense_rank_orders",
+        # JSONiq string entry point (round-1 'What's missing' #1)
+        "jsoniq_filter_project",
+        "jsoniq_group_count",
     }
     missing = required - set(first50)
     assert not missing, f"not in driver window: {missing}"
