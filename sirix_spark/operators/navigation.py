@@ -95,10 +95,7 @@ def descendant_values(df: DataFrame, name: str) -> DataFrame:
     if not paths:
         raise KeyError(f"no path ends in {name!r}")
 
-    def stringify(col: Column, t: DataType) -> Column:
-        if isinstance(t, (StructType, ArrayType)):
-            return F.to_json(col)
-        return col.cast("string")
+    stringify = _stringify
 
     parts = []
     for p in paths:
@@ -118,6 +115,66 @@ def descendant_values(df: DataFrame, name: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _stringify(col: Column, t: DataType) -> Column:
+    if isinstance(t, (StructType, ArrayType)):
+        return F.to_json(col)
+    return col.cast("string")
+
+
+def level_order(df: DataFrame, key: str, max_level: int | None = None) -> DataFrame:
+    """JSON-side breadth-first node enumeration (LevelOrder.java —
+    round-1 gap: implemented for XML nodes only). Emits one row per
+    (record, schema path) as (key, level, path, value) in
+    breadth-first path order; `level` is the step depth (array hop =
+    one level, like the reference's node tree).
+
+    Scale: the path set is STATIC (schema-derived, same as the
+    reference's path summary), so this is one map-only projection +
+    stack — no shuffle, no per-level passes."""
+    paths = [
+        (p, t) for p, t in iter_paths(df.schema)
+        if p != key and not p.endswith("[]")
+    ]
+    levels = [(p, t, p.count(".") + p.count("[]") + 1) for p, t in paths]
+    levels.sort(key=lambda x: (x[2], x[0]))
+    if max_level is not None:
+        levels = [x for x in levels if x[2] <= max_level]
+    # stack(n, lvl1, path1, val1, ...) → rows in breadth-first order
+    cols: list[Column] = []
+    for p, t, lvl in levels:
+        cols += [F.lit(lvl), F.lit(p), _stringify(_path_to_column(p), t)]
+    stacked = F.stack(F.lit(len(levels)), *cols).alias("level", "path", "value")
+    return df.select(F.col(key), stacked)
+
+
+def parent_path(path: str) -> str | None:
+    """Parent of a dotted/[]-hopped path; None at the root."""
+    if path.endswith("[]"):
+        return path[:-2]
+    if "." in path:
+        return path.rsplit(".", 1)[0]
+    return None
+
+
+def select_parent(df: DataFrame, path: str, key: str) -> DataFrame:
+    """`sdb:select-parent` on nested JSON (SelectParent.java — round-1
+    gap: XML-only before). Returns (key, parent) where parent is the
+    containing object/array of `path` (JSON-serialized for
+    heterogeneous output), or the whole record for a root field."""
+    pp = parent_path(path)
+    types = {p: t for p, t in iter_paths(df.schema)}
+    if pp is None:
+        payload = [c for c in df.columns if c != key]
+        return df.select(
+            F.col(key), F.to_json(F.struct(*payload)).alias("parent")
+        )
+    if pp not in types:
+        raise KeyError(f"no such path {pp!r}")
+    return df.select(
+        F.col(key), _stringify(_path_to_column(pp), types[pp]).alias("parent")
+    )
 
 
 def path_summary(df: DataFrame) -> DataFrame:

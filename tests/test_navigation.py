@@ -88,3 +88,38 @@ def test_path_summary(tweets):
 def test_missing_name_raises(tweets):
     with pytest.raises(KeyError):
         N.select_descendant(tweets, "nope")
+
+
+# ---- level-order + select-parent (LevelOrder.java / SelectParent.java,
+# JSON side — round-1 gap closure) ------------------------------------
+def test_level_order_breadth_first(tweets):
+    lo = N.level_order(tweets, key="id")
+    rows = lo.filter(F.col("id") == 1).collect()
+    levels = [r["level"] for r in rows]
+    assert levels == sorted(levels), "breadth-first emission order"
+    by_path = {r["path"]: r for r in rows}
+    assert by_path["text"]["level"] == 1
+    assert by_path["text"]["value"] == "hello"
+    assert by_path["user.screen_name"]["level"] == 2
+    assert by_path["user.entities.url.urls"]["level"] == 4
+    # struct/array values serialize as JSON
+    assert by_path["entities"]["value"].startswith("{")
+
+
+def test_level_order_max_level(tweets):
+    lo = N.level_order(tweets, key="id", max_level=1)
+    assert set(r["path"] for r in lo.collect()) == {"text", "entities", "user"}
+
+
+def test_select_parent_nested(tweets):
+    out = N.select_parent(tweets, "user.screen_name", key="id")
+    got = {r["id"]: r["parent"] for r in out.collect()}
+    assert '"screen_name":"alice"' in got[1]
+    assert '"screen_name":"bob"' in got[2]
+
+
+def test_select_parent_root_and_missing(tweets):
+    out = N.select_parent(tweets, "text", key="id")
+    assert all('"text"' in r["parent"] for r in out.collect())
+    with pytest.raises(KeyError):
+        N.select_parent(tweets, "nope.deep", key="id")
