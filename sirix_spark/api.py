@@ -97,12 +97,13 @@ class Sirix:
     def drop_database(self, db: str) -> None:
         self.store.drop_database(db)
 
-    def serve(self, host: str = "127.0.0.1", port: int = 0):
+    def serve(self, host: str = "127.0.0.1", port: int = 0, token: str | None = None):
         """Start the REST façade over this store (SirixVerticle analog;
-        rest.py). Returns the started server; `.port` / `.stop()`."""
+        rest.py). Returns the started server; `.port` / `.stop()`.
+        `token` enables bearer-token auth (Keycloak-layer analog)."""
         from sirix_spark.rest import SirixRestServer
 
-        return SirixRestServer(self, host=host, port=port).start()
+        return SirixRestServer(self, host=host, port=port, token=token).start()
 
 
 class Resource:

@@ -89,10 +89,24 @@ def _parse_ts(s: str) -> datetime:
 
 class _Handler(BaseHTTPRequestHandler):
     sirix: Sirix  # set by server factory
+    token: str | None = None  # bearer token; None = open (test façade)
 
     # --- plumbing ---
     def log_message(self, *a):  # quiet test runs
         pass
+
+    def _authorized(self) -> bool:
+        """Bearer-token check — the lightweight analog of the
+        reference's Keycloak/OAuth2 layer (SirixVerticle.kt
+        PermissionCheckingQuery); constant-time compare."""
+        if self.token is None:
+            return True
+        import hmac
+
+        got = self.headers.get("Authorization", "")
+        return got.startswith("Bearer ") and hmac.compare_digest(
+            got[len("Bearer "):], self.token
+        )
 
     def _send(self, code: int, payload: str | dict):
         body = (payload if isinstance(payload, str) else json.dumps(payload)).encode()
@@ -117,6 +131,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # --- GET ---
     def do_GET(self):
+        if not self._authorized():
+            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
             store = self.sirix.store
@@ -191,6 +207,8 @@ class _Handler(BaseHTTPRequestHandler):
         return self.sirix.spark.read.json(rdd)
 
     def do_POST(self):
+        if not self._authorized():
+            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
             if len(parts) != 2:
@@ -206,6 +224,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": str(e)})
 
     def do_PUT(self):
+        if not self._authorized():
+            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
             if len(parts) != 2:
@@ -222,6 +242,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": str(e)})
 
     def do_DELETE(self):
+        if not self._authorized():
+            return self._send(401, {"error": "unauthorized"})
         try:
             parts, _ = self._route()
             store = self.sirix.store
@@ -243,8 +265,14 @@ class _Handler(BaseHTTPRequestHandler):
 class SirixRestServer:
     """Embeddable HTTP server over a Sirix store (SirixVerticle analog)."""
 
-    def __init__(self, sirix: Sirix, host: str = "127.0.0.1", port: int = 0):
-        handler = type("BoundHandler", (_Handler,), {"sirix": sirix})
+    def __init__(
+        self,
+        sirix: Sirix,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
+    ):
+        handler = type("BoundHandler", (_Handler,), {"sirix": sirix, "token": token})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.host = host
         self.port = self._httpd.server_address[1]

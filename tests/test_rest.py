@@ -145,3 +145,30 @@ def test_concurrent_query_revisions_no_view_race(server):
     with concurrent.futures.ThreadPoolExecutor(8) as ex:
         results = list(ex.map(fetch, [1, 2] * 8))
     assert all(v == rev for rev, v in results), results
+
+
+# ---- bearer-token auth (SirixVerticle.kt Keycloak-layer analog) -----
+def test_token_auth_rejects_and_accepts(spark, tmp_path_factory):
+    from sirix_spark.api import Sirix
+
+    sirix = Sirix(spark, str(tmp_path_factory.mktemp("rest_auth")))
+    srv = sirix.serve(token="s3cret")
+    try:
+        base = f"http://{srv.host}:{srv.port}"
+        # no token → 401
+        code, out = _req(srv, "/")
+        assert code == 401
+        # wrong token → 401
+        req = urllib.request.Request(base + "/", headers={"Authorization": "Bearer nope"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # right token → 200
+        req = urllib.request.Request(base + "/", headers={"Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert json.loads(r.read().decode()) == {"databases": []}
+    finally:
+        srv.stop()
