@@ -190,12 +190,30 @@ class Compiler:
             order = RECORD_KEY if RECORD_KEY in df.columns else df.columns[0]
             packed = df.select(F.struct(*df.columns).alias(vcol))
             return packed, f"{vcol}.{order}"
-        if isinstance(node, P.Call) and node.name == "jn:all-times":
+        _TEMPORAL = {
+            "jn:all-times", "jn:past", "jn:future",
+            "jn:first", "jn:last", "jn:item-history",
+        }
+        if isinstance(node, P.Call) and node.name in _TEMPORAL:
+            from sirix_spark.operators import temporal as T
+
             inner = node.args[0]
             if not _is_doc_call(inner):
-                raise JsoniqCompileError("jn:all-times expects jn:doc(...)")
+                raise JsoniqCompileError(f"{node.name} expects jn:doc(...)")
             args = [_lit_value(a) for a in inner.args]
             hv = self.env.history(args[0], args[1])
+            if node.name == "jn:past":
+                hv = T.past(hv, int(_lit_value(node.args[1])),
+                            bool(_lit_value(node.args[2])) if len(node.args) > 2 else False)
+            elif node.name == "jn:future":
+                hv = T.future(hv, int(_lit_value(node.args[1])),
+                              bool(_lit_value(node.args[2])) if len(node.args) > 2 else False)
+            elif node.name == "jn:first":
+                hv = T.first(hv)
+            elif node.name == "jn:last":
+                hv = T.last(hv)
+            elif node.name == "jn:item-history":
+                hv = T.item_history(hv)
             packed = hv.select(F.struct(*hv.columns).alias(vcol))
             return packed, f"{vcol}.revision"
         if isinstance(node, P.Call) and node.name == "fn:range":
@@ -240,9 +258,51 @@ class Compiler:
                 hi = int(_lit_value(step[2])) if step[2] is not None else None
                 n = (hi - lo) if hi is not None else 1 << 31
                 df = df.select(F.slice(F.col(vcol), lo + 1, n).alias(vcol))
+            elif kind == "descend":
+                df = self._descend(df, vcol, step[1])
             else:
                 raise JsoniqCompileError(f"unsupported path step {kind!r} on sequence")
         return df
+
+    def _descend(self, df: DataFrame, vcol: str, name: str) -> DataFrame:
+        """`=>>name` — recursive field lookup (DerefDescendantExpr
+        .java:49). The schema is static, so the match set expands at
+        compile time to the union of all paths ending in `name`
+        (navigation.py's path-summary-guided rewrite); array hops
+        along a path explode. Heterogeneous hits serialize to JSON
+        when more than one path matches."""
+        from pyspark.sql.types import StructType
+
+        from sirix_spark.operators.navigation import (
+            _stringify, iter_paths, path_to_column_from,
+        )
+
+        dtype = df.schema[vcol].dataType
+        if not isinstance(dtype, StructType):
+            raise JsoniqCompileError(f"=>>{name} needs an object context")
+        matches = [
+            (p, t) for p, t in iter_paths(dtype)
+            if not p.endswith("[]")
+            and p.replace("[]", "").rsplit(".", 1)[-1] == name
+        ]
+        if not matches:
+            raise JsoniqCompileError(f"no path ends in {name!r}")
+        hetero = len(matches) > 1
+        parts = []
+        for p, t in matches:
+            col = path_to_column_from(F.col(vcol), p)
+            depth = p.count("[]")
+            if depth:
+                # k-deep nested arrays → flatten to one level, explode
+                for _ in range(depth - 1):
+                    col = F.flatten(col)
+                col = F.explode(col)
+            out = _stringify(col, t) if hetero else col
+            parts.append(df.select(out.alias(vcol)))
+        res = parts[0]
+        for p_ in parts[1:]:
+            res = res.unionByName(p_)
+        return res
 
     # ---------------------------------------------------------- scalar
     def _scalar(self, node, scope: dict) -> Column:

@@ -53,23 +53,27 @@ def descendant_paths(schema: StructType, name: str) -> list[str]:
     ]
 
 
+def _build_path(col: Column, rest: list[str]) -> Column:
+    if not rest:
+        return col
+    head, *tail = rest
+    if head == "[]":
+        return F.transform(col, lambda x: _build_path(x, list(tail))) if tail else col
+    return _build_path(col.getField(head), tail)
+
+
+def path_to_column_from(root: Column, path: str) -> Column:
+    """Dotted path with '[]' hops rooted at an existing column —
+    array hops become nested `transform`s, so a path with k array
+    hops yields a k-deep array of the leaf values."""
+    return _build_path(root, path.replace("[]", ".[]").split("."))
+
+
 def _path_to_column(path: str) -> Column:
-    """Dotted path with '[]' hops → a column expression. Array hops
-    become nested `transform`s, so the result of a path with k array
-    hops is a k-deep array of the leaf values."""
+    """Same, rooted at a top-level dataframe column."""
     steps = path.replace("[]", ".[]").split(".")
-
-    def build(col: Column, rest: list[str]) -> Column:
-        if not rest:
-            return col
-        head, *tail = rest
-        if head == "[]":
-            return F.transform(col, lambda x: build(x, list(tail))) if tail else col
-        return build(col.getField(head), tail)
-
     head, *tail = steps
-    root = F.col(head)
-    return build(root, tail)
+    return _build_path(F.col(head), tail)
 
 
 def select_descendant(df: DataFrame, name: str) -> DataFrame:

@@ -228,3 +228,38 @@ def test_tables_backend(spark, sf_dir):
         .collect()
     ]
     assert rows(out) == expected
+
+
+# ---- =>> descendant deref (DerefDescendantExpr.java) ----------------
+def test_descend_step(spark, store):
+    out = execute(
+        "for $c in jn:doc('db','res')=>>city return $c",
+        spark, store=store,
+    )
+    assert sorted(r[0] for r in out.collect()) == [
+        "Buffalo", "Los Angeles", "New York", "Seattle",
+    ]
+
+
+# ---- temporal for-sources (axis/temporal/*.java) --------------------
+def test_past_future_first_last(spark, store):
+    # fixture history: record 1 changed in rev 2 (value 10 → 11),
+    # 'b' record changed later by the update tests — scope to key 1
+    past = execute(
+        "for $v in jn:past(jn:doc('db','res'), 2) "
+        "where sdb:nodekey($v) eq 1 return $v.value",
+        spark, store=store,
+    )
+    assert [r[0] for r in past.collect()] == [10]
+    first = execute(
+        "for $v in jn:first(jn:doc('db','res')) "
+        "where sdb:nodekey($v) eq 1 return {'r': sdb:revision($v), 'v': $v.value}",
+        spark, store=store,
+    )
+    assert rows(first) == [(1, 10)]
+    last = execute(
+        "for $v in jn:last(jn:doc('db','res')) "
+        "where sdb:nodekey($v) eq 1 return $v.value",
+        spark, store=store,
+    )
+    assert [r[0] for r in last.collect()] == [11]
