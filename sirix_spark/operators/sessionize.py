@@ -28,10 +28,13 @@ def sessionize(
     `gap_seconds` apart start a new session."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
     gap_us = gap_seconds * 1_000_000
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), 1
-    ).otherwise(0)
+    # Defensive: unix_micros requires TIMESTAMP; a TIMESTAMP_NTZ input
+    # (parquet isAdjustedToUTC=false under inferTimestampNTZ) would
+    # throw DATATYPE_MISMATCH. The cast is a no-op on TIMESTAMP and a
+    # deterministic UTC reinterpretation on NTZ (session tz pinned UTC).
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
     return df.withColumn("_new", new_sess).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("_new")
@@ -51,8 +54,8 @@ def session_stats(
     # on any SparkSession.
     return s.groupBy(key_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        F.unix_seconds(F.min(ts_col)).alias("session_start_s"),
-        F.unix_seconds(F.max(ts_col)).alias("session_end_s"),
+        F.unix_seconds(F.min(F.col(ts_col).cast("timestamp"))).alias("session_start_s"),
+        F.unix_seconds(F.max(F.col(ts_col).cast("timestamp"))).alias("session_end_s"),
     )
 
 

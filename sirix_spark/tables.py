@@ -69,16 +69,29 @@ def _load_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet timestamp[ns], which Spark's vectorized
-    reader rejects. Read nanos as long, then truncate to microsecond
-    timestamps — the same ns→µs truncation DuckDB applies, so oracle
-    comparisons agree."""
+    """Normalize events.ts to a plain TIMESTAMP no matter how the
+    parquet writer encoded it. Three shapes seen across driver rounds:
+
+    - timestamp[ns]: Spark's vectorized reader rejects ns; read nanos
+      as long then truncate to µs (same truncation DuckDB applies).
+    - timestamp[us] isAdjustedToUTC=false: pyspark 4.x (default
+      inferTimestampNTZ) reads it as TIMESTAMP_NTZ, which functions
+      like unix_micros/window reject. Cast to TIMESTAMP — the session
+      tz is pinned UTC in load(), so the cast is deterministic and
+      matches DuckDB's epoch() on naive timestamps.
+    - timestamp[us] adjusted: already TIMESTAMP; no-op.
+
+    Every consumer goes through this one boundary (round-2 verdict:
+    fix at the load boundary, once, for every consumer)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
