@@ -4,6 +4,13 @@
 Protocol mirrors the reference bench (docs/COMPARISON_DUCKDB.md:15-16):
 1 warmup + 3 timed runs per query, report the min. Prints ONE JSON
 line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Fault isolation (round-2 verdict #2): a failing query records an
+entry in "errors" and the run continues; the final JSON line is
+ALWAYS emitted, even on unexpected top-level failure. A soft deadline
+($SIRIX_SPARK_BENCH_DEADLINE, default 540 s) stops starting new
+queries so a driver-side timeout can't kill the process before the
+JSON is printed.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -42,6 +50,10 @@ HEADLINE = [
     "snapshot_diff",
     "valid_at",
     "json_deref_sum",
+    # JSONiq string entry vs its hand-written twin: the compiler adds
+    # zero runtime operators, so these two should be within noise.
+    "json_field_filter",
+    "jsoniq_filter_project",
     "token_count",
     "exact_dedup",
     "minhash_signatures",
@@ -60,15 +72,21 @@ HEADLINE = [
     "range_join_price_bands",
 ]
 
-N_TIMED = 3
+N_TIMED = int(os.environ.get("SIRIX_SPARK_BENCH_N_TIMED", 3))
+DEADLINE_S = float(os.environ.get("SIRIX_SPARK_BENCH_DEADLINE", 540))
+_START = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _START
 
 
 def run_once(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     # Force full execution without driver-side materialization cost:
-    # count over a noop-projection keeps all operators in the plan.
-    df.foreach(lambda _: None) if False else df.write.format("noop").mode("overwrite").save()
+    # noop sink keeps every operator in the executed plan.
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -80,7 +98,33 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    n_records = int(os.environ.get("SIRIX_SPARK_RECORDS_N", 100_000_000))
 
+    out = {
+        "metric": "headline_suite_total_min_of_3",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "records_n": n_records,
+    }
+    timings: dict[str, float] = out["queries"]
+    errors: dict[str, str] = {}
+
+    try:
+        _run(sf_dir, n_records, timings, errors, out)
+    except Exception:
+        errors["__fatal__"] = traceback.format_exc(limit=3)
+    finally:
+        if errors:
+            out["errors"] = errors
+        out["value"] = round(sum(timings.values()), 4)
+        print(json.dumps(out))
+        sys.stdout.flush()
+    sys.exit(0)
+
+
+def _run(sf_dir, n_records, timings, errors, out):
     from sirix_spark import get_spark
     from sirix_spark.queries import registry
 
@@ -89,18 +133,28 @@ def main():
     # ~120 ms per-job floor and measured scheduling overhead, not
     # throughput. 100M cached columnar is a few GB; give the single
     # local JVM a real heap (the box has 128 GiB).
-    n_records = int(os.environ.get("SIRIX_SPARK_RECORDS_N", 100_000_000))
     spark = get_spark(
         "sirix-spark-bench",
         extra_conf={"spark.driver.memory": os.environ.get("SIRIX_SPARK_DRIVER_MEM", "64g")},
     )
     reg = registry()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = reg[name].fn
-        run_once(fn, spark, sf_dir)  # warmup
-        timings[name] = round(min(run_once(fn, spark, sf_dir) for _ in range(N_TIMED)), 4)
+    headline = list(HEADLINE)
+    if os.environ.get("SIRIX_SPARK_BENCH_INJECT_FAIL"):
+        # test hook: prove one failing query can't kill the run
+        headline.insert(0, os.environ["SIRIX_SPARK_BENCH_INJECT_FAIL"])
+    for name in headline:
+        if _elapsed() > DEADLINE_S:
+            errors.setdefault("__deadline__", f"stopped before {name} at {_elapsed():.0f}s")
+            break
+        try:
+            fn = reg[name].fn
+            run_once(fn, spark, sf_dir)  # warmup
+            timings[name] = round(
+                min(run_once(fn, spark, sf_dir) for _ in range(N_TIMED)), 4
+            )
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
 
     # --- secondary: the reference's own 9-query matrix over the
     # reference-shaped records table (BASELINE.md primary metric),
@@ -110,46 +164,44 @@ def main():
     from sirix_spark.fixtures import generated_records, matrix_queries
 
     label = f"records{n_records // 1_000_000}m"
-    rec_path = os.path.join(tempfile.mkdtemp(prefix="sirix_bench_"), "records")
-    # ingest metric: generate + write the snapshot (the analog of the
-    # reference's shred; BASELINE.md reports 182k records/s for it)
-    t0 = time.perf_counter()
-    generated_records(spark, n_records).write.parquet(rec_path)
-    ingest_sec = round(time.perf_counter() - t0, 4)
-    timings[f"{label}_ingest_write"] = ingest_sec
-    records = spark.read.parquet(rec_path).persist()
-    records.count()
+    try:
+        rec_path = os.path.join(tempfile.mkdtemp(prefix="sirix_bench_"), "records")
+        # ingest metric: generate + write the snapshot (the analog of the
+        # reference's shred; BASELINE.md reports 182k records/s for it)
+        t0 = time.perf_counter()
+        generated_records(spark, n_records).write.parquet(rec_path)
+        ingest_sec = round(time.perf_counter() - t0, 4)
+        timings[f"{label}_ingest_write"] = ingest_sec
+        out["records_ingest_per_sec"] = round(n_records / ingest_sec)
+        records = spark.read.parquet(rec_path).persist()
+        records.count()
+    except Exception as e:
+        errors[f"{label}_ingest"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return
     matrix_total = 0.0
     for name, fn in matrix_queries().items():
-        run = lambda: fn(records).write.format("noop").mode("overwrite").save()  # noqa: E731
-        run()
-        t = []
-        for _ in range(N_TIMED):
-            t0 = time.perf_counter()
+        if _elapsed() > DEADLINE_S:
+            errors.setdefault("__deadline__", f"stopped before matrix {name} at {_elapsed():.0f}s")
+            break
+        try:
+            run = lambda: fn(records).write.format("noop").mode("overwrite").save()  # noqa: E731
             run()
-            t.append(time.perf_counter() - t0)
-        timings[f"{label}_{name}"] = round(min(t), 4)
-        matrix_total += min(t)
-
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_min_of_3",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "records_n": n_records,
-                # BASELINE.md comparison keys: the reference's 9-query
-                # matrix compute total (its 100M JVM total is 0.618 s)
-                # and ingest rate (its shred is 182k records/s).
-                "records_matrix_total_sec": round(matrix_total, 4),
-                "records_ingest_per_sec": round(n_records / ingest_sec),
-            }
-        )
-    )
-    spark.stop()
+            t = []
+            for _ in range(N_TIMED):
+                t0 = time.perf_counter()
+                run()
+                t.append(time.perf_counter() - t0)
+            timings[f"{label}_{name}"] = round(min(t), 4)
+            matrix_total += min(t)
+        except Exception as e:
+            errors[f"{label}_{name}"] = f"{type(e).__name__}: {str(e)[:300]}"
+    # BASELINE.md comparison key: the reference's 9-query matrix
+    # compute total (its 100M JVM total is 0.618 s).
+    out["records_matrix_total_sec"] = round(matrix_total, 4)
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
