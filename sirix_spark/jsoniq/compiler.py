@@ -150,6 +150,66 @@ def _is_doc_call(node) -> bool:
     return isinstance(node, P.Call) and node.name in ("jn:doc", "jn:open", "fn:collection", "collection")
 
 
+def _conjuncts(node):
+    if isinstance(node, P.Binop) and node.op == "and":
+        yield from _conjuncts(node.left)
+        yield from _conjuncts(node.right)
+    else:
+        yield node
+
+
+def _free_vars(node, out: set | None = None) -> set:
+    import dataclasses
+
+    out = set() if out is None else out
+    if isinstance(node, P.Var):
+        out.add(node.name)
+    elif isinstance(node, (list, tuple)):
+        for x in node:
+            _free_vars(x, out)
+    elif dataclasses.is_dataclass(node):
+        for fld in dataclasses.fields(node):
+            _free_vars(getattr(node, fld.name), out)
+    return out
+
+
+def _check_join_links(record_vars: list[str], where) -> None:
+    """Multi-source FLWOR scale guard (round-2 verdict #4): a
+    two-`for` query whose `where` has an equality predicate linking
+    the sources lowers to a hash/broadcast join (Catalyst rewrites
+    CrossJoin+filter into an inner join). Without one, the plan is a
+    REAL cartesian product — O(n·m) at any scale — so fail closed
+    unless the user explicitly opts in."""
+    import os
+
+    if len(record_vars) < 2 or os.environ.get("SIRIX_SPARK_JSONIQ_ALLOW_CARTESIAN"):
+        return
+    rset = set(record_vars)
+    edges = []
+    for c in _conjuncts(where) if where is not None else ():
+        if isinstance(c, P.Binop) and c.op == "eq":
+            lv = _free_vars(c.left) & rset
+            rv = _free_vars(c.right) & rset
+            if len(lv) == 1 and len(rv) == 1 and lv != rv:
+                edges.append((lv.pop(), rv.pop()))
+    linked = {record_vars[0]}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            if (a in linked) != (b in linked):
+                linked |= {a, b}
+                changed = True
+    unlinked = sorted(rset - linked)
+    if unlinked:
+        raise JsoniqCompileError(
+            f"multi-source FLWOR: no equality predicate links "
+            f"${', $'.join(unlinked)} to the other for-sources — this is a "
+            "cartesian product. Add `where $a.k eq $b.k`, or set "
+            "SIRIX_SPARK_JSONIQ_ALLOW_CARTESIAN=1 to run it anyway."
+        )
+
+
 class Compiler:
     def __init__(self, env: Env):
         self.env = env
@@ -193,6 +253,7 @@ class Compiler:
         _TEMPORAL = {
             "jn:all-times", "jn:past", "jn:future",
             "jn:first", "jn:last", "jn:item-history",
+            "jn:previous", "jn:next",
         }
         if isinstance(node, P.Call) and node.name in _TEMPORAL:
             from sirix_spark.operators import temporal as T
@@ -214,6 +275,13 @@ class Compiler:
                 hv = T.last(hv)
             elif node.name == "jn:item-history":
                 hv = T.item_history(hv)
+            elif node.name in ("jn:previous", "jn:next"):
+                # the revision adjacent to the given one (PreviousAxis/
+                # NextAxis, revisions are dense 1..N) — a partition-
+                # prunable filter on the history view, no window.
+                rev = int(_lit_value(node.args[1]))
+                adj = rev - 1 if node.name == "jn:previous" else rev + 1
+                hv = hv.filter(F.col("revision") == adj)
             packed = hv.select(F.struct(*hv.columns).alias(vcol))
             return packed, f"{vcol}.revision"
         if isinstance(node, P.Call) and node.name == "fn:range":
@@ -361,10 +429,70 @@ class Compiler:
             return F.array(*[self._scalar(i, scope) for i in node.items])
         if isinstance(node, P.Call):
             return self._call(node, scope)
+        if isinstance(node, P.Quantified):
+            return self._quantified(node, scope)
         raise JsoniqCompileError(f"unsupported expression {type(node).__name__}")
+
+    def _quantified(self, node: P.Quantified, scope: dict) -> Column:
+        """`some/every $x in <array-expr> satisfies P` → F.exists /
+        F.forall — a JVM-side lambda over the array, no explode, no
+        shuffle (the reference evaluates per item via SomeExpr/
+        EveryExpr; here it's one vectorized higher-order function)."""
+        src = node.source
+        # `$i.items[]` as a quantifier source: the trailing unbox is
+        # implicit (the array IS the sequence) — strip it.
+        if isinstance(src, P.Path) and src.steps and src.steps[-1] == ("unbox",):
+            src = P.Path(src.base, src.steps[:-1])
+        arr = self._scalar(src, scope)
+
+        def pred(x):
+            return self._scalar(node.predicate, {**scope, node.var: x, "$$": x})
+
+        return F.exists(arr, pred) if node.kind == "some" else F.forall(arr, pred)
+
+    def _array_agg(self, name: str, path: P.Path, scope: dict) -> Column:
+        """Aggregate over an array sub-sequence, e.g.
+        `sum($i.items[].price)` — lowered to array built-ins
+        (size / array_min / array_max / aggregate), never an explode:
+        stays inside whole-stage codegen, no extra shuffle."""
+        cut = next(i for i, s in enumerate(path.steps) if s == ("unbox",))
+        arr = self._scalar(P.Path(path.base, path.steps[:cut]), scope)
+        rest = path.steps[cut + 1 :]
+        if any(s == ("unbox",) for s in rest):
+            arr = F.flatten(arr)  # items[][] — nested arrays
+            rest = [s for s in rest if s != ("unbox",)]
+        if rest:
+            if not all(s[0] == "field" for s in rest):
+                raise JsoniqCompileError(
+                    f"array aggregate path supports field steps only, got {rest}"
+                )
+
+            def hop(x):
+                for s in rest:
+                    x = x[s[1]]
+                return x
+
+            arr = F.transform(arr, hop)
+        if name.endswith("count"):
+            return F.size(arr).cast("long")
+        if name.endswith("min"):
+            return F.array_min(arr)
+        if name.endswith("max"):
+            return F.array_max(arr)
+        total = F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        if name.endswith("avg"):
+            return total / F.size(arr)
+        return total  # sum
 
     def _call(self, node: P.Call, scope: dict) -> Column:
         name, args = node.name, node.args
+        if name in _AGGS and len(args) == 1 and isinstance(args[0], P.Path) and any(
+            s == ("unbox",) for s in args[0].steps
+        ):
+            # sum/count/min/max/avg over an array sub-sequence
+            return self._array_agg(name, args[0], scope)
         if name in _FN1 and len(args) == 1:
             return _FN1[name](self._scalar(args[0], scope))
         if name in _FN2 and len(args) == 2:
@@ -380,6 +508,31 @@ class Compiler:
         if name in ("string-join", "fn:string-join"):
             sep = _lit_value(args[1]) if len(args) > 1 else ""
             return F.array_join(self._scalar(args[0], scope), sep)
+        if name in ("matches", "fn:matches"):
+            return self._scalar(args[0], scope).rlike(str(_lit_value(args[1])))
+        if name in ("replace", "fn:replace"):
+            return F.regexp_replace(
+                self._scalar(args[0], scope),
+                str(_lit_value(args[1])),
+                str(_lit_value(args[2])),
+            )
+        if name in ("tokenize", "fn:tokenize"):
+            sep = str(_lit_value(args[1])) if len(args) > 1 else r"\s+"
+            return F.split(self._scalar(args[0], scope), sep)
+        if name in ("substring-before", "fn:substring-before"):
+            c, sep = self._scalar(args[0], scope), str(_lit_value(args[1]))
+            pos = F.instr(c, sep)
+            return F.when(pos > 0, F.substring(c, F.lit(1), pos - 1)).otherwise(F.lit(""))
+        if name in ("substring-after", "fn:substring-after"):
+            c, sep = self._scalar(args[0], scope), str(_lit_value(args[1]))
+            pos = F.instr(c, sep)
+            return F.when(pos > 0, F.substr(c, pos + len(sep))).otherwise(F.lit(""))
+        if name in ("translate", "fn:translate"):
+            return F.translate(
+                self._scalar(args[0], scope),
+                str(_lit_value(args[1])),
+                str(_lit_value(args[2])),
+            )
         if name == "not":
             return ~self._scalar(args[0], scope)
         if name in ("deep-equal", "fn:deep-equal"):
@@ -469,6 +622,7 @@ class Compiler:
             df = df.withColumn(vcol, self._scalar(let.value, scope))
             scope[let.var] = F.col(vcol)
 
+        _check_join_links(record_vars, f.where)
         if f.where is not None:
             df = df.filter(self._scalar(f.where, scope))
 

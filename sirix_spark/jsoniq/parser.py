@@ -219,9 +219,13 @@ class _Parser:
             return self.flwor()
         if self.at("kw", "if"):
             return self.if_expr()
-        if self.cur.kind == "kw" and self.cur.text in (
-            "insert", "delete", "replace", "rename", "append",
+        if (
+            self.cur.kind == "kw"
+            and self.cur.text in ("insert", "delete", "replace", "rename", "append")
+            and not self.toks[self.i + 1].text == "("
         ):
+            # `replace json value of …` (update) vs `replace($s,…,…)`
+            # (fn:replace) — a following '(' disambiguates.
             return self.update_expr()
         if self.at("kw", "some") or self.at("kw", "every"):
             return self.quantified()
@@ -245,7 +249,12 @@ class _Parser:
             else:
                 break
         if self.opt("kw", "where"):
-            f.where = self.or_expr()
+            # quantified expr allowed bare in where (ExprSingle);
+            # inside a conjunction, parenthesize: `$a eq 1 and (some …)`
+            if self.at("kw", "some") or self.at("kw", "every"):
+                f.where = self.quantified()
+            else:
+                f.where = self.or_expr()
         if self.at("kw", "group"):
             self.eat("kw", "group")
             self.eat("kw", "by")
@@ -455,7 +464,11 @@ class _Parser:
         if t.kind == "var":
             self.i += 1
             return Var(t.text if t.text == "$$" else t.text[1:])
-        if t.kind in ("qname", "name"):
+        if t.kind in ("qname", "name") or (
+            t.kind == "kw" and self.toks[self.i + 1].text == "("
+            and t.text not in ("true", "false", "null", "if", "not", "some", "every")
+        ):
+            # keyword-named functions (fn:replace, fn:position, …)
             name = t.text
             if self.toks[self.i + 1].kind == "op" and self.toks[self.i + 1].text == "(":
                 self.i += 2

@@ -30,23 +30,31 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
+# Round-3 rotation (round-2 verdict #6): near-duplicate variants of
+# already-green families (sum_qty, min_max_qty, filter_group_by,
+# multi_key_sort, json_construct, array_index_slice,
+# semi_join_customers, first_last_event) moved out of the window —
+# still oracle-checked locally by tools/check_oracle.py — to give
+# rollup/grouping-sets, the windows family, null semantics, the
+# JSONiq join/quantified/temporal entries, and the index-routed
+# vector search each a driver-green row.
 PRIORITY: tuple[str, ...] = (
     # §2.4 aggregations + §2.2 scans/filters
     "pricing_summary",
     "filter_count",
-    "sum_qty",
-    "min_max_qty",
     "group_by_count",
     "group_by_2keys",
-    "filter_group_by",
     "count_distinct",
     "computed_agg",
+    "grouping_sets_counts",
     # JSONiq string entry point (the reference's query language)
     "jsoniq_filter_project",
     "jsoniq_group_count",
+    "jsoniq_join_orders_customers",
+    "jsoniq_quantified_embeddings",
+    "jsoniq_all_times_store",
     # §2.6 sorts / top-k / covered projection
     "top_k_orders",
-    "multi_key_sort",
     "covered_projection",
     # §2.3 joins
     "customers_per_region",
@@ -54,12 +62,10 @@ PRIORITY: tuple[str, ...] = (
     "national_revenue",
     "revenue_by_priority",
     "range_join_price_bands",
-    "semi_join_customers",
     "full_outer_summary",
     "asof_join_orders_events",
     # §2.7 temporal family
     "previous_next_event",
-    "first_last_event",
     "all_times",
     "item_history",
     "valid_at",
@@ -68,12 +74,12 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     # §2.5 windows
     "dense_rank_orders",
+    "running_sum_per_user",
+    "ntile_value_quartiles",
     # §2.2/§2.9/§2.10 JSON navigation + construction
     "json_deref_sum",
     "json_field_filter",
-    "json_construct",
     "array_posexplode",
-    "array_index_slice",
     # §2.8 set ops (dense: union+intersect+except in one row)
     "set_ops",
     # LLM-pipeline: text analysis
@@ -87,13 +93,15 @@ PRIORITY: tuple[str, ...] = (
     "jaccard_near_dup",
     "simhash",
     "embedding_near_dup",
-    # LLM-pipeline: similarity search
+    # LLM-pipeline: similarity search (brute-force + index-routed)
     "cosine_topk",
     "knn_join",
+    "vector_search_routed",
     # LLM-pipeline: multimodal
     "multimodal_features",
     # §2.10 semantics corners
     "scalar_functions",
+    "null_semantics",
 )
 
 

@@ -16,14 +16,19 @@ round-1 HUGEINT lesson.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sirix_spark.jsoniq import execute
 from sirix_spark.queries import Query
 from sirix_spark.tables import load
 
 
-def _run(spark, sf_dir, query: str, table: str):
+def _run(spark, sf_dir, query: str, *table_names: str, store=None):
     return execute(
-        query, spark, tables={table: load(spark, sf_dir, table)}
+        query,
+        spark,
+        store=store,
+        tables={t: load(spark, sf_dir, t) for t in table_names},
     )
 
 
@@ -125,6 +130,128 @@ WHERE event_type = 'purchase'
 """
 
 
+# --- two-source FLWOR equi-join -------------------------------------
+# Catalyst rewrites the compiler's crossJoin+filter into an inner
+# hash join (PushPredicateThroughJoin); customer is under the
+# broadcast threshold so the plan is a BroadcastHashJoin with zero
+# extra shuffles — pinned in tests/test_jsoniq.py (round-2 verdict
+# #4: the lowering was plan-correct but untested).
+def jsoniq_join_orders_customers(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        "for $o in jn:doc('testdata','orders') "
+        "for $c in jn:doc('testdata','customer') "
+        "where $o.o_custkey eq $c.c_custkey and $o.o_totalprice gt 400000 "
+        "return {'o_orderkey': $o.o_orderkey, 'c_name': $c.c_name, "
+        "'segment': $c.c_mktsegment, 'price': $o.o_totalprice}",
+        "orders",
+        "customer",
+    )
+
+
+JSONIQ_JOIN_SQL = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment AS segment, o.o_totalprice AS price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 400000
+"""
+
+
+# --- quantified some/every over an array sequence -------------------
+# F.exists / F.forall — vectorized higher-order functions, no explode
+# (SomeExpr/EveryExpr in the reference walk items; here one codegen'd
+# lambda per row).
+def jsoniq_quantified_embeddings(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        "for $v in jn:doc('testdata','embeddings') "
+        "where some $x in $v.embedding[] satisfies $x gt 0.29 "
+        "return {'vec_id': $v.vec_id, 'label': $v.label, "
+        "'n_dims': count($v.embedding[])}",
+        "embeddings",
+    )
+
+
+JSONIQ_QUANTIFIED_SQL = """
+SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims
+FROM embeddings
+WHERE len(list_filter(embedding, x -> x > 0.29)) > 0
+"""
+
+
+# --- let of aggregates over an array sub-sequence -------------------
+# min/max/count over `$v.embedding[]` lower to array_min/array_max/
+# size (exact — no accumulation-order sensitivity, unlike sum-of-
+# floats, so the oracle hash is stable).
+def jsoniq_array_minmax(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        "for $v in jn:doc('testdata','embeddings') "
+        "let $mn := min($v.embedding[]) "
+        "let $mx := max($v.embedding[]) "
+        "where $v.label le 2 and (every $x in $v.embedding[] satisfies $x lt 1.0) "
+        "return {'vec_id': $v.vec_id, 'mn': $mn, 'mx': $mx}",
+        "embeddings",
+    )
+
+
+JSONIQ_ARRAY_MINMAX_SQL = """
+SELECT vec_id, list_min(embedding) AS mn, list_max(embedding) AS mx
+FROM embeddings
+WHERE label <= 2 AND len(list_filter(embedding, x -> NOT (x < 1.0))) = 0
+"""
+
+
+# --- temporal navigation through the string entry -------------------
+# jn:all-times over a real VersionedStore, built per call from a
+# deterministic events reduction (3 revisions committed via upsert);
+# the oracle reconstructs each revision's state from the same cutoffs.
+_HIST_CUTS = ("2024-01-05 00:00:00", "2024-01-15 00:00:00", "2024-01-25 00:00:00")
+
+
+def jsoniq_all_times_store(spark, sf_dir):
+    import tempfile
+
+    from sirix_spark.store.store import VersionedStore
+
+    ev = load(spark, sf_dir, "events")
+
+    def state(t):
+        return (
+            ev.filter(F.col("ts") <= F.lit(t).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("last_eid"))
+        )
+
+    st = VersionedStore(spark, tempfile.mkdtemp(prefix="jsoniq_hist_"))
+    st.store("bench", "user_state", state(_HIST_CUTS[0]), key="user_id")
+    for t in _HIST_CUTS[1:]:
+        st.upsert_records("bench", "user_state", state(t), key="user_id")
+    return _run(
+        spark,
+        sf_dir,
+        "for $r in jn:all-times(jn:doc('bench','user_state')) "
+        "where $r.n ge 3 "
+        "return {'revision': $r.revision, 'user_id': $r.record_key, 'n': $r.n}",
+        store=st,
+    )
+
+
+JSONIQ_ALL_TIMES_SQL = f"""
+WITH snap AS (
+  SELECT r, user_id, count(*) AS n
+  FROM events, (VALUES (1, TIMESTAMP '{_HIST_CUTS[0]}'),
+                       (2, TIMESTAMP '{_HIST_CUTS[1]}'),
+                       (3, TIMESTAMP '{_HIST_CUTS[2]}')) AS revs(r, cut)
+  WHERE ts <= cut
+  GROUP BY r, user_id
+)
+SELECT r AS revision, user_id, n FROM snap WHERE n >= 3
+"""
+
+
 QUERIES = {
     "jsoniq_filter_project": Query(
         jsoniq_filter_project, JSONIQ_FILTER_PROJECT_SQL, ("jsoniq", "flwor")
@@ -139,4 +266,16 @@ QUERIES = {
         jsoniq_string_filter, JSONIQ_STRING_FILTER_SQL, ("jsoniq", "strings")
     ),
     "jsoniq_count": Query(jsoniq_count, JSONIQ_COUNT_SQL, ("jsoniq",)),
+    "jsoniq_join_orders_customers": Query(
+        jsoniq_join_orders_customers, JSONIQ_JOIN_SQL, ("jsoniq", "join")
+    ),
+    "jsoniq_quantified_embeddings": Query(
+        jsoniq_quantified_embeddings, JSONIQ_QUANTIFIED_SQL, ("jsoniq", "quantified")
+    ),
+    "jsoniq_array_minmax": Query(
+        jsoniq_array_minmax, JSONIQ_ARRAY_MINMAX_SQL, ("jsoniq", "arrays")
+    ),
+    "jsoniq_all_times_store": Query(
+        jsoniq_all_times_store, JSONIQ_ALL_TIMES_SQL, ("jsoniq", "temporal")
+    ),
 }

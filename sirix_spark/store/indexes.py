@@ -317,18 +317,23 @@ class ProjectionIndexes:
             )
             cand = corpus.crossJoin(F.broadcast(queries))
 
+        # floor-scaled ticks, not round(x,4): identical tie sets across
+        # engines on bit-identical doubles (see queries/similarity.py
+        # docstring) — keeps the routed result oracle-comparable.
         scored = cand.select(
             "query_id",
             F.col(RECORD_KEY),
-            F.round(cosine(F.col(column), F.col("qv")), 4).alias("cos"),
+            (F.floor(cosine(F.col(column), F.col("qv")) * 10000))
+            .cast("bigint")
+            .alias("cos_e4"),
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col(RECORD_KEY).asc()
+            F.col("cos_e4").desc(), F.col(RECORD_KEY).asc()
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", RECORD_KEY, "cos", "rank")
+            .select("query_id", RECORD_KEY, "cos_e4", "rank")
         )
 
     def scan(

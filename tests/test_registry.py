@@ -79,6 +79,17 @@ def test_driver_window_covers_all_families(reg):
         # JSONiq string entry point (round-1 'What's missing' #1)
         "jsoniq_filter_project",
         "jsoniq_group_count",
+        # round-2 verdict asks #4-#7: jsoniq join/quantified/temporal,
+        # rollup family, windows family, null semantics, index route
+        "jsoniq_join_orders_customers",
+        "jsoniq_quantified_embeddings",
+        "jsoniq_all_times_store",
+        "grouping_sets_counts",
+        "running_sum_per_user",
+        "ntile_value_quartiles",
+        "null_semantics",
+        "vector_search_routed",
     }
     missing = required - set(first50)
     assert not missing, f"not in driver window: {missing}"
+    assert len(PRIORITY) == 50, "PRIORITY must exactly fill the driver window"
