@@ -55,17 +55,13 @@ from sirix_spark.api import Sirix
 # a plain name — no separators, no leading dot.
 _SAFE_SEG = re.compile(r"^[A-Za-z0-9_-][A-Za-z0-9_.-]*$")
 
-# ?query= creates a temp view named after the resource on the SHARED
-# SparkSession; two concurrent requests for different revisions of the
-# same resource would race and one could query the other's snapshot.
-# Serialize view-create → SQL → materialize per view name.
-_VIEW_LOCKS: dict[str, threading.Lock] = {}
-_VIEW_LOCKS_GUARD = threading.Lock()
-
-
-def _view_lock(name: str) -> threading.Lock:
-    with _VIEW_LOCKS_GUARD:
-        return _VIEW_LOCKS.setdefault(name, threading.Lock())
+# ?query= registers a temp view named after the resource. On a SHARED
+# SparkSession two concurrent requests for different revisions of the
+# same resource would race on that name (round-2: serialized with
+# per-name locks — which also serialized all queries on a resource).
+# Instead each request gets spark.newSession(): an isolated temp-view
+# catalog over the same SparkContext, so concurrent queries never see
+# each other's views and run fully in parallel, lock-free.
 
 
 def _rows_json(df, limit: int | None) -> str:
@@ -173,15 +169,18 @@ class _Handler(BaseHTTPRequestHandler):
 
             if "query" in q:
                 rev = int(q["revision"]) if "revision" in q else None
-                df = store.doc(db, res, revision=rev)
-                # Hold the per-view lock through materialization: the
-                # query's DF is lazy, so the view must not be replaced
-                # until the rows are collected.
-                with _view_lock(res):
-                    df.createOrReplaceTempView(res)
-                    out = self.sirix.spark.sql(q["query"])
-                    payload = _rows_json(out, limit)
-                return self._send(200, payload)
+                # Per-request isolated session: rebuild the doc plan on
+                # it (a store handle is just paths + a session; the
+                # parquet reads are identical) and register the view in
+                # ITS catalog — the shared session's views are untouched.
+                sess = self.sirix.spark.newSession()
+                sess_store = type(store)(
+                    sess, store.root, checkpoint_every=store.checkpoint_every
+                )
+                df = sess_store.doc(db, res, revision=rev)
+                df.createOrReplaceTempView(res)
+                out = sess.sql(q["query"])
+                return self._send(200, _rows_json(out, limit))
             if "start-revision" in q:
                 a, b = int(q["start-revision"]), int(q["end-revision"])
                 revs = [
