@@ -83,6 +83,9 @@ _FN1 = {
     "empty": lambda c: c.isNull(),
     "fn:trim": F.trim,
     "normalize-space": lambda c: F.regexp_replace(F.trim(c), r"\s+", " "),
+    # jn:keys over an object (struct) — via JSON rendering, JVM-side
+    "keys": lambda c: F.json_object_keys(F.to_json(c)),
+    "jn:keys": lambda c: F.json_object_keys(F.to_json(c)),
 }
 
 _FN2 = {
@@ -118,12 +121,27 @@ class Env:
     - `store`: a VersionedStore — jn:doc/jn:all-times/updates hit it.
     - `tables`: name → DataFrame fallback; jn:doc('any', name) reads
       it read-only (lets JSONiq run over plain parquet tables).
+    - `xml_tables`: name → XML NODE TABLE (sources/xml_source.py
+      NODE_SCHEMA) — the xml: function namespace reads these
+      (XMLFun.java string-entry analog).
     """
 
-    def __init__(self, spark: SparkSession, store=None, tables: dict | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store=None,
+        tables: dict | None = None,
+        xml_tables: dict | None = None,
+    ):
         self.spark = spark
         self.store = store
         self.tables = tables or {}
+        self.xml_tables = xml_tables or {}
+
+    def xml_doc(self, name: str) -> DataFrame:
+        if name not in self.xml_tables:
+            raise JsoniqCompileError(f"unknown XML document {name!r}")
+        return self.xml_tables[name]
 
     def doc(self, db: str, res: str, revision=None) -> DataFrame:
         if self.store is not None and self.store.exists_resource(db, res):
@@ -210,12 +228,40 @@ def _check_join_links(record_vars: list[str], where) -> None:
         )
 
 
+# Correlated XML axes usable as for-sources relative to a bound node
+# variable: `for $c in xml:children($n[, 'name'])`. Each lowers to a
+# join against the node table — equality on (doc [, parent_key]) so
+# the planner picks a hash join; descendant adds the stored
+# (node_key, descendant_count) interval predicate (the reference
+# answers the descendant axis from exactly these two fields).
+_XML_AXES = {
+    "xml:children",
+    "xml:attributes",
+    "xml:descendants",
+    "xml:following-sibling",
+    "xml:preceding-sibling",
+}
+
+
 class Compiler:
-    def __init__(self, env: Env):
+    def __init__(self, env: Env, document_order: bool = False):
         self.env = env
+        self.document_order = document_order
+        self.udfs: dict[str, P.FunDecl] = {}
+        self._udf_depth = 0
+        self._xml_origin: dict[str, DataFrame] = {}
 
     # ---------------------------------------------------------- entry
     def execute(self, ast):
+        if isinstance(ast, P.Main):
+            # user-defined functions (declare function local:f …) are
+            # inlined at compile time — the body is a Column expression
+            # template, so a UDF call costs ZERO runtime operators
+            # (contrast: the reference interprets UDF frames per item,
+            # GroupAggregateDetectionStage.java:247 shadowing stage).
+            for d in ast.decls:
+                self.udfs[d.name] = d
+            ast = ast.body
         if isinstance(ast, P.UpdateExpr):
             return self._top_update(ast, where=None, binding=None)
         if isinstance(ast, P.Flwor):
@@ -284,6 +330,28 @@ class Compiler:
                 hv = hv.filter(F.col("revision") == adj)
             packed = hv.select(F.struct(*hv.columns).alias(vcol))
             return packed, f"{vcol}.revision"
+        if isinstance(node, P.Call) and node.name in ("xml:doc", "xml:collection"):
+            # xml:doc('name') — the shredded node table in document
+            # order (XMLFun.java docFn string-entry analog)
+            name = str(_lit_value(node.args[-1]))
+            ndf = self.env.xml_doc(name)
+            packed = ndf.select(F.struct(*ndf.columns).alias(vcol))
+            self._xml_origin[var] = ndf
+            return packed, f"{vcol}.node_key"
+        if isinstance(node, P.Call) and node.name == "xml:elements":
+            # xml:elements(xml:doc('d'), 'item') — absolute //item:
+            # a relational filter on the node table, no traversal
+            inner = node.args[0]
+            if not (isinstance(inner, P.Call) and inner.name in ("xml:doc", "xml:collection")):
+                raise JsoniqCompileError("xml:elements expects xml:doc(...) first")
+            ndf = self.env.xml_doc(str(_lit_value(inner.args[-1])))
+            flt = F.col("kind") == "ELEMENT"  # NodeKind parity (xml_source.py:39)
+            if len(node.args) > 1:
+                flt = flt & (F.col("name") == str(_lit_value(node.args[1])))
+            sel = ndf.filter(flt)
+            packed = sel.select(F.struct(*sel.columns).alias(vcol))
+            self._xml_origin[var] = ndf
+            return packed, f"{vcol}.node_key"
         if isinstance(node, P.Call) and node.name == "fn:range":
             lo, hi = (_lit_value(a) for a in node.args)
             df = self.env.spark.range(int(lo), int(hi) + 1).select(
@@ -299,6 +367,39 @@ class Compiler:
         raise JsoniqCompileError(
             f"unsupported for-source {type(node).__name__} (bind jn:doc with let first?)"
         )
+
+    def _xml_axis_join(self, df: DataFrame, scope: dict, var: str, src: P.Call) -> DataFrame:
+        """`for $c in xml:children($n)` and friends — a join between
+        the current FLWOR frame and the node table, with the axis as
+        the join predicate (equality on doc/parent_key → hash join;
+        descendant uses the pre-order interval, a band predicate under
+        the doc equality)."""
+        base = self._xml_origin[src.args[0].name]
+        outer = scope[src.args[0].name]
+        vcol = VAR_PREFIX + var
+        packed = base.select(F.struct(*base.columns).alias(vcol))
+        c = F.col(vcol)
+        conds = [c["doc"] == outer["doc"]]
+        if src.name == "xml:children":
+            conds.append(c["parent_key"] == outer["node_key"])
+        elif src.name == "xml:attributes":
+            conds += [c["parent_key"] == outer["node_key"], c["kind"] == "ATTRIBUTE"]
+        elif src.name == "xml:descendants":
+            conds += [
+                c["node_key"] > outer["node_key"],
+                c["node_key"] <= outer["node_key"] + outer["descendant_count"],
+            ]
+        elif src.name == "xml:following-sibling":
+            conds += [c["parent_key"] == outer["parent_key"], c["pos"] > outer["pos"]]
+        elif src.name == "xml:preceding-sibling":
+            conds += [c["parent_key"] == outer["parent_key"], c["pos"] < outer["pos"]]
+        if len(src.args) > 1:  # optional name test
+            conds.append(c["name"] == str(_lit_value(src.args[1])))
+        cond = conds[0]
+        for x in conds[1:]:
+            cond = cond & x
+        self._xml_origin[var] = base
+        return df.join(packed, cond)
 
     def _apply_steps_to_rel(self, df: DataFrame, vcol: str, steps) -> DataFrame:
         """Path steps applied to a whole sequence (relation): `.f`
@@ -488,6 +589,24 @@ class Compiler:
 
     def _call(self, node: P.Call, scope: dict) -> Column:
         name, args = node.name, node.args
+        if name in self.udfs:
+            d = self.udfs[name]
+            if len(args) != len(d.params):
+                raise JsoniqCompileError(
+                    f"{name}() expects {len(d.params)} args, got {len(args)}"
+                )
+            if self._udf_depth > 32:
+                raise JsoniqCompileError(
+                    f"{name}(): recursive user-defined functions are not supported"
+                )
+            # XQuery function scoping: the body sees ONLY its params
+            # (no closure over FLWOR bindings).
+            bound = {p: self._scalar(a, scope) for p, a in zip(d.params, args)}
+            self._udf_depth += 1
+            try:
+                return self._scalar(d.body, bound)
+            finally:
+                self._udf_depth -= 1
         if name in _AGGS and len(args) == 1 and isinstance(args[0], P.Path) and any(
             s == ("unbox",) for s in args[0].steps
         ):
@@ -582,6 +701,16 @@ class Compiler:
                     vcol = VAR_PREFIX + clause.var
                     df = df.withColumn(vcol, F.explode(scope[src.name]))
                     scope[clause.var] = F.col(vcol)
+                elif (
+                    isinstance(src, P.Call)
+                    and src.name in _XML_AXES
+                    and src.args
+                    and isinstance(src.args[0], P.Var)
+                    and src.args[0].name in self._xml_origin
+                    and df is not None
+                ):
+                    df = self._xml_axis_join(df, scope, clause.var, src)
+                    scope[clause.var] = F.col(VAR_PREFIX + clause.var)
                 else:
                     sdf, ocol = self._sequence_source(src, clause.var)
                     vcol = VAR_PREFIX + clause.var
@@ -638,10 +767,16 @@ class Compiler:
                     for k in f.order_by
                 ]
             )
-        elif order_col is not None and len(record_vars) == 1:
-            # document order is the reference's default emission order;
-            # cheap here (parquet row order ≈ record_key order) and
-            # makes serialized output deterministic.
+        elif (
+            self.document_order and order_col is not None and len(record_vars) == 1
+        ):
+            # Document order is the reference's default emission order,
+            # but on Spark it costs a full range-shuffle + sort on
+            # EVERY un-ordered FLWOR (measured 2.7x the hand-written
+            # twin at sf0.1) and becomes the bottleneck at scale — so
+            # it is OPT-IN (execute(..., document_order=True)). Without
+            # it results are set-ordered like SQL; serializers that
+            # need document order sort explicitly.
             df = df.orderBy(F.col(order_col))
 
         return self._project_return(df, scope, f.ret)
@@ -878,10 +1013,23 @@ class Compiler:
         return store.insert_records(db, res, new, key=RECORD_KEY)
 
 
-def execute(query: str, spark: SparkSession, store=None, tables: dict | None = None):
+def execute(
+    query: str,
+    spark: SparkSession,
+    store=None,
+    tables: dict | None = None,
+    xml_tables: dict | None = None,
+    document_order: bool = False,
+):
     """Parse + compile + run a JSONiq-subset query.
 
     Returns a DataFrame for sequence-valued queries, or an int
-    revision number for update expressions."""
+    revision number for update expressions. `document_order=True`
+    restores the reference's record-order emission for un-`order by`d
+    FLWORs at the cost of a global sort. `xml_tables` exposes shredded
+    XML node tables to the xml: function namespace."""
     ast = P.parse(query)
-    return Compiler(Env(spark, store=store, tables=tables)).execute(ast)
+    return Compiler(
+        Env(spark, store=store, tables=tables, xml_tables=xml_tables),
+        document_order=document_order,
+    ).execute(ast)

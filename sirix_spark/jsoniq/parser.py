@@ -171,6 +171,21 @@ class Quantified:
 
 
 @dataclass
+class FunDecl:
+    name: str  # e.g. "local:discount"
+    params: list[str] = field(default_factory=list)
+    body: object = None
+
+
+@dataclass
+class Main:
+    """A query with a prolog of function declarations."""
+
+    decls: list = field(default_factory=list)
+    body: object = None
+
+
+@dataclass
 class UpdateExpr:
     kind: str  # insert | delete | replace | rename | append
     target: object
@@ -210,9 +225,47 @@ class _Parser:
 
     # -- entry
     def parse(self):
+        # prolog: `declare function local:f($x[, …]) { expr };`*
+        # (user-defined functions, XQuery 3.1 subset — type
+        # annotations `as xs:T` are parsed and ignored, the model is
+        # structurally typed)
+        decls = []
+        while self.at("name", "declare"):
+            self.i += 1
+            self.eat("name", "function")
+            if self.cur.kind not in ("qname", "name"):
+                raise JsoniqSyntaxError(f"bad function name at {self.cur.pos}")
+            name = self.eat(self.cur.kind).text
+            self.eat("op", "(")
+            params = []
+            if not self.at("op", ")"):
+                while True:
+                    params.append(self.eat("var").text[1:])
+                    self._skip_type_annotation()
+                    if not self.opt("op", ","):
+                        break
+            self.eat("op", ")")
+            self._skip_type_annotation()
+            self.eat("op", "{")
+            body = self.expr()
+            self.eat("op", "}")
+            self.opt("op", ";")
+            decls.append(FunDecl(name, params, body))
         expr = self.expr()
         self.eat("eof")
-        return expr
+        return Main(decls, expr) if decls else expr
+
+    def _skip_type_annotation(self):
+        if self.at("kw", "as"):
+            self.i += 1
+            if self.cur.kind not in ("qname", "name"):
+                raise JsoniqSyntaxError(f"bad type annotation at {self.cur.pos}")
+            self.i += 1
+            if self.opt("op", "("):
+                self.eat("op", ")")
+            # occurrence indicator (?, *, +)
+            if self.cur.kind == "op" and self.cur.text in ("*", "+"):
+                self.i += 1
 
     def expr(self):
         if self.at("kw", "for") or self.at("kw", "let"):

@@ -50,6 +50,18 @@ WHERE event_type = 'click' AND value > 200
 """
 
 
+def events_filter_project(spark, sf_dir):
+    """Hand-written twin of jsoniq_filter_project — same semantics,
+    direct DataFrame API. Benched adjacently (bench.py HEADLINE) to
+    pin that the JSONiq layer adds zero runtime operators: with
+    document-order emission opt-in (not default), the two plans are
+    identical modulo the struct packing, which prunes identically."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "click") & (F.col("value") > 200)).select(
+        "event_id", "user_id", "value"
+    )
+
+
 # --- FLWOR group by + aggregates ------------------------------------
 def jsoniq_group_count(spark, sf_dir):
     return _run(
@@ -204,6 +216,29 @@ WHERE label <= 2 AND len(list_filter(embedding, x -> NOT (x < 1.0))) = 0
 """
 
 
+# --- user-defined functions (declare function local:f) --------------
+# Inlined at compile time: a UDF call costs zero runtime operators —
+# the plan is identical to writing the arithmetic inline.
+def jsoniq_udf_pricing(spark, sf_dir):
+    return _run(
+        spark,
+        sf_dir,
+        "declare function local:net($p, $d) { $p * (1 - $d) }; "
+        "for $l in jn:doc('testdata','lineitem') "
+        "where $l.l_quantity ge 48 "
+        "return {'okey': $l.l_orderkey, 'line': $l.l_linenumber, "
+        "'net': local:net($l.l_extendedprice, $l.l_discount)}",
+        "lineitem",
+    )
+
+
+JSONIQ_UDF_SQL = """
+SELECT l_orderkey AS okey, l_linenumber AS line,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem WHERE l_quantity >= 48
+"""
+
+
 # --- temporal navigation through the string entry -------------------
 # jn:all-times over a real VersionedStore, built per call from a
 # deterministic events reduction (3 revisions committed via upsert);
@@ -277,5 +312,11 @@ QUERIES = {
     ),
     "jsoniq_all_times_store": Query(
         jsoniq_all_times_store, JSONIQ_ALL_TIMES_SQL, ("jsoniq", "temporal")
+    ),
+    "jsoniq_udf_pricing": Query(
+        jsoniq_udf_pricing, JSONIQ_UDF_SQL, ("jsoniq", "udf")
+    ),
+    "events_filter_project": Query(
+        events_filter_project, JSONIQ_FILTER_PROJECT_SQL, ("scan", "twin")
     ),
 }

@@ -111,7 +111,7 @@ def test_let_arithmetic_if(spark, store):
     out = execute(
         "for $i in jn:doc('db','res') let $v := $i.value * 2 "
         "where $v gt 20 return if ($v ge 80) then 'big' else 'small'",
-        spark, store=store,
+        spark, store=store, document_order=True,
     )
     assert [r[0] for r in out.collect()] == ["small", "small", "big"]
 
@@ -404,3 +404,141 @@ def test_regex_and_substring_functions(spark, store):
         spark, store=store,
     )
     assert rows(out) == [("New", "York", "Old York", ["New", "York"])]
+
+
+# ---- user-defined functions (declare function local:f) --------------
+def test_udf_declaration_and_call(spark, store):
+    out = execute(
+        "declare function local:double($x) { $x * 2 }; "
+        "declare function local:quad($x as xs:integer) as xs:integer "
+        "{ local:double(local:double($x)) }; "
+        "for $i in jn:doc('db','res') "
+        "where local:quad($i.value) ge 80 "
+        "return {'k': sdb:nodekey($i), 'q': local:quad($i.value)}",
+        spark, store=store,
+    )
+    # expectation derived from current store state (the module-scoped
+    # fixture is mutated by the update tests above)
+    expected = sorted(
+        (r["record_key"], r["value"] * 4)
+        for r in store.doc("db", "res").collect()
+        if r["value"] * 4 >= 80
+    )
+    assert sorted(rows(out)) == expected
+
+
+def test_udf_wrong_arity_and_recursion_raise(spark, store):
+    with pytest.raises(JsoniqCompileError, match="expects 1 args"):
+        execute(
+            "declare function local:f($x) { $x }; "
+            "for $i in jn:doc('db','res') return local:f($i.value, 1)",
+            spark, store=store,
+        )
+    with pytest.raises(JsoniqCompileError, match="recursive"):
+        execute(
+            "declare function local:f($x) { local:f($x) }; "
+            "for $i in jn:doc('db','res') return local:f($i.value)",
+            spark, store=store,
+        )
+
+
+def test_udf_no_closure_over_flwor_vars(spark, store):
+    # the body must see only its params — a free FLWOR var raises
+    with pytest.raises(JsoniqCompileError, match="unbound"):
+        execute(
+            "declare function local:f($x) { $x + $i.value }; "
+            "for $i in jn:doc('db','res') return local:f(1)",
+            spark, store=store,
+        )
+
+
+def test_keys_function(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') "
+        "where sdb:nodekey($i) eq 1 return keys($i.location)",
+        spark, store=store,
+    )
+    assert rows(out) == [(["state", "city"],)]
+
+
+# ---- xml: function namespace (XMLFun.java string-entry analog) ------
+@pytest.fixture(scope="module")
+def xml_nodes(spark):
+    from sirix_spark.sources.xml_source import shred_xml
+
+    xml = (
+        "<lib><book id='1'><title>A</title><year>1999</year></book>"
+        "<book id='2'><title>B</title><year>2005</year></book>"
+        "<mag><title>M</title></mag></lib>"
+    )
+    df = spark.createDataFrame([("d1", xml)], "doc string, xml string")
+    return shred_xml(df)
+
+
+def test_xml_elements_source(spark, xml_nodes):
+    out = execute(
+        "for $b in xml:elements(xml:doc('d1'), 'book') "
+        "return {'path': $b.path, 'level': $b.level}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert sorted(rows(out)) == [("/lib/book", 2), ("/lib/book", 2)]
+
+
+def test_xml_children_axis_join(spark, xml_nodes):
+    # titles of books only (not the mag): correlated children axis
+    out = execute(
+        "for $b in xml:elements(xml:doc('d1'), 'book') "
+        "for $t in xml:children($b, 'title') "
+        "for $txt in xml:children($t) "
+        "return {'title': $txt.value}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert sorted(r[0] for r in out.collect()) == ["A", "B"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_xml_attributes_axis(spark, xml_nodes):
+    out = execute(
+        "for $b in xml:elements(xml:doc('d1'), 'book') "
+        "for $a in xml:attributes($b) "
+        "return {'name': $a.name, 'value': $a.value}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert sorted(rows(out)) == [("id", "1"), ("id", "2")]
+
+
+def test_xml_descendants_and_siblings(spark, xml_nodes):
+    # all element descendants of the root lib element
+    out = execute(
+        "for $l in xml:elements(xml:doc('d1'), 'lib') "
+        "for $d in xml:descendants($l) "
+        "where $d.kind eq 'ELEMENT' "
+        "return {'name': $d.name}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert sorted(r[0] for r in out.collect()) == [
+        "book", "book", "mag", "title", "title", "title", "year", "year",
+    ]
+    # following siblings of the first book (pos-based)
+    out2 = execute(
+        "for $b in xml:elements(xml:doc('d1'), 'book') "
+        "for $s in xml:following-sibling($b) "
+        "where $b.pos eq 0 "
+        "return {'name': $s.name}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert sorted(r[0] for r in out2.collect()) == ["book", "mag"]
+
+
+def test_xml_group_count_by_name(spark, xml_nodes):
+    out = execute(
+        "for $e in xml:elements(xml:doc('d1')) "
+        "group by $n := $e.name "
+        "order by $n "
+        "return {'name': $n, 'cnt': count($e)}",
+        spark, xml_tables={"d1": xml_nodes},
+    )
+    assert rows(out) == [
+        ("book", 2), ("lib", 1), ("mag", 1), ("title", 3), ("year", 2),
+    ]

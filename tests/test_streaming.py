@@ -62,3 +62,45 @@ def test_windowed_counts_batch_parity(spark, sf_dir):
     assert sum(r["cnt"] for r in rows) == ev.count()
     # window bounds are day-aligned
     assert all(r["window_start"].hour == 0 for r in rows)
+
+
+def test_stream_dedup_exact_and_content(spark, tmp_path):
+    """Streaming dedup drops re-deliveries within the watermark; the
+    batch form of the same operator is the differential oracle."""
+    from sirix_spark.streaming.dedup import dedup_stream_content, dedup_stream_exact
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "text": "Hello  World"},
+        {"event_id": 1, "ts": "2024-01-01T10:00:05", "text": "hello world"},  # redelivery
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", "text": "hello world "},  # same content
+        {"event_id": 3, "ts": "2024-01-01T10:02:00", "text": "different doc"},
+    ]
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    (inbox / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id long, ts timestamp, text string"
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    stream = spark.readStream.schema(schema).json(str(inbox))
+    got = drain(dedup_stream_exact(stream, ["event_id"]), "dedup_exact_out")
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+    stream2 = spark.readStream.schema(schema).json(str(inbox))
+    got2 = drain(dedup_stream_content(stream2), "dedup_content_out")
+    assert sorted(r["event_id"] for r in got2) == [1, 3]
+
+    # batch parity: same operators on a static frame
+    batch = spark.read.schema(schema).json(str(inbox))
+    assert dedup_stream_exact(batch, ["event_id"]).count() == 3
+    assert dedup_stream_content(batch).count() == 2
