@@ -97,13 +97,23 @@ class Sirix:
     def drop_database(self, db: str) -> None:
         self.store.drop_database(db)
 
-    def serve(self, host: str = "127.0.0.1", port: int = 0, token: str | None = None):
+    def serve(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
+        scopes: dict | None = None,
+    ):
         """Start the REST façade over this store (SirixVerticle analog;
         rest.py). Returns the started server; `.port` / `.stop()`.
-        `token` enables bearer-token auth (Keycloak-layer analog)."""
+        `token` enables bearer-token auth; `scopes` enables per-
+        database roles {token: {db: "rw"|"ro", "*": mode}}
+        (Keycloak-role-layer analog)."""
         from sirix_spark.rest import SirixRestServer
 
-        return SirixRestServer(self, host=host, port=port, token=token).start()
+        return SirixRestServer(
+            self, host=host, port=port, token=token, scopes=scopes
+        ).start()
 
 
 class Resource:

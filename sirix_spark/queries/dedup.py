@@ -559,8 +559,80 @@ WHERE levenshtein(pa.prefix, pb.prefix) <= 40
 """
 
 
+# --- near-dup clustering (connected components) ---------------------
+# A pairs list isn't what a dedup pipeline keeps at 100 TB — it keeps
+# one canonical representative per near-dup CLUSTER. Components over
+# the LSH candidate graph via min-label propagation: each iteration
+# is one hash join + one grouped min (all shuffles keyed by doc/band),
+# converging in O(component diameter) rounds — near-dup components
+# are shallow (docs linked through shared buckets), so the bound is
+# small; the iteration cap is the documented semantics. The driver
+# loop holds only a convergence counter, never data.
+CLUSTER_MAX_ITER = 12
+
+
+def dedup_clusters(spark, sf_dir):
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    )
+    for _ in range(CLUSTER_MAX_ITER):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst_id"),
+            edges.dst == F.col("dst_id"),
+        ).select(F.col("src").alias("doc_id"), "cluster")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            # truncate lineage each round: without this the plan
+            # doubles per iteration (the standard iterative-algorithm
+            # checkpoint; GraphX does the same internally)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "old"), "doc_id"
+            )
+            .filter(F.col("cluster") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sig AS (
+{_SIG_SQL_BODY}
+),
+{_MINHASH_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cands
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cands
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.doc_id
+)
+SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": Query(exact_dedup, EXACT_DEDUP_SQL, ("dedup",)),
+    "dedup_clusters": Query(dedup_clusters, DEDUP_CLUSTERS_SQL, ("dedup", "graph")),
     "fuzzy_verify_pairs": Query(fuzzy_verify_pairs, FUZZY_VERIFY_SQL, ("dedup",)),
     "minhash_signatures": Query(minhash_signatures, MINHASH_SIGNATURES_SQL, ("dedup",)),
     "minhash_lsh_pairs": Query(minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL, ("dedup",)),

@@ -86,23 +86,39 @@ def _parse_ts(s: str) -> datetime:
 class _Handler(BaseHTTPRequestHandler):
     sirix: Sirix  # set by server factory
     token: str | None = None  # bearer token; None = open (test façade)
+    # per-database scopes: token → {db: "rw"|"ro"} ("*" = any db).
+    # The lightweight analog of the reference's Keycloak role model
+    # (SirixVerticle.kt:15-20 keycloak config + PermissionCheckingQuery
+    # create/modify/view-per-database roles).
+    scopes: dict[str, dict[str, str]] | None = None
 
     # --- plumbing ---
     def log_message(self, *a):  # quiet test runs
         pass
 
-    def _authorized(self) -> bool:
-        """Bearer-token check — the lightweight analog of the
-        reference's Keycloak/OAuth2 layer (SirixVerticle.kt
-        PermissionCheckingQuery); constant-time compare."""
-        if self.token is None:
-            return True
+    def _bearer(self) -> str | None:
+        got = self.headers.get("Authorization", "")
+        return got[len("Bearer "):] if got.startswith("Bearer ") else None
+
+    def _authorized(self, db: str | None = None, write: bool = False) -> bool:
+        """Token check, then per-database scope check when a scope map
+        is configured; constant-time token compare."""
         import hmac
 
-        got = self.headers.get("Authorization", "")
-        return got.startswith("Bearer ") and hmac.compare_digest(
-            got[len("Bearer "):], self.token
-        )
+        bearer = self._bearer()
+        if self.scopes is not None:
+            if bearer is None:
+                return False
+            for tok, grants in self.scopes.items():
+                if hmac.compare_digest(bearer, tok):
+                    if db is None:  # server-level listings: any token
+                        return True
+                    mode = grants.get(db, grants.get("*"))
+                    return mode == "rw" or (mode == "ro" and not write)
+            return False
+        if self.token is None:
+            return True
+        return bearer is not None and hmac.compare_digest(bearer, self.token)
 
     def _send(self, code: int, payload: str | dict):
         body = (payload if isinstance(payload, str) else json.dumps(payload)).encode()
@@ -127,10 +143,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     # --- GET ---
     def do_GET(self):
-        if not self._authorized():
-            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
+            if not self._authorized(parts[0] if parts else None):
+                return self._send(401, {"error": "unauthorized"})
             store = self.sirix.store
             if not parts:
                 import os
@@ -206,45 +222,51 @@ class _Handler(BaseHTTPRequestHandler):
         return self.sirix.spark.read.json(rdd)
 
     def do_POST(self):
-        if not self._authorized():
-            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
             if len(parts) != 2:
                 return self._send(400, {"error": "POST /{db}/{res}"})
             db, res = parts
+            if not self._authorized(db, write=True):
+                return self._send(401, {"error": "unauthorized"})
             if self.sirix.store.exists_resource(db, res):
                 return self._send(409, {"error": f"{db}/{res} exists (PUT to update)"})
             key = q.get("key", "id")
             df = self._records_df()
-            self.sirix.store_df(db, res, df, key=key, message=q.get("message"))
+            # ?author= → commit metadata (GetAuthorName parity);
+            # surfaced back via /history
+            self.sirix.store_df(
+                db, res, df, key=key, message=q.get("message"), author=q.get("author")
+            )
             return self._send(201, {"revision": 1})
         except Exception as e:
             self._send(400, {"error": str(e)})
 
     def do_PUT(self):
-        if not self._authorized():
-            return self._send(401, {"error": "unauthorized"})
         try:
             parts, q = self._route()
             if len(parts) != 2:
                 return self._send(400, {"error": "PUT /{db}/{res}"})
             db, res = parts
+            if not self._authorized(db, write=True):
+                return self._send(401, {"error": "unauthorized"})
             store = self.sirix.store
             if not store.exists_resource(db, res):
                 return self._send(404, {"error": f"{db}/{res} not found (POST to create)"})
             key = q.get("key", "id")
             df = self._records_df()
-            rev = store.upsert_records(db, res, df, key=key, message=q.get("message"))
+            rev = store.upsert_records(
+                db, res, df, key=key, message=q.get("message"), author=q.get("author")
+            )
             return self._send(200, {"revision": rev})
         except Exception as e:
             self._send(400, {"error": str(e)})
 
     def do_DELETE(self):
-        if not self._authorized():
-            return self._send(401, {"error": "unauthorized"})
         try:
             parts, _ = self._route()
+            if not self._authorized(parts[0] if parts else None, write=True):
+                return self._send(401, {"error": "unauthorized"})
             store = self.sirix.store
             if len(parts) == 2:
                 if not store.exists_resource(*parts):
@@ -270,8 +292,16 @@ class SirixRestServer:
         host: str = "127.0.0.1",
         port: int = 0,
         token: str | None = None,
+        scopes: dict[str, dict[str, str]] | None = None,
     ):
-        handler = type("BoundHandler", (_Handler,), {"sirix": sirix, "token": token})
+        """`token`: single full-access bearer token. `scopes`: per-
+        database role map {token: {db: "rw"|"ro", "*": mode}} — the
+        Keycloak-role analog; takes precedence over `token`."""
+        handler = type(
+            "BoundHandler",
+            (_Handler,),
+            {"sirix": sirix, "token": token, "scopes": scopes},
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.host = host
         self.port = self._httpd.server_address[1]

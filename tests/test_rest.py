@@ -172,3 +172,58 @@ def test_token_auth_rejects_and_accepts(spark, tmp_path_factory):
             assert json.loads(r.read().decode()) == {"databases": []}
     finally:
         srv.stop()
+
+
+@pytest.fixture(scope="module")
+def scoped_server(spark, tmp_path_factory):
+    from sirix_spark.api import Sirix
+
+    sirix = Sirix(spark, str(tmp_path_factory.mktemp("rest_scoped")))
+    srv = sirix.serve(
+        scopes={
+            "admin-tok": {"*": "rw"},
+            "writer-tok": {"salesdb": "rw"},
+            "reader-tok": {"salesdb": "ro"},
+        }
+    )
+    yield srv
+    srv.stop()
+
+
+def _req_tok(srv, path, token, method="GET", body=None):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}",
+        data=body.encode() if body is not None else None,
+        method=method,
+        headers={"Authorization": f"Bearer {token}"} if token else {},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            raw = r.read().decode()
+            return r.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        e.read()
+        return e.code, None
+
+
+def test_per_database_scopes(scoped_server):
+    recs = json.dumps([{"id": 1, "v": 10}])
+    # no token → 401; reader can't write; writer can
+    assert _req_tok(scoped_server, "/salesdb/r1?key=id", None, "POST", recs)[0] == 401
+    assert _req_tok(scoped_server, "/salesdb/r1?key=id", "reader-tok", "POST", recs)[0] == 401
+    code, out = _req_tok(
+        scoped_server, "/salesdb/r1?key=id&author=wally", "writer-tok", "POST", recs
+    )
+    assert (code, out) == (201, {"revision": 1})
+    # reader reads salesdb but not another db; writer's scope is db-bound
+    assert _req_tok(scoped_server, "/salesdb/r1", "reader-tok")[0] == 200
+    assert _req_tok(scoped_server, "/otherdb/r1?key=id", "writer-tok", "POST", recs)[0] == 401
+    # admin wildcard writes anywhere
+    assert _req_tok(scoped_server, "/otherdb/r1?key=id", "admin-tok", "POST", recs)[0] == 201
+    # author metadata surfaces in /history (GetAuthorName parity)
+    code, hist = _req_tok(scoped_server, "/salesdb/r1/history", "reader-tok")
+    assert code == 200
+    assert hist[0]["author"] == "wally"
+    # deletes need write scope
+    assert _req_tok(scoped_server, "/salesdb/r1", "reader-tok", "DELETE")[0] == 401
+    assert _req_tok(scoped_server, "/salesdb/r1", "writer-tok", "DELETE")[0] == 204
