@@ -156,3 +156,68 @@ def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFram
         "looks_fake_img",
         F.expr(f"substring({content_col}, 1, {len(MAGIC)})") == F.lit(MAGIC),
     )
+
+
+# --- video: frame sampling ------------------------------------------
+# FAKE video container (same stub philosophy as FAKEIMG — the real
+# codec path needs av/ffmpeg, not in this container image; the
+# Spark-side plumbing — schema, Arrow batching, fan-out shape — is
+# real and value-tested):
+#   b"FAKEVID" | uint32 n_frames | uint32 width | uint32 height |
+#   n_frames * (width*height) grayscale payload
+VID_MAGIC = b"FAKEVID"
+VID_HEADER = len(VID_MAGIC) + 12
+
+
+def encode_fake_video(n_frames: int, width: int, height: int, seed: int = 0) -> bytes:
+    frames = bytes(
+        (seed + f * 7 + i * 13) % 256
+        for f in range(n_frames)
+        for i in range(width * height)
+    )
+    return VID_MAGIC + struct.pack("<III", n_frames, width, height) + frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame (frames 0, k,
+    2k, …) with integer frame stats — the fan-out stage of a video
+    pipeline. Arrow-batched mapInPandas; rows-per-batch is bounded by
+    (batch size × frames/clip ÷ k), no shuffle. Non-video blobs emit
+    zero rows (route poisons around the stage with
+    with_media_metadata-style sniffing when they are frequent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob) if blob is not None else None
+                if not blob or not blob.startswith(VID_MAGIC):
+                    continue
+                n, w, h = struct.unpack_from("<III", blob, len(VID_MAGIC))
+                fsz = w * h
+                for f in range(0, n, every_k):
+                    px = blob[VID_HEADER + f * fsz : VID_HEADER + (f + 1) * fsz]
+                    ids.append(int(rid))
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(sum(px))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} long, frame_idx long, width int, height int, pixel_sum long",
+    )

@@ -116,9 +116,73 @@ FROM imgs
 # the driver's Arrow fetch → hash mismatch vs Spark's long.
 
 
+# --- video frame sampling -------------------------------------------
+VID_POISON_EVERY = 89
+FRAME_EVERY_K = 2
+
+
+def _videos(spark, sf_dir):
+    """(doc_id, content): deterministic FAKEVID clips — n_frames =
+    2 + doc_id % 5, width = 4 + doc_id % 4, height = 4,
+    seed = doc_id % 97; every VID_POISON_EVERY-th doc is a non-video
+    blob that must yield zero frames."""
+    from sirix_spark.functions.multimodal import encode_fake_video
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % VID_POISON_EVERY == 0:
+                    out.append(b"NOTAVID")
+                    continue
+                out.append(
+                    encode_fake_video(
+                        2 + doc_id % 5, 4 + doc_id % 4, 4, seed=doc_id % 97
+                    )
+                )
+            pdf["content"] = out
+            yield pdf
+
+    return docs.mapInPandas(gen, schema="doc_id long, content binary")
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-k-th-frame sampling over the synthetic video table:
+    one row per kept frame with integer stats, value-checked (the
+    oracle recomputes each frame's pixel sum arithmetically)."""
+    from sirix_spark.functions.multimodal import sample_video_frames
+
+    return sample_video_frames(_videos(spark, sf_dir), every_k=FRAME_EVERY_K)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH clips AS (
+  SELECT doc_id,
+         2 + doc_id % 5 AS n_frames,
+         4 + doc_id % 4 AS w,
+         4 AS h,
+         doc_id % 97 AS seed
+  FROM documents WHERE doc_id % {VID_POISON_EVERY} <> 0
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+                     i -> (seed + f * 7 + i * 13) % 256)) AS BIGINT) AS pixel_sum
+FROM clips, unnest(range(0, n_frames, {FRAME_EVERY_K})) AS t(f)
+"""
+
+
 QUERIES = {
     "multimodal_features": Query(
         multimodal_features, MULTIMODAL_FEATURES_SQL, ("multimodal",)
+    ),
+    "multimodal_frame_sample": Query(
+        multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, ("multimodal", "video")
     ),
     "multimodal_filter_decode": Query(
         multimodal_filter_decode, MULTIMODAL_FILTER_DECODE_SQL, ("multimodal",)

@@ -50,3 +50,26 @@ def test_decode_stub_boundary():
         M.decode_image(b"JPEG-bytes-we-cannot-decode-here")
     w, h, px = M.decode_image(M.encode_fake_image(2, 2, seed=0))
     assert (w, h, len(px)) == (2, 2, 4)
+
+
+def test_video_frame_sampling(spark):
+    from sirix_spark.functions.multimodal import (
+        encode_fake_video,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_fake_video(5, 3, 2, seed=10)),
+            (2, b"NOTAVID"),  # zero frames, must not fail the stage
+            (3, encode_fake_video(1, 2, 2, seed=0)),
+        ],
+        "doc_id long, content binary",
+    )
+    out = sample_video_frames(df, every_k=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    # doc 1: frames 0, 2, 4 kept; doc 2: none; doc 3: frame 0
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (3, 0)}
+    assert got[(1, 0)]["width"] == 3 and got[(1, 0)]["height"] == 2
+    # frame 2 pixel sum: sum((10 + 2*7 + i*13) % 256 for i in range(6))
+    assert got[(1, 2)]["pixel_sum"] == sum((10 + 14 + i * 13) % 256 for i in range(6))
