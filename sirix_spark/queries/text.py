@@ -294,7 +294,71 @@ JOIN ({FINGERPRINT_SQL}) f ON q.doc_id = f.doc_id
 """
 
 
+# --- end-to-end training-corpus pipeline ----------------------------
+# The composition a 100 TB pretraining-data job actually runs:
+# quality gate -> language gate -> content-level dedup (canonical =
+# min doc_id per normalized text) -> per-source corpus stats. Each
+# stage is the already-oracle-checked operator above; the composed
+# plan is: one scan with pushed filters, one shuffle on the dedup
+# key, one partial-agg'd shuffle on source. Grouping directly on the
+# normalized text (not a hash of it) keeps the oracle engine-
+# independent; at scale the xxhash64 fingerprint (streaming/dedup.py)
+# narrows the shuffle key — same partitioning, cheaper bytes.
+PIPE_QMIN = 2500
+PIPE_MIN_WORDS = 5
+PIPE_LANGS = ("en", "de", "fr")
+
+
+def training_corpus_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "n_words", "quality_e4")
+    keep = (
+        docs.join(q, "doc_id")
+        .filter(
+            (F.col("quality_e4") >= PIPE_QMIN)
+            & (F.col("n_words") >= PIPE_MIN_WORDS)
+            & F.col("lang").isin(*PIPE_LANGS)
+        )
+        .withColumn(
+            "norm", F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        )
+    )
+    canon = keep.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.expr("min_by(n_words, doc_id)").alias("n_words"),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words")
+    )
+
+
+TRAINING_CORPUS_SQL = f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+keep AS (
+  SELECT d.doc_id, d.source,
+         regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') AS norm,
+         q.n_words
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_e4 >= {PIPE_QMIN} AND q.n_words >= {PIPE_MIN_WORDS}
+    AND d.lang IN ('en','de','fr')
+),
+canon AS (
+  SELECT norm, min(doc_id) AS doc_id,
+         arg_min(source, doc_id) AS source,
+         arg_min(n_words, doc_id) AS n_words
+  FROM keep GROUP BY norm
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM canon GROUP BY source
+"""
+
+
 QUERIES = {
+    "training_corpus_filter": Query(
+        training_corpus_filter, TRAINING_CORPUS_SQL, ("text", "pipeline")
+    ),
     "text_profile": Query(text_profile, TEXT_PROFILE_SQL, ("text",)),
     "token_count": Query(token_count, TOKEN_COUNT_SQL, ("text",)),
     "quality_score": Query(quality_score, QUALITY_SCORE_SQL, ("text",)),
