@@ -212,6 +212,11 @@ def _run(sf_dir, n_records, timings, errors, out):
     matrix_conf = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "1",
+        # v2 parquet source: aggregatePushdown only engages on v2
+        # (v1, the engine default, silently ignores it) — with it,
+        # minMaxAge reads column chunk stats instead of 100M rows
+        # (plan shows PushedAggregation: [MIN(age), MAX(age)]).
+        "spark.sql.sources.useV1SourceList": "",
     }
     saved = {k: spark.conf.get(k) for k in matrix_conf}
     for k, v in matrix_conf.items():

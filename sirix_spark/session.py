@@ -26,6 +26,12 @@ DEFAULT_CONF = {
     # --- scan physics: pushdown + pruning (reference's zone maps /
     #     PAX regions come free from parquet, SURVEY.md §2.2) ---
     "spark.sql.parquet.filterPushdown": "true",
+    # NOTE: aggregatePushdown only engages on the v2 parquet source
+    # (set spark.sql.sources.useV1SourceList="" per-query/phase to
+    # activate it, as bench.py's matrix phase does); the v1 default
+    # silently ignores it. We keep v1 as the engine default — the
+    # mature path for bucketing/nested pruning — and opt into v2
+    # where footer-stat aggregates matter.
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     # --- joins: broadcast small dims; CBO join reorder (reference
