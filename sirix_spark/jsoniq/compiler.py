@@ -284,6 +284,17 @@ class Compiler:
                 raise JsoniqCompileError(f"unknown collection {name!r}")
             return self.env.tables[name]
         db, res = args[0], args[1]
+        if len(args) > 2 and call.name == "jn:open" and isinstance(args[2], str):
+            # jn:open(db, res, ts) — the revision current AT an
+            # instant (Open.java); resolved via the manifest, then an
+            # ordinary pinned-revision read.
+            from datetime import datetime
+
+            if self.env.store is None:
+                raise JsoniqCompileError("jn:open(ts) needs a store")
+            return self.env.store.doc(
+                db, res, timestamp=datetime.fromisoformat(args[2])
+            )
         rev = int(args[2]) if len(args) > 2 else None
         return self.env.doc(db, res, revision=rev)
 
@@ -299,7 +310,7 @@ class Compiler:
         _TEMPORAL = {
             "jn:all-times", "jn:past", "jn:future",
             "jn:first", "jn:last", "jn:item-history",
-            "jn:previous", "jn:next",
+            "jn:previous", "jn:next", "jn:open-revisions",
         }
         if isinstance(node, P.Call) and node.name in _TEMPORAL:
             from sirix_spark.operators import temporal as T
@@ -321,6 +332,20 @@ class Compiler:
                 hv = T.last(hv)
             elif node.name == "jn:item-history":
                 hv = T.item_history(hv)
+            elif node.name == "jn:open-revisions":
+                # jn:open-revisions(jn:doc(db,res), ts1, ts2) — every
+                # revision whose commit instant falls in [ts1, ts2]
+                # (OpenRevisions.java): manifest lookup (driver-side,
+                # metadata only) → partition-prunable isin filter.
+                from datetime import datetime
+
+                revs = self.env.store.open_revisions(
+                    args[0],
+                    args[1],
+                    datetime.fromisoformat(str(_lit_value(node.args[1]))),
+                    datetime.fromisoformat(str(_lit_value(node.args[2]))),
+                )
+                hv = hv.filter(F.col("revision").isin(revs or [-1]))
             elif node.name in ("jn:previous", "jn:next"):
                 # the revision adjacent to the given one (PreviousAxis/
                 # NextAxis, revisions are dense 1..N) — a partition-

@@ -542,3 +542,33 @@ def test_xml_group_count_by_name(spark, xml_nodes):
     assert rows(out) == [
         ("book", 2), ("lib", 1), ("mag", 1), ("title", 3), ("year", 2),
     ]
+
+
+# ---- jn:open(ts) / jn:open-revisions as string-entry sources --------
+def test_open_timestamp_and_open_revisions(spark, tmp_path_factory):
+    from datetime import datetime
+
+    st = VersionedStore(spark, str(tmp_path_factory.mktemp("open_store")))
+    df = spark.createDataFrame([(1, 100)], "id long, v long")
+    st.store("d", "r", df, key="id",
+             commit_timestamp=datetime.fromisoformat("2024-01-01T00:00:00"))
+    st.replace_where("d", "r", F.col("record_key") == 1, {"v": 200},
+                     commit_timestamp=datetime.fromisoformat("2024-02-01T00:00:00"))
+    st.replace_where("d", "r", F.col("record_key") == 1, {"v": 300},
+                     commit_timestamp=datetime.fromisoformat("2024-03-01T00:00:00"))
+
+    # jn:open at an instant between commits → revision 2's state
+    out = execute(
+        "for $i in jn:open('d','r','2024-02-15T00:00:00') return $i.v",
+        spark, store=st,
+    )
+    assert [r[0] for r in out.collect()] == [200]
+
+    # jn:open-revisions over a window → revisions 1 and 2 only
+    out2 = execute(
+        "for $s in jn:open-revisions(jn:doc('d','r'), "
+        "'2023-12-01T00:00:00', '2024-02-15T00:00:00') "
+        "return {'r': $s.revision, 'v': $s.v}",
+        spark, store=st,
+    )
+    assert sorted(rows(out2)) == [(1, 100), (2, 200)]
