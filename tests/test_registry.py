@@ -93,3 +93,12 @@ def test_driver_window_covers_all_families(reg):
     missing = required - set(first50)
     assert not missing, f"not in driver window: {missing}"
     assert len(PRIORITY) == 50, "PRIORITY must exactly fill the driver window"
+
+
+def test_registry_vector_route_reads_index_files(spark, sf_dir, reg):
+    """Round-2 verdict #7 'Done =' clause: the registry's routed
+    vector search must execute through the persisted IVF index (plan
+    scans vidx_* files), not fall back to the snapshot scan."""
+    df = reg["vector_search_routed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "vidx_ann" in plan, plan[:2000]
