@@ -1,0 +1,1365 @@
+"""Document-model JSONiq evaluation over Spark VARIANT + node tables.
+
+The relational compiler (sirix_spark/jsoniq/compiler.py) covers the
+record/table-shaped resources; this module evaluates the reference's
+*document* semantics — heterogeneous JSON trees with node identity —
+the way the reference's own integration corpus exercises them
+(bundles/sirix-query/src/test/java/io/sirix/query/JsonIntegrationTest.java,
+AbstractJsonTest.java serialization).
+
+Execution model (all Spark-side, one action per query):
+
+- a **sequence** is a DataFrame of items: ``__ord array<bigint>``
+  (document-order vector), ``__k`` nodeKey (null = constructed
+  value), ``__h`` doc-handle id, ``__r`` revision, ``__sz`` subtree
+  span, ``__j`` compact JSON text;
+- a FLWOR **tuple stream** is a DataFrame with those five columns per
+  bound variable (``k_v, h_v, r_v, s_v, j_v``; sequence-valued lets
+  bind ``a_v array<struct<o,k,j>>``);
+- structural steps on stored nodes are node-table joins
+  (field deref → (container, fname) equi-join; unbox/index →
+  container join; ``=>>`` → pre-order interval ``key ∈ (k, k+size)``);
+- value expressions compile to ``array<variant>`` Columns (sequence
+  semantics: general comparisons are existential, missing fields
+  yield the empty array while JSON nulls survive as variant nulls);
+- serialization matches the reference: items joined by a single
+  space, compact JSON.
+
+Updates and index DDL (side-effecting queries) route to the
+transactional interpreter in sirix_spark/jsoniq/docupdates.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from sirix_spark.jsoniq import parser as P
+from sirix_spark.jsoniq.compiler import JsoniqCompileError
+from sirix_spark.store.docstore import DocHandle, DocumentStore
+
+ITEM_COLS = ("__k", "__h", "__r", "__sz", "__j")
+
+
+def _compact(v) -> str:
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+class _Handles:
+    """Registry of opened DocHandles; sequence rows carry the id."""
+
+    def __init__(self):
+        self._list: list[DocHandle] = []
+
+    def add(self, h: DocHandle) -> int:
+        for i, existing in enumerate(self._list):
+            if (
+                existing.db == h.db
+                and existing.res == h.res
+                and existing.revision == h.revision
+            ):
+                return i
+        self._list.append(h)
+        return len(self._list) - 1
+
+    def get(self, i: int) -> DocHandle:
+        return self._list[i]
+
+
+def _nodes_view(h: DocHandle) -> DataFrame:
+    """The handle's node table with n_-prefixed columns (join-safe)."""
+    n = h.nodes()
+    return n.select(
+        F.col("key").alias("n_key"),
+        F.col("parent").alias("n_parent"),
+        F.col("kind").alias("n_kind"),
+        F.col("fname").alias("n_fname"),
+        F.col("container").alias("n_cont"),
+        F.col("ord").alias("n_ord"),
+        F.col("path").alias("n_path"),
+        F.col("ipath").alias("n_ipath"),
+        F.col("json").alias("n_json"),
+        F.col("size").alias("n_sz"),
+    )
+
+
+class Seq:
+    """A compiled sequence: DataFrame + static facts.
+
+    df columns: __ord (array<bigint>) + ITEM_COLS [+ carried stream
+    columns when the sequence is correlated with a tuple stream].
+    """
+
+    def __init__(self, df: DataFrame, stored: bool, handles: tuple[int, ...], card: str):
+        self.df = df
+        self.stored = stored  # items have node identity
+        self.handles = handles  # static doc-handle ids present
+        self.card = card  # 'one' | 'many'
+
+
+class DocEvaluator:
+    def __init__(self, spark: SparkSession, store: DocumentStore):
+        self.spark = spark
+        self.store = store
+        self.handles = _Handles()
+        # compile-time env: var -> ('handle', id) for statically-known
+        # doc bindings (lets of jn:doc), consulted by nested FLWORs
+        self.static_env: dict[str, tuple] = {}
+
+    # ------------------------------------------------------------ entry
+    def execute(self, query: str) -> str:
+        """Run one query; return the reference-serialized output."""
+        from sirix_spark.jsoniq.docupdates import (
+            has_side_effects,
+            run_transaction,
+        )
+
+        ast = P.parse(query)
+        if has_side_effects(ast):
+            return run_transaction(self, ast)
+        seq = self.compile(ast)
+        return self.serialize(seq)
+
+    def execute_df(self, query: str) -> DataFrame:
+        """Run a read query; return (ord, item) rows in order."""
+        seq = self.compile(P.parse(query))
+        return seq.df.orderBy("__ord").select(
+            F.col("__ord").alias("ord"), F.col("__j").alias("item")
+        )
+
+    def serialize(self, seq: Seq) -> str:
+        rows = seq.df.orderBy("__ord").select("__j").collect()
+        return " ".join(r["__j"] for r in rows if r["__j"] is not None)
+
+    # ---------------------------------------------------------- streams
+    def _unit(self) -> DataFrame:
+        return self.spark.range(1).select(
+            F.array().cast("array<bigint>").alias("__ord")
+        )
+
+    def compile(self, ast) -> Seq:
+        if isinstance(ast, P.Main):
+            raise JsoniqCompileError(
+                "user-defined functions unsupported in document mode"
+            )
+        if isinstance(ast, P.Flwor):
+            return self._flwor(ast)
+        if (
+            isinstance(ast, P.Call)
+            and ast.name in ("count", "fn:count")
+            and ast.args
+            and self._is_seq_valued(ast.args[0])
+        ):
+            # standalone aggregate over a sequence expression
+            sub = self._expr_seq(ast.args[0], self._unit(), {})
+            cnt = sub.df.agg(F.count(F.lit(1)).alias("__c"))
+            df = (
+                cnt.withColumn("__ord", F.array().cast("array<bigint>"))
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.col("__c").cast("string"))
+                .drop("__c")
+            )
+            return Seq(df.select("__ord", *ITEM_COLS), False, (), "one")
+        # plain expression at top level: evaluate over the unit tuple
+        return self._expr_seq(ast, self._unit(), {})
+
+    # ------------------------------------------------------------ FLWOR
+    def _flwor(
+        self,
+        f: P.Flwor,
+        stream: DataFrame | None = None,
+        scope: dict | None = None,
+    ) -> Seq:
+        # a nested FLWOR in return position continues the SAME tuple
+        # stream (per-tuple iteration semantics)
+        if stream is None:
+            stream = self._unit()
+        scope = dict(scope) if scope else {}
+        for c in f.clauses:
+            if isinstance(c, P.ForClause):
+                stream = self._for(stream, scope, c)
+            else:
+                stream = self._let(stream, scope, c)
+        if f.where is not None:
+            stream = stream.filter(self._ebv(f.where, scope))
+        if f.group_by:
+            raise JsoniqCompileError("group by unsupported in document mode")
+        if f.order_by:
+            sort_cols = []
+            for i, k in enumerate(f.order_by):
+                arr = self._scalar(k.value, scope)
+                first = F.try_element_at(arr, F.lit(1))
+                d = F.try_variant_get(first, "$", "double")
+                s = F.try_variant_get(first, "$", "string")
+                direction = (lambda col: col.desc()) if k.descending else (lambda col: col)
+                sort_cols.append(direction(d))
+                sort_cols.append(direction(s))
+            stream = stream.orderBy(*sort_cols, F.col("__ord"))
+            # re-number so downstream serialization follows sort order
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(*sort_cols, F.col("__ord"))
+            stream = stream.withColumn(
+                "__ord", F.array(F.row_number().over(w).cast("bigint"))
+            )
+        return self._project_return(stream, scope, f.ret)
+
+    def _for(self, stream: DataFrame, scope: dict, c: P.ForClause) -> DataFrame:
+        seq = self._expr_seq(c.source, stream, scope, iterate=True)
+        df = seq.df
+        for col, var_col in zip(ITEM_COLS, self._var_cols(c.var)):
+            df = df.withColumnRenamed(col, var_col)
+        if c.pos_var:
+            raise JsoniqCompileError("`at $pos` unsupported in document mode")
+        scope[c.var] = {
+            "kind": "item",
+            "stored": seq.stored,
+            "handles": seq.handles,
+        }
+        return df
+
+    @staticmethod
+    def _var_cols(var: str) -> tuple[str, ...]:
+        return tuple(f"{p}_{var}" for p in ("k", "h", "r", "s", "j"))
+
+    def _let(self, stream: DataFrame, scope: dict, c: P.LetClause) -> DataFrame:
+        v = c.value
+        # statically-known doc handle binding
+        if isinstance(v, P.Call) and v.name in ("jn:doc", "doc"):
+            hid = self._open_handle(v)
+            self.static_env[c.var] = ("handle", hid)
+            scope[c.var] = {"kind": "handle", "handle": hid}
+            h = self.handles.get(hid)
+            root = h.rows()[0]
+            kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
+            return (
+                stream.withColumn(kcol, F.lit(1).cast("bigint"))
+                .withColumn(hcol, F.lit(hid))
+                .withColumn(rcol, F.lit(h.revision))
+                .withColumn(scol, F.lit(root[10]).cast("bigint"))
+                .withColumn(jcol, F.lit(root[9]))
+            )
+        if isinstance(v, P.Call) and v.name in (
+            "jn:find-cas-index", "jn:find-path-index", "jn:find-name-index",
+        ):
+            # pure catalog lookup — resolve driver-side and remember
+            # the number so scan calls can use it statically
+            from sirix_spark.jsoniq.docindex import _resolve_handle
+
+            hid = _resolve_handle(self, v.args[0], scope)
+            h = self.handles.get(hid)
+            kind = v.name[len("jn:find-"):-len("-index")]
+            content_type = None
+            rest = v.args[1:]
+            if kind == "cas":
+                content_type = rest[0].value
+                rest = rest[1:]
+            paths = ()
+            if rest:
+                if isinstance(rest[0], P.SeqCtor):
+                    paths = tuple(i.value for i in rest[0].items)
+                else:
+                    paths = (rest[0].value,)
+            number = self.store.find_index(h.db, h.res, kind, content_type, paths)
+            if number is None:
+                number = -1
+            self.static_env[c.var] = ("value", number)
+            scope[c.var] = {"kind": "scalar"}
+            kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
+            return (
+                stream.withColumn(jcol, F.lit(str(number)))
+                .withColumn(kcol, F.lit(None).cast("bigint"))
+                .withColumn(hcol, F.lit(None).cast("int"))
+                .withColumn(rcol, F.lit(None).cast("int"))
+                .withColumn(scol, F.lit(None).cast("bigint"))
+            )
+        if self._is_seq_valued(v):
+            # sequence-valued let: evaluate CORRELATED with the tuple
+            # stream, then pack each tuple's items back into an
+            # ordered array<struct> column (per-tuple sub-sequence).
+            # Tuple identity = the stream's __ord vector.
+            tagged = stream.withColumn("__tord", F.col("__ord"))
+            sub = self._expr_seq(v, tagged, scope)
+            packed = (
+                sub.df.groupBy("__tord")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__ord").alias("o"),
+                                F.col("__k").alias("k"),
+                                F.col("__h").alias("h"),
+                                F.col("__r").alias("r"),
+                                F.col("__sz").alias("s"),
+                                F.col("__j").alias("j"),
+                            )
+                        )
+                    ).alias(f"a_{c.var}")
+                )
+            )
+            scope[c.var] = {
+                "kind": "seq",
+                "stored": sub.stored,
+                "handles": sub.handles,
+            }
+            out = stream.join(
+                F.broadcast(packed),
+                stream["__ord"] == packed["__tord"],
+                "left",
+            ).drop("__tord")
+            return out.withColumn(
+                f"a_{c.var}",
+                F.coalesce(
+                    F.col(f"a_{c.var}"),
+                    F.array().cast(
+                        "array<struct<o:array<bigint>,k:bigint,h:int,r:int,s:bigint,j:string>>"
+                    ),
+                ),
+            )
+        # scalar let: a single value column (json text form,
+        # order-preserving for constructed objects)
+        txt = self._value_text(v, scope)
+        scope[c.var] = {"kind": "scalar"}
+        kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
+        return (
+            stream.withColumn(jcol, txt)
+            .withColumn(kcol, F.lit(None).cast("bigint"))
+            .withColumn(hcol, F.lit(None).cast("int"))
+            .withColumn(rcol, F.lit(None).cast("int"))
+            .withColumn(scol, F.lit(None).cast("bigint"))
+        )
+
+    def _is_seq_valued(self, v) -> bool:
+        if isinstance(v, (P.Flwor, P.SeqCtor, P.Path)):
+            return True
+        if isinstance(v, P.Call) and v.name in (
+            "jn:all-times",
+            "jn:scan-cas-index",
+            "jn:scan-cas-index-range",
+            "jn:scan-path-index",
+            "jn:scan-name-index",
+            "bit:fields",
+            "fn:range",
+            "sdb:select-item",
+            "select-item",
+        ):
+            return True
+        return False
+
+    # --------------------------------------------------- sequence exprs
+    def _expr_seq(
+        self, node, stream: DataFrame, scope: dict, iterate: bool = False
+    ) -> Seq:
+        """Compile an expression to a sequence correlated with the
+        tuple stream (stream columns are carried through)."""
+        seq = self._seq_core(node, stream, scope)
+        if iterate and seq.card == "one":
+            seq = self._iterate_members(seq)
+        return seq
+
+    def _seq_core(self, node, stream: DataFrame, scope: dict) -> Seq:
+        outer = scope.get("__outer") if isinstance(scope.get("__outer"), dict) else None
+        if isinstance(node, P.Call):
+            return self._call_seq(node, stream, scope)
+        if isinstance(node, P.Var):
+            info = scope.get(node.name) or (outer or {}).get(node.name)
+            if info is None and node.name in self.static_env:
+                kind, hid = self.static_env[node.name]
+                return self._handle_root_seq(hid, stream)
+            if info is None:
+                raise JsoniqCompileError(f"unbound variable ${node.name}")
+            if info["kind"] == "handle":
+                return self._handle_root_seq(info["handle"], stream)
+            if info["kind"] == "seq":
+                ex = stream.select(
+                    "*", F.posexplode(F.col(f"a_{node.name}")).alias("__p", "__it")
+                )
+                df = (
+                    ex.withColumn("__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint"))))
+                    .withColumn("__k", F.col("__it.k"))
+                    .withColumn("__h", F.col("__it.h"))
+                    .withColumn("__r", F.col("__it.r"))
+                    .withColumn("__sz", F.col("__it.s"))
+                    .withColumn("__j", F.col("__it.j"))
+                    .drop("__p", "__it")
+                )
+                return Seq(df, info["stored"], info["handles"], "many")
+            # item / scalar var: a single item from the row's columns
+            kcol, hcol, rcol, scol, jcol = self._var_cols(node.name)
+            df = (
+                stream.withColumn("__k", F.col(kcol))
+                .withColumn("__h", F.col(hcol))
+                .withColumn("__r", F.col(rcol))
+                .withColumn("__sz", F.col(scol))
+                .withColumn("__j", F.col(jcol))
+            )
+            stored = info.get("stored", False)
+            return Seq(df, stored, info.get("handles", ()), "one")
+        if isinstance(node, P.Path):
+            seq = self._seq_core(node.base, stream, scope)
+            for step in node.steps:
+                seq = self._apply_step(seq, step, scope)
+            return seq
+        if isinstance(node, P.Flwor):
+            inner_scope = {"__outer": scope}
+            # independent sub-FLWOR (closes over static handles only)
+            sub = self._flwor_correlated(node, stream, scope)
+            return sub
+        if isinstance(node, (P.Lit, P.ObjectCtor, P.ArrayCtor, P.IfExpr, P.Binop, P.Unary)):
+            arr = self._scalar(node, scope)
+            return self._seq_from_scalar(arr, stream)
+        if isinstance(node, P.SeqCtor):
+            parts = []
+            for i, item in enumerate(node.items):
+                s = self._expr_seq(item, stream, scope)
+                parts.append(
+                    s.df.withColumn(
+                        "__ord",
+                        F.concat(F.array(F.lit(i).cast("bigint")), F.col("__ord")),
+                    )
+                )
+            if not parts:
+                empty = stream.filter(F.lit(False))
+                for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
+                    empty = empty.withColumn(c, F.lit(None).cast(t))
+                return Seq(empty, False, (), "many")
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return Seq(df, False, (), "many")
+        raise JsoniqCompileError(
+            f"unsupported sequence expression {type(node).__name__}"
+        )
+
+    def _flwor_correlated(self, f: P.Flwor, stream: DataFrame, scope: dict) -> Seq:
+        """A nested FLWOR used as a sequence source. Corpus shapes are
+        uncorrelated with the outer stream apart from static handle
+        vars, so compile it standalone and cross-join its items."""
+        sub = self._flwor(f)
+        joined = stream.crossJoin(
+            F.broadcast(
+                sub.df.select(
+                    F.col("__ord").alias("__sord"),
+                    *[F.col(c).alias(c + "_s") for c in ITEM_COLS],
+                )
+            )
+        )
+        df = joined.withColumn("__ord", F.concat("__ord", F.col("__sord"))).drop(
+            "__sord"
+        )
+        for c in ITEM_COLS:
+            df = df.withColumn(c, F.col(c + "_s")).drop(c + "_s")
+        return Seq(df, sub.stored, sub.handles, "many")
+
+    def _seq_from_scalar(self, arr: Column, stream: DataFrame) -> Seq:
+        ex = stream.select(
+            "*", F.posexplode(F.filter(arr, lambda x: x.isNotNull())).alias("__p", "__v")
+        )
+        df = (
+            ex.withColumn("__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint"))))
+            .withColumn("__k", F.lit(None).cast("bigint"))
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__r", F.lit(None).cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.to_json(F.col("__v")))
+            .drop("__p", "__v")
+        )
+        return Seq(df, False, (), "many")
+
+    def _handle_root_seq(self, hid: int, stream: DataFrame) -> Seq:
+        h = self.handles.get(hid)
+        root = h.rows()[0]
+        df = (
+            stream.withColumn("__k", F.lit(1).cast("bigint"))
+            .withColumn("__h", F.lit(hid))
+            .withColumn("__r", F.lit(h.revision))
+            .withColumn("__sz", F.lit(root[10]).cast("bigint"))
+            .withColumn("__j", F.lit(root[9]))
+        )
+        return Seq(df, True, (hid,), "one")
+
+    def _open_handle(self, call: P.Call) -> int:
+        args = [a.value for a in call.args if isinstance(a, P.Lit)]
+        if len(args) < 2:
+            raise JsoniqCompileError("jn:doc needs (database, resource)")
+        rev = int(args[2]) if len(args) > 2 else None
+        return self.handles.add(self.store.doc(args[0], args[1], rev))
+
+    # ------------------------------------------------------- call seqs
+    def _call_seq(self, node: P.Call, stream: DataFrame, scope: dict) -> Seq:
+        name = node.name
+        if name in ("jn:doc", "doc"):
+            return self._handle_root_seq(self._open_handle(node), stream)
+        if name == "fn:range":
+            lo = self._static_int(node.args[0], scope)
+            hi = self._static_int(node.args[1], scope)
+            ex = stream.select(
+                "*",
+                F.posexplode(F.sequence(F.lit(lo), F.lit(hi))).alias("__p", "__v"),
+            )
+            df = (
+                ex.withColumn(
+                    "__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint")))
+                )
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.col("__v").cast("string"))
+                .drop("__p", "__v")
+            )
+            return Seq(df, False, (), "many")
+        if name in ("sdb:select-item", "select-item"):
+            base = self._seq_core(node.args[0], stream, scope)
+            key = self._static_int(node.args[1], scope)
+            return self._node_by_key(base, key)
+        if name == "bit:fields":
+            base = self._seq_core(node.args[0], stream, scope)
+            arr = F.transform(
+                F.map_keys(
+                    F.from_json(F.col("__j"), "map<string,string>")
+                ),
+                lambda k: F.parse_json(F.to_json(k)),
+            )
+            ex = base.df.select(
+                "*", F.posexplode(arr).alias("__p", "__v")
+            )
+            df = (
+                ex.withColumn(
+                    "__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint")))
+                )
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.to_json(F.col("__v")))
+                .drop("__p", "__v")
+            )
+            return Seq(df, False, (), "many")
+        if name in ("jn:parse", "parse"):
+            arr = self._scalar(node, scope)
+            return self._seq_from_scalar(arr, stream)
+        if name in _SCAN_FNS:
+            from sirix_spark.jsoniq.docindex import scan_index_seq
+
+            return scan_index_seq(self, node, stream, scope)
+        if name == "jn:all-times":
+            return self._all_times_seq(node, stream, scope)
+        # fall back: scalar function applied over the stream
+        arr = self._scalar(node, scope)
+        return self._seq_from_scalar(arr, stream)
+
+    def _node_by_key(self, base: Seq, key: int) -> Seq:
+        if not base.stored:
+            raise JsoniqCompileError("sdb:select-item needs a stored node")
+        parts = []
+        for hid in base.handles:
+            h = self.handles.get(hid)
+            nv = _nodes_view(h).filter(F.col("n_key") == key)
+            part = (
+                base.df.filter(F.col("__h") == hid)
+                .join(F.broadcast(nv), F.col("__k").isNotNull(), "inner")
+                .withColumn("__k", F.col("n_key"))
+                .withColumn("__sz", F.col("n_sz"))
+                .withColumn("__j", F.col("n_json"))
+            )
+            parts.append(part.drop(*[c for c in part.columns if c.startswith("n_")]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return Seq(df, True, base.handles, "one")
+
+    def _all_times_seq(self, node: P.Call, stream: DataFrame, scope: dict) -> Seq:
+        """jn:all-times($node): the same nodeKey across every revision
+        of the resource (the corpus anchors it at the document root).
+        Companion columns __pj/__pr (previous revision's json) feed
+        jn:previous / sdb:hash(jn:previous(...)) in scalar position."""
+        inner = node.args[0]
+        base = self._seq_core(inner, stream, scope)
+        if not base.stored or len(base.handles) != 1:
+            raise JsoniqCompileError("jn:all-times needs a stored node")
+        h0 = self.handles.get(base.handles[0])
+        revs = self.store.revisions(h0.db, h0.res)
+        handle_ids = [
+            self.handles.add(self.store.doc(h0.db, h0.res, r)) for r in revs
+        ]
+        rows = []
+        prev_j = None
+        hids = ()
+        for r, hid in zip(revs, handle_ids):
+            h = self.handles.get(hid)
+            root = h.rows()[0]
+            rows.append((r, hid, root[9], int(root[10]), prev_j))
+            prev_j = root[9]
+            hids = hids + (hid,)
+        rev_df = self.spark.createDataFrame(
+            rows, "r int, h int, j string, sz bigint, pj string"
+        )
+        joined = base.df.drop(*ITEM_COLS).crossJoin(F.broadcast(rev_df))
+        df = (
+            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("r").cast("bigint"))))
+            .withColumn("__k", F.lit(1).cast("bigint"))
+            .withColumn("__h", F.col("h"))
+            .withColumn("__r", F.col("r"))
+            .withColumn("__sz", F.col("sz"))
+            .withColumn("__j", F.col("j"))
+            .withColumn("__pj", F.col("pj"))
+            .drop("r", "h", "j", "sz", "pj")
+        )
+        return Seq(df, True, hids, "many")
+
+    def _static_int(self, node, scope: dict) -> int:
+        if isinstance(node, P.Lit) and isinstance(node.value, (int, float)):
+            return int(node.value)
+        if isinstance(node, P.Unary) and node.op == "-":
+            return -self._static_int(node.operand, scope)
+        raise JsoniqCompileError("expected a literal integer argument")
+
+    # ------------------------------------------------------------ steps
+    def _apply_step(self, seq: Seq, step, scope: dict) -> Seq:
+        kind = step[0]
+        if seq.stored:
+            return self._stored_step(seq, step, scope)
+        return self._variant_step(seq, step, scope)
+
+    def _join_nodes(self, seq: Seq, make_cond, ord_col=None, project=None) -> Seq:
+        """Join each handle's node view against the sequence; rebind
+        item columns from the matched node."""
+        parts = []
+        for hid in seq.handles:
+            h = self.handles.get(hid)
+            nv = _nodes_view(h)
+            part = seq.df.filter(F.col("__h") == hid).join(
+                F.broadcast(nv), make_cond(), "inner"
+            )
+            if ord_col is not None:
+                part = part.withColumn(
+                    "__ord", F.concat("__ord", F.array(ord_col().cast("bigint")))
+                )
+            part = (
+                part.withColumn("__k", F.col("n_key"))
+                .withColumn("__sz", F.col("n_sz"))
+                .withColumn("__j", F.col("n_json"))
+            )
+            if project is not None:
+                part = project(part)
+            part = part.drop(
+                *[c for c in part.columns if c.startswith("n_")]
+            )
+            parts.append(part)
+        if not parts:
+            raise JsoniqCompileError("stored step on a handle-less sequence")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return Seq(df, True, seq.handles, "many")
+
+    def _stored_step(self, seq: Seq, step, scope: dict) -> Seq:
+        kind = step[0]
+        if kind == "field":
+            name = step[1]
+            out = self._join_nodes(
+                seq,
+                lambda: (F.col("n_cont") == F.col("__k"))
+                & (F.col("n_fname") == name)
+                & (F.col("n_kind") != "field"),
+            )
+            out.card = seq.card
+            return out
+        if kind == "descend":
+            name = step[1]
+            out = self._join_nodes(
+                seq,
+                lambda: (F.col("n_fname") == name)
+                & (F.col("n_kind") != "field")
+                & (F.col("n_key") > F.col("__k"))
+                & (F.col("n_key") < F.col("__k") + F.col("__sz")),
+                ord_col=lambda: F.col("n_key"),
+            )
+            return out
+        if kind == "unbox":
+            return self._join_nodes(
+                seq,
+                lambda: (F.col("n_cont") == F.col("__k"))
+                & F.col("n_fname").isNull()
+                & F.col("n_ord").isNotNull(),
+                ord_col=lambda: F.col("n_ord"),
+            )
+        if kind == "index":
+            i = self._static_int(step[1], scope)
+            out = self._join_nodes(
+                seq,
+                lambda: (F.col("n_cont") == F.col("__k"))
+                & F.col("n_fname").isNull()
+                & (F.col("n_ord") == i),
+            )
+            out.card = seq.card
+            return out
+        if kind == "slice":
+            lo = 0 if step[1] is None else self._static_int(step[1], scope)
+            hi = None if step[2] is None else self._static_int(step[2], scope)
+            v = F.try_variant_get(F.parse_json(F.col("__j")), "$", "array<variant>")
+            length = (F.size(v) - F.lit(lo)) if hi is None else F.lit(hi - lo)
+            sliced = F.slice(v, F.lit(lo + 1), length)
+            df = (
+                seq.df.withColumn(
+                    "__j",
+                    F.concat(
+                        F.lit("["),
+                        F.concat_ws(",", F.transform(sliced, F.to_json)),
+                        F.lit("]"),
+                    ),
+                )
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+            )
+            return Seq(df, False, (), seq.card)
+        if kind == "pred":
+            item_scope = dict(scope)
+            item_scope["$$"] = {"kind": "current"}
+            cond = self._ebv(step[1], item_scope)
+            return Seq(seq.df.filter(cond), seq.stored, seq.handles, "many")
+        if kind == "field_var":
+            raise JsoniqCompileError("dynamic field deref only in updates")
+        raise JsoniqCompileError(f"unsupported step {kind!r}")
+
+    def _variant_step(self, seq: Seq, step, scope: dict) -> Seq:
+        kind = step[0]
+        v = F.parse_json(F.col("__j"))
+        if kind == "field":
+            got = F.try_variant_get(v, f"$.{step[1]}", "variant")
+            df = seq.df.withColumn("__j", F.to_json(got)).filter(
+                got.isNotNull()
+            )
+            return Seq(df, False, (), seq.card)
+        if kind == "unbox":
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            ex = seq.df.filter(arr.isNotNull()).select(
+                "*", F.posexplode(arr).alias("__p", "__v")
+            )
+            df = (
+                ex.withColumn(
+                    "__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint")))
+                )
+                .withColumn("__j", F.to_json(F.col("__v")))
+                .drop("__p", "__v")
+            )
+            return Seq(df, False, (), "many")
+        if kind == "index":
+            i = self._static_int(step[1], scope)
+            got = F.try_variant_get(v, f"$[{i}]", "variant")
+            df = seq.df.withColumn("__j", F.to_json(got)).filter(got.isNotNull())
+            return Seq(df, False, (), seq.card)
+        if kind == "slice":
+            lo = 0 if step[1] is None else self._static_int(step[1], scope)
+            hi = None if step[2] is None else self._static_int(step[2], scope)
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            length = (F.size(arr) - F.lit(lo)) if hi is None else F.lit(hi - lo)
+            sliced = F.slice(arr, F.lit(lo + 1), length)
+            df = seq.df.withColumn(
+                "__j",
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(",", F.transform(sliced, F.to_json)),
+                    F.lit("]"),
+                ),
+            )
+            return Seq(df, False, (), seq.card)
+        if kind == "pred":
+            item_scope = dict(scope)
+            item_scope["$$"] = {"kind": "current"}
+            cond = self._ebv(step[1], item_scope)
+            return Seq(seq.df.filter(cond), False, (), "many")
+        raise JsoniqCompileError(f"unsupported constructed step {kind!r}")
+
+    def _iterate_members(self, seq: Seq) -> Seq:
+        """`for $x in <single item>`: a stored/constructed array item
+        iterates its members (the reference's JsonDBArray sequence
+        behavior); non-array single items bind as themselves."""
+        if seq.stored:
+            members = self._join_nodes(
+                seq,
+                lambda: (F.col("n_cont") == F.col("__k"))
+                & F.col("n_fname").isNull()
+                & F.col("n_ord").isNotNull(),
+                ord_col=lambda: F.col("n_ord"),
+            )
+            non_array = seq.df.filter(~F.col("__j").startswith("["))
+            df = members.df.unionByName(non_array)
+            return Seq(df, True, seq.handles, "many")
+        v = F.parse_json(F.col("__j"))
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        ex = seq.df.filter(arr.isNotNull()).select(
+            "*", F.posexplode(arr).alias("__p", "__v")
+        )
+        members = (
+            ex.withColumn(
+                "__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint")))
+            )
+            .withColumn("__j", F.to_json(F.col("__v")))
+            .drop("__p", "__v")
+        )
+        non_array = seq.df.filter(arr.isNull())
+        return Seq(members.unionByName(non_array), False, (), "many")
+
+    # ---------------------------------------------------------- scalars
+    def _current_arr(self) -> Column:
+        return F.when(
+            F.col("__j").isNull(), F.array().cast("array<variant>")
+        ).otherwise(F.array(F.parse_json(F.col("__j"))))
+
+    def _scalar(self, node, scope: dict) -> Column:
+        """Compile a value expression to array<variant> (sequence)."""
+        if isinstance(node, P.Lit):
+            return F.array(F.parse_json(F.lit(_compact(node.value))))
+        if isinstance(node, P.Var):
+            if node.name == "$$":
+                cur = scope.get("$$")
+                if cur and cur.get("kind") == "lambda":
+                    return F.array(cur["col"])
+                return self._current_arr()
+            info = scope.get(node.name)
+            outer = scope.get("__outer")
+            if info is None and isinstance(outer, dict):
+                info = outer.get(node.name)
+            if info is None:
+                raise JsoniqCompileError(f"unbound variable ${node.name}")
+            if info["kind"] == "lambda":
+                return F.array(info["col"])
+            if info["kind"] == "seq":
+                return F.transform(
+                    F.col(f"a_{node.name}"),
+                    lambda it: F.parse_json(it["j"]),
+                )
+            if info["kind"] == "handle":
+                h = self.handles.get(info["handle"])
+                return F.array(F.parse_json(F.lit(h.rows()[0][9])))
+            jcol = F.col(f"j_{node.name}")
+            return F.when(
+                jcol.isNull(), F.array().cast("array<variant>")
+            ).otherwise(F.array(F.parse_json(jcol)))
+        if isinstance(node, P.Path):
+            arr = self._scalar(node.base, scope)
+            for step in node.steps:
+                arr = self._scalar_step(arr, step, scope)
+            return arr
+        if isinstance(node, P.Binop):
+            return self._scalar_binop(node, scope)
+        if isinstance(node, P.Unary):
+            inner = self._scalar(node.operand, scope)
+            d = F.try_variant_get(F.try_element_at(inner, F.lit(1)), "$", "double")
+            return F.array(F.parse_json((-d).cast("string")))
+        if isinstance(node, P.IfExpr):
+            return F.when(
+                self._ebv(node.cond, scope), self._scalar(node.then, scope)
+            ).otherwise(self._scalar(node.orelse, scope))
+        if isinstance(node, P.ObjectCtor):
+            return F.array(F.parse_json(self._object_text(node, scope)))
+        if isinstance(node, P.ArrayCtor):
+            parts = [self._scalar(it, scope) for it in node.items]
+            inner = F.concat_ws(
+                ",",
+                *[
+                    F.concat_ws(",", F.transform(p, F.to_json))
+                    for p in parts
+                ],
+            ) if parts else F.lit("")
+            return F.array(
+                F.parse_json(F.concat(F.lit("["), inner, F.lit("]")))
+            )
+        if isinstance(node, P.SeqCtor):
+            parts = [self._scalar(it, scope) for it in node.items]
+            if not parts:
+                return F.array().cast("array<variant>")
+            out = parts[0]
+            for p in parts[1:]:
+                out = F.concat(out, p)
+            return out
+        if isinstance(node, P.Quantified):
+            src = self._scalar(node.source, scope)
+            qscope = dict(scope)
+            qscope[node.var] = {"kind": "lambda"}
+
+            def pred(x):
+                qs = dict(qscope)
+                qs[node.var] = {"kind": "lambda", "col": x}
+                return self._ebv(node.predicate, qs)
+
+            fn = F.exists if node.kind == "some" else F.forall
+            return F.array(
+                F.parse_json(fn(src, pred).cast("string"))
+            )
+        if isinstance(node, P.Call):
+            return self._scalar_call(node, scope)
+        if isinstance(node, P.Flwor):
+            raise JsoniqCompileError("FLWOR in scalar position unsupported")
+        raise JsoniqCompileError(
+            f"unsupported scalar expression {type(node).__name__}"
+        )
+
+    def _scalar_step(self, arr: Column, step, scope: dict) -> Column:
+        kind = step[0]
+        if kind == "field":
+            name = step[1]
+            return F.filter(
+                F.transform(
+                    arr, lambda x: F.try_variant_get(x, f"$.{name}", "variant")
+                ),
+                lambda x: x.isNotNull(),
+            )
+        if kind == "unbox":
+            return F.flatten(
+                F.filter(
+                    F.transform(
+                        arr,
+                        lambda x: F.try_variant_get(x, "$", "array<variant>"),
+                    ),
+                    lambda a: a.isNotNull(),
+                )
+            )
+        if kind == "index":
+            i = self._static_int(step[1], scope)
+            return F.filter(
+                F.transform(
+                    arr, lambda x: F.try_variant_get(x, f"$[{i}]", "variant")
+                ),
+                lambda x: x.isNotNull(),
+            )
+        if kind == "pred":
+
+            def keep(x):
+                ps = dict(scope)
+                ps["$$"] = {"kind": "lambda", "col": x}
+                return self._ebv_lambda(step[1], ps)
+
+            return F.filter(arr, keep)
+        raise JsoniqCompileError(f"unsupported scalar step {kind!r}")
+
+    # boolean over a lambda-bound context (predicates inside arrays)
+    def _ebv_lambda(self, node, scope: dict) -> Column:
+        return self._ebv(node, scope)
+
+    def _value_text(self, node, scope: dict) -> Column:
+        """Order-preserving JSON text of a single-item expression —
+        stored/bound items contribute their original text; only
+        computed scalars go through variant (which sorts object
+        keys, so objects must NEVER round-trip it)."""
+        if isinstance(node, P.ObjectCtor):
+            return self._object_text(node, scope)
+        if isinstance(node, P.ArrayCtor):
+            items = [
+                F.coalesce(self._value_text(it, scope), F.lit("null"))
+                for it in node.items
+            ]
+            inner = F.concat_ws(",", *items) if items else F.lit("")
+            return F.concat(F.lit("["), inner, F.lit("]"))
+        if isinstance(node, P.Lit):
+            return F.lit(_compact(node.value))
+        if isinstance(node, P.Var) and node.name != "$$":
+            info = scope.get(node.name)
+            if info and info["kind"] in ("item", "scalar"):
+                return F.col(f"j_{node.name}")
+            if info and info["kind"] == "handle":
+                return F.lit(self.handles.get(info["handle"]).rows()[0][9])
+        if isinstance(node, P.Var) and node.name == "$$":
+            return F.col("__j")
+        if isinstance(node, P.IfExpr):
+            return F.when(
+                self._ebv(node.cond, scope), self._value_text(node.then, scope)
+            ).otherwise(self._value_text(node.orelse, scope))
+        # computed scalar fallback (numbers/strings/bools are
+        # order-insensitive through variant)
+        arr = self._scalar(node, scope)
+        return F.to_json(F.try_element_at(arr, F.lit(1)))
+
+    def _object_text(self, node: P.ObjectCtor, scope: dict) -> Column:
+        parts: list[Column] = []
+        for entry in node.entries:
+            if entry[0] == "merge":
+                body = self._value_text(entry[1], scope)
+                inner = F.regexp_replace(
+                    F.regexp_replace(body, r"^\{", ""), r"\}$", ""
+                )
+                parts.append(inner)
+            else:
+                _, key, value = entry
+                if isinstance(key, P.Lit):
+                    key_txt = F.lit(_compact(str(key.value)))
+                else:
+                    karr = self._scalar(key, scope)
+                    key_txt = F.to_json(F.try_element_at(karr, F.lit(1)))
+                val_txt = F.coalesce(
+                    self._value_text(value, scope), F.lit("null")
+                )
+                parts.append(F.concat(key_txt, F.lit(":"), val_txt))
+        inner = F.concat_ws(",", *[F.nullif(p, F.lit("")) for p in parts]) if parts else F.lit("")
+        return F.concat(F.lit("{"), inner, F.lit("}"))
+
+    def _scalar_binop(self, node: P.Binop, scope: dict) -> Column:
+        op = node.op
+        if op in ("and", "or"):
+            l, r = self._ebv(node.left, scope), self._ebv(node.right, scope)
+            res = (l & r) if op == "and" else (l | r)
+            return F.array(F.parse_json(res.cast("string")))
+        if op in ("eq", "ne", "lt", "le", "gt", "ge"):
+            return F.array(
+                F.parse_json(self._compare(node, scope).cast("string"))
+            )
+        # arithmetic
+        l = F.try_element_at(self._scalar(node.left, scope), F.lit(1))
+        r = F.try_element_at(self._scalar(node.right, scope), F.lit(1))
+        lb = F.try_variant_get(l, "$", "bigint")
+        rb = F.try_variant_get(r, "$", "bigint")
+        ld = F.try_variant_get(l, "$", "double")
+        rd = F.try_variant_get(r, "$", "double")
+        both_int = lb.isNotNull() & rb.isNotNull() & (lb.cast("double") == ld) & (rb.cast("double") == rd)
+        ops = {
+            "+": (lb + rb, ld + rd),
+            "-": (lb - rb, ld - rd),
+            "*": (lb * rb, ld * rd),
+            "idiv": (F.floor(lb / rb).cast("bigint"), F.floor(ld / rd).cast("bigint").cast("double")),
+            "mod": (lb % rb, ld % rd),
+        }
+        if op == "div":
+            return F.array(F.parse_json((ld / rd).cast("string")))
+        if op not in ops:
+            raise JsoniqCompileError(f"unsupported operator {op!r}")
+        iexpr, dexpr = ops[op]
+        txt = F.when(both_int, iexpr.cast("string")).otherwise(
+            dexpr.cast("string")
+        )
+        return F.array(F.parse_json(txt))
+
+    def _compare(self, node: P.Binop, scope: dict) -> Column:
+        """XQuery general comparison: existential over both sides."""
+        larr = self._scalar(node.left, scope)
+        rarr = self._scalar(node.right, scope)
+        op = node.op
+
+        def one(l, r):
+            ld = F.try_variant_get(l, "$", "double")
+            rd = F.try_variant_get(r, "$", "double")
+            ls = F.try_variant_get(l, "$", "string")
+            rs = F.try_variant_get(r, "$", "string")
+            import operator
+
+            pyop = {
+                "eq": operator.eq,
+                "ne": operator.ne,
+                "lt": operator.lt,
+                "le": operator.le,
+                "gt": operator.gt,
+                "ge": operator.ge,
+            }[op]
+            num = ld.isNotNull() & rd.isNotNull()
+            return F.when(num, pyop(ld, rd)).otherwise(pyop(ls, rs))
+
+        return F.exists(larr, lambda l: F.exists(rarr, lambda r: one(l, r)))
+
+    # -------------------------------------------------- effective bool
+    def _ebv(self, node, scope: dict) -> Column:
+        if isinstance(node, P.Binop) and node.op in ("and", "or"):
+            l, r = self._ebv(node.left, scope), self._ebv(node.right, scope)
+            return (l & r) if node.op == "and" else (l | r)
+        if isinstance(node, P.Binop) and node.op in (
+            "eq", "ne", "lt", "le", "gt", "ge",
+        ):
+            return self._compare(node, scope)
+        if isinstance(node, P.Call) and node.name in ("not", "fn:not"):
+            return ~self._ebv(node.args[0], scope)
+        if isinstance(node, P.Call) and node.name in ("exists", "fn:exists"):
+            return F.size(self._scalar(node.args[0], scope)) > 0
+        if isinstance(node, P.Call) and node.name in (
+            "deep-equal", "fn:deep-equal",
+        ):
+            return self._deep_equal(node, scope)
+        if isinstance(node, P.Call) and node.name == "instance-of":
+            return self._instance_of(node, scope)
+        if isinstance(node, P.Quantified):
+            arr = self._scalar(node, scope)
+            return F.try_variant_get(F.try_element_at(arr, F.lit(1)), "$", "boolean")
+        # general EBV: empty=false; boolean item = its value; else true
+        arr = self._scalar(node, scope)
+        first = F.try_element_at(arr, F.lit(1))
+        b = F.try_variant_get(first, "$", "boolean")
+        return F.when(F.size(arr) == 0, F.lit(False)).otherwise(
+            F.coalesce(b, F.lit(True))
+        )
+
+    def _deep_equal(self, node: P.Call, scope: dict) -> Column:
+        l = F.to_json(F.try_element_at(self._scalar(node.args[0], scope), F.lit(1)))
+        r = F.to_json(F.try_element_at(self._scalar(node.args[1], scope), F.lit(1)))
+        return F.coalesce(l == r, F.lit(False))
+
+    def _instance_of(self, node: P.Call, scope: dict) -> Column:
+        arr = self._scalar(node.args[0], scope)
+        ty = node.args[1].value
+        sch = F.schema_of_variant(F.try_element_at(arr, F.lit(1)))
+        if ty == "object":
+            return (F.size(arr) > 0) & sch.startswith("OBJECT")
+        if ty == "array":
+            return (F.size(arr) > 0) & sch.startswith("ARRAY")
+        if ty == "string":
+            return (F.size(arr) > 0) & (sch == F.lit("STRING"))
+        raise JsoniqCompileError(f"instance of {ty}() unsupported")
+
+    # ------------------------------------------------------------ calls
+    def _scalar_call(self, node: P.Call, scope: dict) -> Column:
+        name = node.name
+        short = name.split(":", 1)[-1]
+
+        def arg(i) -> Column:
+            return self._scalar(node.args[i], scope)
+
+        def s1(i=0) -> Column:
+            return F.try_variant_get(F.try_element_at(arg(i), F.lit(1)), "$", "string")
+
+        def wrap_text(txt: Column) -> Column:
+            return F.array(F.parse_json(txt))
+
+        def wrap_string(c: Column) -> Column:
+            # a python/SQL string → a JSON string item
+            return wrap_text(
+                F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(
+                        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"'
+                    ),
+                    F.lit('"'),
+                )
+            )
+
+        if name in ("count", "fn:count"):
+            return F.array(
+                F.parse_json(F.size(arg(0)).cast("string"))
+            )
+        if name in ("exists", "fn:exists", "not", "fn:not", "deep-equal",
+                    "fn:deep-equal", "instance-of"):
+            return F.array(F.parse_json(self._ebv(node, scope).cast("string")))
+        if name == "xs:string":
+            return wrap_string(s1())
+        if name in ("contains", "fn:contains"):
+            return F.array(
+                F.parse_json(F.contains(s1(0), s1(1)).cast("string"))
+            )
+        if name in ("starts-with", "fn:starts-with"):
+            return F.array(
+                F.parse_json(F.startswith(s1(0), s1(1)).cast("string"))
+            )
+        if name in ("ends-with", "fn:ends-with"):
+            return F.array(
+                F.parse_json(F.endswith(s1(0), s1(1)).cast("string"))
+            )
+        if name in ("string-length", "fn:string-length"):
+            return F.array(F.parse_json(F.length(s1()).cast("string")))
+        if name in ("jn:parse", "parse"):
+            return F.array(F.parse_json(s1()))
+        if name in ("jn:null",):
+            return F.array(F.parse_json(F.lit("null")))
+        if name == "sdb:nodekey":
+            c = self._identity_col(node.args[0], scope, "k")
+            return F.when(c.isNull(), F.array().cast("array<variant>")).otherwise(
+                F.array(F.parse_json(c.cast("string")))
+            )
+        if name == "sdb:revision":
+            c = self._identity_col(node.args[0], scope, "r")
+            return F.array(F.parse_json(c.cast("string")))
+        if name == "sdb:hash":
+            inner = node.args[0]
+            if isinstance(inner, P.Call) and inner.name == "jn:previous":
+                pj = self._previous_json(inner, scope)
+                return F.when(
+                    pj.isNull(), F.array().cast("array<variant>")
+                ).otherwise(F.array(F.parse_json(F.concat(F.lit('"'), F.md5(pj), F.lit('"')))))
+            j = self._identity_col(inner, scope, "j")
+            return F.array(
+                F.parse_json(F.concat(F.lit('"'), F.md5(j), F.lit('"')))
+            )
+        if name == "jn:previous":
+            pj = self._previous_json(node, scope)
+            return F.when(
+                pj.isNull(), F.array().cast("array<variant>")
+            ).otherwise(F.array(F.parse_json(pj)))
+        if name == "sdb:path":
+            return self._path_call(node, scope, parent=False)
+        if name == "sdb:select-parent":
+            raise JsoniqCompileError(
+                "sdb:select-parent outside sdb:path unsupported"
+            )
+        raise JsoniqCompileError(f"unknown function {name}()")
+
+    def _previous_json(self, node: P.Call, scope: dict) -> Column:
+        inner = node.args[0]
+        if isinstance(inner, P.Var):
+            # companion column bound by the jn:all-times for-source
+            return F.col("__pj")
+        raise JsoniqCompileError("jn:previous expects a revision variable")
+
+    def _identity_col(self, node, scope: dict, which: str) -> Column:
+        """k/h/r/s/j column of an item-valued expression (a bound var
+        or $$)."""
+        if isinstance(node, P.Var):
+            if node.name == "$$":
+                return F.col({"k": "__k", "h": "__h", "r": "__r", "s": "__sz", "j": "__j"}[which])
+            info = scope.get(node.name)
+            if info is None or info["kind"] not in ("item", "handle"):
+                if info and info["kind"] == "scalar":
+                    raise JsoniqCompileError(
+                        f"${node.name} has no node identity"
+                    )
+            if info and info["kind"] == "handle":
+                h = self.handles.get(info["handle"])
+                return {
+                    "k": F.lit(1).cast("bigint"),
+                    "r": F.lit(h.revision),
+                    "h": F.lit(info["handle"]),
+                    "s": F.lit(h.rows()[0][10]).cast("bigint"),
+                    "j": F.lit(h.rows()[0][9]),
+                }[which]
+            return F.col(f"{which}_{node.name}")
+        raise JsoniqCompileError("node identity of a non-variable expression")
+
+    def _path_call(self, node: P.Call, scope: dict, parent: bool) -> Column:
+        """sdb:path($node) / sdb:path(sdb:select-parent($node)) — the
+        instance path from the node table (ancestor members carry
+        positions; the node's own member step is positionless)."""
+        inner = node.args[0]
+        hop_parent = False
+        if isinstance(inner, P.Call) and inner.name == "sdb:select-parent":
+            inner = inner.args[0]
+            hop_parent = True
+        kcol = self._identity_col(inner, scope, "k")
+        hcol = self._identity_col(inner, scope, "h")
+        # resolved via a broadcast join at return-projection time is
+        # complex; corpus handles are small, so read the ipath map
+        # driver-side per handle and build a lookup expression
+        hid_set = self._var_handles(inner, scope)
+        mapping = {}
+        for hid in hid_set:
+            h = self.handles.get(hid)
+            for r in h.rows():
+                key = (hid, r[1])
+                if hop_parent:
+                    mapping[key] = None  # fill after parent lookup
+        expr = None
+        for hid in hid_set:
+            h = self.handles.get(hid)
+            by_key = {r[1]: r for r in h.rows()}
+            for k, r in by_key.items():
+                target = r
+                if hop_parent:
+                    pk = r[2]
+                    # structural parent; skip intermediate field nodes
+                    while pk is not None and by_key[pk][3] == "field":
+                        pk = by_key[pk][2]
+                    if pk is None:
+                        continue
+                    target = by_key[pk]
+                path_txt = target[8]
+                cond = (hcol == hid) & (kcol == k)
+                lit = F.lit(_compact(path_txt))
+                expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        if expr is None:
+            return F.array().cast("array<variant>")
+        return F.array(F.parse_json(expr))
+
+    def _var_handles(self, node, scope: dict) -> tuple[int, ...]:
+        if isinstance(node, P.Var) and node.name != "$$":
+            info = scope.get(node.name) or {}
+            if info.get("kind") == "handle":
+                return (info["handle"],)
+            return tuple(info.get("handles", ()))
+        # $$ or unknown: every opened handle
+        return tuple(range(len(self.handles._list)))
+
+    # ------------------------------------------------------- projection
+    def _project_return(self, stream: DataFrame, scope: dict, ret) -> Seq:
+        if isinstance(ret, P.Var) and ret.name in scope and scope[ret.name].get("kind") == "item":
+            kcol, hcol, rcol, scol, jcol = self._var_cols(ret.name)
+            df = (
+                stream.withColumn("__k", F.col(kcol))
+                .withColumn("__h", F.col(hcol))
+                .withColumn("__r", F.col(rcol))
+                .withColumn("__sz", F.col(scol))
+                .withColumn("__j", F.col(jcol))
+            )
+            info = scope[ret.name]
+            return Seq(
+                df.select("__ord", *ITEM_COLS),
+                info.get("stored", False),
+                info.get("handles", ()),
+                "many",
+            )
+        if isinstance(ret, P.Flwor):
+            # nested FLWOR: continue iterating the same tuple stream
+            return self._flwor(ret, stream, scope)
+        if isinstance(ret, P.SeqCtor):
+            parts = []
+            for i, item in enumerate(ret.items):
+                s = self._project_return(stream, scope, item)
+                parts.append(
+                    s.df.withColumn(
+                        "__ord",
+                        F.concat(F.col("__ord"), F.array(F.lit(i).cast("bigint"))),
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return Seq(df, False, (), "many")
+        if isinstance(ret, P.Path) or (
+            isinstance(ret, P.Call)
+            and ret.name in ("jn:doc", "doc", "sdb:select-item")
+        ):
+            seq = self._expr_seq(ret, stream, scope)
+            return Seq(seq.df.select("__ord", *ITEM_COLS), seq.stored, seq.handles, "many")
+        if isinstance(ret, (P.ObjectCtor, P.ArrayCtor, P.Lit)):
+            # order-preserving TEXT construction: variant round-trips
+            # sort object keys, so constructed items never pass
+            # through parse_json/to_json
+            txt = self._value_text(ret, scope)
+            df = (
+                stream.withColumn("__j", txt)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+            )
+            return Seq(df.select("__ord", *ITEM_COLS), False, (), "many")
+        # scalar return (function calls, arithmetic, …)
+        arr = self._scalar(ret, scope)
+        exploded = stream.select(
+            "__ord", F.posexplode(F.filter(arr, lambda x: x.isNotNull())).alias("__p", "__v")
+        )
+        df = (
+            exploded.withColumn(
+                "__ord", F.concat("__ord", F.array(F.col("__p").cast("bigint")))
+            )
+            .withColumn("__k", F.lit(None).cast("bigint"))
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__r", F.lit(None).cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.to_json(F.col("__v")))
+            .drop("__p", "__v")
+        )
+        return Seq(df.select("__ord", *ITEM_COLS), False, (), "many")
+
+
+_SCAN_FNS = (
+    "jn:scan-cas-index",
+    "jn:scan-cas-index-range",
+    "jn:scan-path-index",
+    "jn:scan-name-index",
+)
+
+
+def execute_doc_query(
+    query: str, spark: SparkSession, store: DocumentStore
+) -> str:
+    """Parse + evaluate one document-mode JSONiq query; returns the
+    reference-format serialization (items joined by spaces)."""
+    return DocEvaluator(spark, store).execute(query)

@@ -1,0 +1,532 @@
+"""Transactional side of document-mode JSONiq: updates + DDL.
+
+The reference applies JSONiq update primitives (insert/append/
+replace/delete/rename json — JsonDBUpdater / JsonNodeTrx) inside a
+single-document transaction and auto-commits at query end
+(SirixQueryContext). That is coordinator work, not data-parallel
+work: one document, one revision write. This module interprets the
+side-effecting query shapes of the corpus driver-side against the
+python document object, then commits a new revision through
+DocumentStore — reads (including everything issued between commits)
+always evaluate on the Spark path (docmodel.py).
+
+Scale note: bulk updates over record collections are the record-mode
+store's job (sirix_spark/store/store.py — fully distributed); this
+path is for the reference's single-document transactional surface.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from sirix_spark.jsoniq import parser as P
+from sirix_spark.jsoniq.compiler import JsoniqCompileError
+from sirix_spark.store.docnodes import access_paths
+
+_SIDE_EFFECT_FNS = {
+    "jn:store",
+    "jn:load",
+    "jn:create-cas-index",
+    "jn:create-path-index",
+    "jn:create-name-index",
+    "sdb:commit",
+}
+
+
+def has_side_effects(ast) -> bool:
+    found = False
+
+    def walk(n):
+        nonlocal found
+        if found or n is None or isinstance(n, (str, int, float, bool)):
+            return
+        if isinstance(n, P.UpdateExpr):
+            found = True
+            return
+        if isinstance(n, P.Call) and n.name in _SIDE_EFFECT_FNS:
+            found = True
+            return
+        for f in getattr(n, "__dataclass_fields__", {}):
+            v = getattr(n, f)
+            if isinstance(v, list):
+                for item in v:
+                    if isinstance(item, tuple):
+                        for sub in item:
+                            walk(sub)
+                    else:
+                        walk(item)
+            else:
+                walk(v)
+
+    walk(ast)
+    return found
+
+
+@dataclass
+class PyItem:
+    value: object
+    key: int | None = None
+    hid: int | None = None
+
+
+@dataclass
+class _Txn:
+    """Pending mutations per handle id."""
+
+    ops: list = field(default_factory=list)  # (kind, hid, key, payload, pos, name)
+
+
+class _PyInterp:
+    """Driver-side interpreter for side-effecting queries (tiny single
+    documents by construction — the transactional surface)."""
+
+    def __init__(self, ev):
+        self.ev = ev  # DocEvaluator (shares handle registry + store)
+        self.txn = _Txn()
+
+    # ------------------------------------------------------------ docs
+    def _handle(self, hid: int):
+        return self.ev.handles.get(hid)
+
+    def _child_maps(self, hid: int):
+        h = self._handle(hid)
+        by_field: dict[tuple, int] = {}
+        members: dict[int, list[int]] = {}
+        kinds: dict[int, str] = {}
+        jsons: dict[int, str] = {}
+        for r in h.rows():
+            _, key, parent, kind, fname, container, ord_ = r[:7]
+            kinds[key] = kind
+            jsons[key] = r[9]
+            if kind == "field":
+                continue
+            if container is not None and fname is not None:
+                by_field[(container, fname)] = key
+            elif container is not None:
+                members.setdefault(container, []).append(key)
+        return by_field, members, kinds, jsons
+
+    # ------------------------------------------------------- evaluate
+    def eval(self, node, env: dict) -> list[PyItem]:
+        if isinstance(node, P.Lit):
+            return [PyItem(node.value)]
+        if isinstance(node, P.Var):
+            v = env.get(node.name)
+            if v is None:
+                raise JsoniqCompileError(f"unbound variable ${node.name}")
+            return v
+        if isinstance(node, P.SeqCtor):
+            out = []
+            for item in node.items:
+                out.extend(self.eval(item, env))
+            return out
+        if isinstance(node, P.ArrayCtor):
+            return [PyItem([self._one(self.eval(i, env)) for i in node.items])]
+        if isinstance(node, P.ObjectCtor):
+            obj = {}
+            for entry in node.entries:
+                if entry[0] == "merge":
+                    src = self._one(self.eval(entry[1], env))
+                    if isinstance(src, dict):
+                        obj.update(src)
+                else:
+                    _, k, v = entry
+                    key = k.value if isinstance(k, P.Lit) else self._one(self.eval(k, env))
+                    obj[str(key)] = self._one(self.eval(v, env))
+            return [PyItem(obj)]
+        if isinstance(node, P.Path):
+            items = self.eval(node.base, env)
+            for step in node.steps:
+                items = self._step(items, step, env)
+            return items
+        if isinstance(node, P.Flwor):
+            return self._flwor(node, env)
+        if isinstance(node, P.IfExpr):
+            if self._ebv(node.cond, env):
+                return self.eval(node.then, env)
+            return self.eval(node.orelse, env)
+        if isinstance(node, P.Binop):
+            return self._binop(node, env)
+        if isinstance(node, P.UpdateExpr):
+            self._update(node, env)
+            return []
+        if isinstance(node, P.Call):
+            return self._call(node, env)
+        raise JsoniqCompileError(
+            f"unsupported transactional expression {type(node).__name__}"
+        )
+
+    @staticmethod
+    def _one(items: list[PyItem]):
+        return items[0].value if items else None
+
+    def _step(self, items: list[PyItem], step, env) -> list[PyItem]:
+        kind = step[0]
+        out: list[PyItem] = []
+        for it in items:
+            if kind in ("field", "field_var"):
+                name = step[1] if kind == "field" else self._one(env.get(step[1], []))
+                if not isinstance(it.value, dict) or name not in it.value:
+                    continue
+                child_key = None
+                if it.key is not None and it.hid is not None:
+                    by_field, _, _, _ = self._child_maps(it.hid)
+                    child_key = by_field.get((it.key, name))
+                out.append(PyItem(it.value[name], child_key, it.hid))
+            elif kind == "unbox":
+                if not isinstance(it.value, list):
+                    continue
+                member_keys = None
+                if it.key is not None and it.hid is not None:
+                    _, members, _, _ = self._child_maps(it.hid)
+                    member_keys = members.get(it.key, [])
+                for i, v in enumerate(it.value):
+                    mk = member_keys[i] if member_keys else None
+                    out.append(PyItem(v, mk, it.hid))
+            elif kind == "index":
+                i = int(self._one(self.eval(step[1], env)))
+                if not isinstance(it.value, list) or i >= len(it.value):
+                    continue
+                mk = None
+                if it.key is not None and it.hid is not None:
+                    _, members, _, _ = self._child_maps(it.hid)
+                    ms = members.get(it.key, [])
+                    mk = ms[i] if i < len(ms) else None
+                out.append(PyItem(it.value[i], mk, it.hid))
+            elif kind == "pred":
+                sub = dict(env)
+                sub["$$"] = [it]
+                if self._ebv(step[1], sub):
+                    out.append(it)
+            else:
+                raise JsoniqCompileError(
+                    f"unsupported transactional step {kind!r}"
+                )
+        return out
+
+    def _flwor(self, f: P.Flwor, env: dict) -> list[PyItem]:
+        streams: list[dict] = [dict(env)]
+        for c in f.clauses:
+            if isinstance(c, P.LetClause):
+                for t in streams:
+                    t[c.var] = self.eval(c.value, t)
+            else:
+                new = []
+                for t in streams:
+                    src = self.eval(c.source, t)
+                    items: list[PyItem] = []
+                    for it in src:
+                        # stored/constructed single arrays iterate members
+                        if isinstance(it.value, list) and len(src) == 1 and not isinstance(c.source, P.SeqCtor):
+                            items.extend(
+                                self._step([it], ("unbox",), t)
+                            )
+                        else:
+                            items.append(it)
+                    for pos, it in enumerate(items):
+                        t2 = dict(t)
+                        t2[c.var] = [it]
+                        if c.pos_var:
+                            t2[c.pos_var] = [PyItem(pos + 1)]
+                        new.append(t2)
+                streams = new
+        if f.where is not None:
+            streams = [t for t in streams if self._ebv(f.where, t)]
+        if f.order_by:
+            def sk(t):
+                keys = []
+                for k in f.order_by:
+                    v = self._one(self.eval(k.value, t))
+                    keys.append((v is None, v if not k.descending else _Neg(v)))
+                return keys
+            streams.sort(key=sk)
+        out: list[PyItem] = []
+        for t in streams:
+            out.extend(self.eval(f.ret, t))
+        return out
+
+    def _binop(self, node: P.Binop, env) -> list[PyItem]:
+        if node.op in ("and", "or", "eq", "ne", "lt", "le", "gt", "ge"):
+            return [PyItem(self._ebv(node, env))]
+        l = self._one(self.eval(node.left, env))
+        r = self._one(self.eval(node.right, env))
+        ops = {
+            "+": lambda: l + r,
+            "-": lambda: l - r,
+            "*": lambda: l * r,
+            "div": lambda: l / r,
+            "idiv": lambda: l // r,
+            "mod": lambda: l % r,
+        }
+        return [PyItem(ops[node.op]())]
+
+    def _ebv(self, node, env) -> bool:
+        if isinstance(node, P.Binop) and node.op in ("and", "or"):
+            l, r = self._ebv(node.left, env), self._ebv(node.right, env)
+            return (l and r) if node.op == "and" else (l or r)
+        if isinstance(node, P.Binop) and node.op in (
+            "eq", "ne", "lt", "le", "gt", "ge",
+        ):
+            import operator
+
+            pyop = {
+                "eq": operator.eq, "ne": operator.ne, "lt": operator.lt,
+                "le": operator.le, "gt": operator.gt, "ge": operator.ge,
+            }[node.op]
+            ls = [i.value for i in self.eval(node.left, env)]
+            rs = [i.value for i in self.eval(node.right, env)]
+            for lv in ls:
+                for rv in rs:
+                    try:
+                        if pyop(lv, rv):
+                            return True
+                    except TypeError:
+                        continue
+            return False
+        if isinstance(node, P.Call) and node.name in ("not", "fn:not"):
+            return not self._ebv(node.args[0], env)
+        if isinstance(node, P.Call) and node.name in ("exists", "fn:exists"):
+            return len(self.eval(node.args[0], env)) > 0
+        if isinstance(node, P.Call) and node.name in ("deep-equal", "fn:deep-equal"):
+            l = self._one(self.eval(node.args[0], env))
+            r = self._one(self.eval(node.args[1], env))
+            return l == r
+        if isinstance(node, P.Call) and node.name == "instance-of":
+            v = self.eval(node.args[0], env)
+            ty = node.args[1].value
+            if not v:
+                return False
+            pyty = {"object": dict, "array": list, "string": str}[ty]
+            return isinstance(v[0].value, pyty)
+        items = self.eval(node, env)
+        if not items:
+            return False
+        if isinstance(items[0].value, bool):
+            return items[0].value
+        return True
+
+    # ------------------------------------------------------------ calls
+    def _call(self, node: P.Call, env) -> list[PyItem]:
+        name = node.name
+        if name in ("jn:store", "store"):
+            args = [self._one(self.eval(a, env)) for a in node.args]
+            self.ev.store.store(args[0], args[1], args[2])
+            return []
+        if name in ("jn:load", "load"):
+            args = [self._one(self.eval(a, env)) for a in node.args]
+            self.ev.store.load(args[0], args[1], args[2])
+            return []
+        if name in ("jn:doc", "doc"):
+            hid = self.ev._open_handle(node)
+            h = self._handle(hid)
+            return [PyItem(json.loads(h.text()), 1, hid)]
+        if name in ("sdb:select-item", "select-item"):
+            base = self.eval(node.args[0], env)
+            key = int(self._one(self.eval(node.args[1], env)))
+            it = base[0]
+            _, _, _, jsons = self._child_maps(it.hid)
+            if key not in jsons:
+                return []
+            return [PyItem(json.loads(jsons[key]), key, it.hid)]
+        if name == "bit:fields":
+            v = self._one(self.eval(node.args[0], env))
+            return [PyItem(list(v.keys()) if isinstance(v, dict) else [])]
+        if name in ("jn:parse", "parse"):
+            return [PyItem(json.loads(self._one(self.eval(node.args[0], env))))]
+        if name in ("jn:null",):
+            return [PyItem(None)]
+        if name in ("count", "fn:count"):
+            return [PyItem(len(self.eval(node.args[0], env)))]
+        if name in (
+            "exists", "fn:exists", "not", "fn:not",
+            "deep-equal", "fn:deep-equal", "instance-of",
+        ):
+            return [PyItem(self._ebv(node, env))]
+        if name == "xs:string":
+            v = self._one(self.eval(node.args[0], env))
+            return [PyItem(v if isinstance(v, str) else _compact(v))]
+        if name in ("contains", "fn:contains"):
+            a = self._one(self.eval(node.args[0], env))
+            b = self._one(self.eval(node.args[1], env))
+            return [PyItem(b in a)]
+        if name.startswith("jn:create-") and name.endswith("-index"):
+            return self._create_index(node, env)
+        if name == "sdb:commit":
+            it = self.eval(node.args[0], env)[0]
+            h = self._handle(it.hid)
+            rev = self._commit_handle(h)
+            return [PyItem(rev)]
+        if name == "sdb:nodekey":
+            it = self.eval(node.args[0], env)
+            return [PyItem(it[0].key)] if it else []
+        if name == "sdb:revision":
+            it = self.eval(node.args[0], env)
+            return [PyItem(self._handle(it[0].hid).revision)] if it else []
+        raise JsoniqCompileError(f"unknown transactional function {name}()")
+
+    def _create_index(self, node: P.Call, env) -> list[PyItem]:
+        kind = node.name[len("jn:create-"):-len("-index")]
+        it = self.eval(node.args[0], env)[0]
+        h = self._handle(it.hid)
+        content_type = None
+        paths: tuple[str, ...] = ()
+        rest = node.args[1:]
+        if kind == "cas":
+            content_type = self._one(self.eval(rest[0], env))
+            rest = rest[1:]
+        if rest:
+            vals = self.eval(rest[0], env)
+            paths = tuple(str(v.value) for v in vals)
+        self.ev.store.create_index(h.db, h.res, kind, content_type, paths)
+        return [PyItem({})]
+
+    def _commit_handle(self, h) -> int:
+        if self.txn.ops:
+            new_rev = self._apply_ops(h)
+        else:
+            new_rev = self.ev.store.commit(h.db, h.res)
+        return new_rev
+
+    # ---------------------------------------------------------- updates
+    def _update(self, u: P.UpdateExpr, env) -> None:
+        if u.kind in ("insert", "append"):
+            payload_items = self.eval(u.value, env)
+            # appending a sequence appends it as one array (Brackit)
+            payload = (
+                payload_items[0].value
+                if len(payload_items) == 1
+                else [i.value for i in payload_items]
+            )
+            targets = self.eval(u.target, env)
+            pos = (
+                int(self._one(self.eval(u.position, env)))
+                if u.position is not None
+                else None
+            )
+            for t in targets:
+                self.txn.ops.append((u.kind, t.hid, t.key, payload, pos, None))
+            return
+        if u.kind == "delete":
+            for t in self.eval(u.target, env):
+                self.txn.ops.append(("delete", t.hid, t.key, None, None, None))
+            return
+        if u.kind == "replace":
+            payload = self._one(self.eval(u.value, env))
+            for t in self.eval(u.target, env):
+                self.txn.ops.append(("replace", t.hid, t.key, payload, None, None))
+            return
+        if u.kind == "rename":
+            new_name = self._one(self.eval(u.value, env))
+            for t in self.eval(u.target, env):
+                self.txn.ops.append(("rename", t.hid, t.key, None, None, new_name))
+            return
+        raise JsoniqCompileError(f"unsupported update {u.kind!r}")
+
+    def _apply_ops(self, h, hid: int | None = None) -> int:
+        mine = [
+            op for op in self.txn.ops if hid is None or op[1] == hid
+        ]
+        self.txn.ops = [op for op in self.txn.ops if op not in mine]
+        doc = json.loads(h.text())
+        ap = access_paths(h.rows())
+
+        def chain(key) -> list:
+            acc = []
+            k = key
+            while True:
+                kind, parent, a = ap[k]
+                if parent is None:
+                    break
+                acc.append(a)
+                k = parent
+            return list(reversed(acc))
+
+        def container_of(key):
+            c = chain(key)
+            node = doc
+            for a in c[:-1]:
+                node = node[a]
+            return node, (c[-1] if c else None)
+
+        # document-order stability: apply deletes last-first so member
+        # indices stay valid; other ops keep query order
+        deletes = sorted(
+            [op for op in mine if op[0] == "delete"], key=lambda o: -(o[2] or 0)
+        )
+        others = [op for op in mine if op[0] != "delete"]
+        for op in others + deletes:
+            kind, _hid, key, payload, pos, new_name = op
+            if kind in ("insert", "append"):
+                target = doc
+                for a in chain(key):
+                    target = target[a]
+                if isinstance(target, list):
+                    if kind == "append" or pos is None:
+                        target.append(payload)
+                    else:
+                        target.insert(pos, payload)
+                elif isinstance(target, dict):
+                    if isinstance(payload, dict):
+                        target.update(payload)
+                    else:
+                        raise JsoniqCompileError(
+                            "insert json into object needs an object payload"
+                        )
+                continue
+            container, acc = container_of(key)
+            if acc is None:
+                raise JsoniqCompileError("cannot update the document root")
+            if kind == "delete":
+                del container[acc]
+            elif kind == "replace":
+                container[acc] = payload
+            elif kind == "rename":
+                if not isinstance(container, dict):
+                    raise JsoniqCompileError("rename json needs an object field")
+                container = {
+                    (new_name if k == acc else k): v for k, v in container.items()
+                }
+                # write back in place
+                parent_chain = chain(key)[:-1]
+                node = doc
+                for a in parent_chain[:-1]:
+                    node = node[a]
+                if parent_chain:
+                    node[parent_chain[-1]] = container
+                else:
+                    doc = container
+        return self.ev.store.commit(h.db, h.res, _compact(doc))
+
+
+class _Neg:
+    """Descending sort wrapper for heterogeneous keys."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        try:
+            return other.v < self.v
+        except TypeError:
+            return False
+
+
+def _compact(v) -> str:
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def run_transaction(ev, ast) -> str:
+    """Execute a side-effecting query; auto-commit staged updates per
+    touched handle (SirixQueryContext commit-on-close parity). Returns
+    the serialized (usually empty) result."""
+    interp = _PyInterp(ev)
+    items = interp.eval(ast, {})
+    # auto-commit pending mutations
+    touched = {op[1] for op in interp.txn.ops}
+    for hid in touched:
+        interp._apply_ops(ev.handles.get(hid), hid)
+    out = []
+    for it in items:
+        out.append(_compact(it.value))
+    return " ".join(out)

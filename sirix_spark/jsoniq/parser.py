@@ -286,6 +286,11 @@ class _Parser:
 
     # -- FLWOR
     def flwor(self) -> Flwor:
+        # XQuery 3.x intermediate clauses: for/let/where/group/order in
+        # any order before `return` (the corpus interleaves them, e.g.
+        # `for … order by … let … return`). Multiple `where`s AND
+        # together; late `let`s bind after the sort (order-preserving,
+        # so the Flwor shape with a single clause list stays valid).
         f = Flwor()
         while True:
             if self.opt("kw", "for"):
@@ -299,40 +304,41 @@ class _Parser:
                 var = self.eat("var").text[1:]
                 self.eat("op", ":=")
                 f.clauses.append(LetClause(var, self.expr_single()))
+            elif self.opt("kw", "where"):
+                # quantified expr allowed bare in where (ExprSingle);
+                # inside a conjunction, parenthesize: `$a eq 1 and (some …)`
+                if self.at("kw", "some") or self.at("kw", "every"):
+                    cond = self.quantified()
+                else:
+                    cond = self.or_expr()
+                f.where = cond if f.where is None else Binop("and", f.where, cond)
+            elif self.at("kw", "group"):
+                self.eat("kw", "group")
+                self.eat("kw", "by")
+                while True:
+                    v = self.eat("var").text[1:]
+                    val = None
+                    if self.opt("op", ":="):
+                        val = self.or_expr()
+                    f.group_by.append(GroupKey(v, val))
+                    if not self.opt("op", ","):
+                        break
+            elif self.at("kw", "order"):
+                self.eat("kw", "order")
+                self.eat("kw", "by")
+                while True:
+                    k = OrderKey(self.or_expr())
+                    if self.opt("kw", "descending"):
+                        k.descending = True
+                    else:
+                        self.opt("kw", "ascending")
+                    f.order_by.append(k)
+                    if not self.opt("op", ","):
+                        break
             else:
                 break
-        if self.opt("kw", "where"):
-            # quantified expr allowed bare in where (ExprSingle);
-            # inside a conjunction, parenthesize: `$a eq 1 and (some …)`
-            if self.at("kw", "some") or self.at("kw", "every"):
-                f.where = self.quantified()
-            else:
-                f.where = self.or_expr()
-        if self.at("kw", "group"):
-            self.eat("kw", "group")
-            self.eat("kw", "by")
-            while True:
-                v = self.eat("var").text[1:]
-                val = None
-                if self.opt("op", ":="):
-                    val = self.or_expr()
-                f.group_by.append(GroupKey(v, val))
-                if not self.opt("op", ","):
-                    break
-        if self.at("kw", "order"):
-            self.eat("kw", "order")
-            self.eat("kw", "by")
-            while True:
-                k = OrderKey(self.or_expr())
-                if self.opt("kw", "descending"):
-                    k.descending = True
-                else:
-                    self.opt("kw", "ascending")
-                f.order_by.append(k)
-                if not self.opt("op", ","):
-                    break
         self.eat("kw", "return")
-        f.ret = self.expr()
+        f.ret = self.expr_single()
         return f
 
     def quantified(self) -> Quantified:
@@ -375,6 +381,19 @@ class _Parser:
 
     # -- expression ladder
     def expr_single(self):
+        # ExprSingle per XQuery: FLWOR, quantified, if, update, or
+        # an or-expr — so `let $x := for … return $i` parses with the
+        # inner FLWOR ending at its (ExprSingle) return value.
+        if self.at("kw", "for") or self.at("kw", "let"):
+            return self.flwor()
+        if self.at("kw", "some") or self.at("kw", "every"):
+            return self.quantified()
+        if (
+            self.cur.kind == "kw"
+            and self.cur.text in ("insert", "delete", "replace", "rename", "append")
+            and not self.toks[self.i + 1].text == "("
+        ):
+            return self.update_expr()
         if self.at("kw", "if"):
             return self.if_expr()
         return self.or_expr()
@@ -538,6 +557,12 @@ class _Parser:
             )
         if t.kind == "op" and t.text == "{":
             return self.object_ctor()
+        if t.kind == "op" and t.text == "[]":
+            # `[]` in expression position is an empty array constructor
+            # (the tokenizer fuses the unbox op; postfix handles the
+            # step case before primary ever sees it)
+            self.i += 1
+            return ArrayCtor([])
         if t.kind == "op" and t.text == "[":
             self.i += 1
             items = []

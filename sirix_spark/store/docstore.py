@@ -1,0 +1,237 @@
+"""Document-mode versioned store (arbitrary JSON resources).
+
+The record-mode `VersionedStore` (store.py) is the scale path for
+tabular/record collections; this store covers the reference's other
+storage shape — a single arbitrary JSON document per resource, with
+revisions, commits, and secondary-index metadata
+(BasicJsonDBStore.java / JsonResourceSession).  Documents here are
+query-able through the node-table representation
+(sirix_spark/store/docnodes.py) — all reads are Spark DataFrame
+plans; only the transactional surface (commit files, manifest) is
+driver-side, as in any engine's txn coordinator.
+
+Layout::
+
+    root/<db>/<res>/manifest.json     revisions + index registry
+    root/<db>/<res>/r<N>.json         document text per revision
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sirix_spark.store.docnodes import nodes_df, shred_text
+
+
+class DocStoreError(ValueError):
+    pass
+
+
+@dataclass
+class IndexDef:
+    number: int
+    kind: str  # cas | path | name
+    content_type: str | None  # xs:string / xs:integer / … (cas only)
+    paths: tuple[str, ...]
+
+
+@dataclass
+class DocHandle:
+    """One opened (db, res, revision) — the jn:doc(...) value."""
+
+    store: "DocumentStore"
+    db: str
+    res: str
+    revision: int
+    _nodes: DataFrame | None = field(default=None, repr=False)
+    _rows: list | None = field(default=None, repr=False)
+
+    @property
+    def doc_id(self) -> str:
+        return f"{self.db}/{self.res}@r{self.revision}"
+
+    def text(self) -> str:
+        return self.store.read_text(self.db, self.res, self.revision)
+
+    def rows(self) -> list:
+        if self._rows is None:
+            self._rows = shred_text(self.text(), doc_id=self.doc_id)
+        return self._rows
+
+    def nodes(self) -> DataFrame:
+        if self._nodes is None:
+            self._nodes = nodes_df(self.store.spark, self.rows())
+        return self._nodes
+
+    def root_kind(self) -> str:
+        return self.rows()[0][3]
+
+
+class DocumentStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _res_dir(self, db: str, res: str) -> str:
+        return os.path.join(self.root, db, res)
+
+    def _manifest_path(self, db: str, res: str) -> str:
+        return os.path.join(self._res_dir(db, res), "manifest.json")
+
+    def _read_manifest(self, db: str, res: str) -> dict:
+        p = self._manifest_path(db, res)
+        if not os.path.exists(p):
+            raise DocStoreError(f"unknown resource {db}/{res}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, db: str, res: str, m: dict) -> None:
+        with open(self._manifest_path(db, res), "w") as f:
+            json.dump(m, f, indent=1)
+
+    # ------------------------------------------------------------ store
+    def exists(self, db: str, res: str) -> bool:
+        return os.path.exists(self._manifest_path(db, res))
+
+    def store(self, db: str, res: str, text: str) -> int:
+        """jn:store — create the resource at revision 1 (the text is
+        validated/canonicalized through one parse)."""
+        canon = json.dumps(
+            json.loads(text), separators=(",", ":"), ensure_ascii=False
+        )
+        os.makedirs(self._res_dir(db, res), exist_ok=True)
+        if self.exists(db, res):
+            raise DocStoreError(f"resource {db}/{res} already exists")
+        self._write_revision(db, res, 1, canon)
+        self._write_manifest(
+            db,
+            res,
+            {
+                "revisions": [self._rev_entry(1)],
+                "indexes": [],
+            },
+        )
+        return 1
+
+    def load(self, db: str, res: str, uri: str) -> int:
+        """jn:load — read a JSON file (file:// URI or path)."""
+        path = uri[7:] if uri.startswith("file://") else uri
+        with open(path, encoding="utf-8-sig") as f:
+            return self.store(db, res, f.read())
+
+    @staticmethod
+    def _rev_entry(n: int) -> dict:
+        return {
+            "revision": n,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+
+    def _write_revision(self, db: str, res: str, n: int, text: str) -> None:
+        with open(os.path.join(self._res_dir(db, res), f"r{n}.json"), "w") as f:
+            f.write(text)
+
+    def read_text(self, db: str, res: str, revision: int) -> str:
+        p = os.path.join(self._res_dir(db, res), f"r{revision}.json")
+        if not os.path.exists(p):
+            raise DocStoreError(f"no revision {revision} of {db}/{res}")
+        with open(p) as f:
+            return f.read()
+
+    # ------------------------------------------------------- revisions
+    def latest_revision(self, db: str, res: str) -> int:
+        return self._read_manifest(db, res)["revisions"][-1]["revision"]
+
+    def revisions(self, db: str, res: str) -> list[int]:
+        return [e["revision"] for e in self._read_manifest(db, res)["revisions"]]
+
+    def doc(self, db: str, res: str, revision: int | None = None) -> DocHandle:
+        if revision is None:
+            revision = self.latest_revision(db, res)
+        return DocHandle(self, db, res, revision)
+
+    def commit(self, db: str, res: str, text: str | None = None) -> int:
+        """sdb:commit — write a new revision (same content unless an
+        update supplies new text; index creation commits this way)."""
+        m = self._read_manifest(db, res)
+        n = m["revisions"][-1]["revision"] + 1
+        if text is None:
+            text = self.read_text(db, res, n - 1)
+        self._write_revision(db, res, n, text)
+        m["revisions"].append(self._rev_entry(n))
+        self._write_manifest(db, res, m)
+        return n
+
+    # --------------------------------------------------------- indexes
+    def create_index(
+        self,
+        db: str,
+        res: str,
+        kind: str,
+        content_type: str | None,
+        paths: tuple[str, ...],
+    ) -> int:
+        """jn:create-{cas,path,name}-index — register the definition.
+
+        The node table's (path, json) columns already serve every scan
+        the reference answers from its index trees (the columnar
+        layout IS the index — SURVEY.md §7 'Do NOT port'); the
+        registry preserves find-index numbering/commit semantics."""
+        m = self._read_manifest(db, res)
+        number = len(m["indexes"])
+        m["indexes"].append(
+            {
+                "number": number,
+                "kind": kind,
+                "content_type": content_type,
+                "paths": list(paths),
+            }
+        )
+        self._write_manifest(db, res, m)
+        return number
+
+    def find_index(
+        self,
+        db: str,
+        res: str,
+        kind: str,
+        content_type: str | None,
+        paths: tuple[str, ...],
+    ) -> int | None:
+        """An index COVERS a request when every requested path is a
+        registered pattern or is matched by one (e.g. a ``//[]`` index
+        answers ``/[]/test/[]`` — the reference's findCASIndex path-
+        class containment)."""
+        import re as _re
+
+        from sirix_spark.jsoniq.docindex import path_pattern_regex
+
+        for e in self._read_manifest(db, res)["indexes"]:
+            if e["kind"] != kind:
+                continue
+            if kind == "cas" and e["content_type"] != content_type:
+                continue
+            def covered(p: str) -> bool:
+                if p in e["paths"]:
+                    return True
+                return any(
+                    _re.fullmatch(path_pattern_regex(pat).strip("^$"), p)
+                    for pat in e["paths"]
+                )
+            if all(covered(p) for p in paths):
+                return e["number"]
+        return None
+
+    def index_def(self, db: str, res: str, number: int) -> IndexDef:
+        for e in self._read_manifest(db, res)["indexes"]:
+            if e["number"] == number:
+                return IndexDef(
+                    e["number"], e["kind"], e["content_type"], tuple(e["paths"])
+                )
+        raise DocStoreError(f"no index {number} on {db}/{res}")
