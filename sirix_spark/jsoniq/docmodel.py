@@ -215,12 +215,49 @@ class DocEvaluator:
             df = df.withColumnRenamed(col, var_col)
         if c.pos_var:
             raise JsoniqCompileError("`at $pos` unsupported in document mode")
+        if seq.stored and seq.handles:
+            # carry the node's instance path (and its structural
+            # parent's) on the stream via ONE broadcast join, so
+            # sdb:path($v) / sdb:path(sdb:select-parent($v)) compile
+            # to column references instead of an O(nodes) literal
+            # expression (39k-node docs choke Catalyst otherwise)
+            kcol, hcol = f"k_{c.var}", f"h_{c.var}"
+            lut = self._path_lut(seq.handles)
+            df = (
+                df.join(
+                    F.broadcast(lut),
+                    (F.col(hcol) == F.col("pl_h")) & (F.col(kcol) == F.col("pl_k")),
+                    "left",
+                )
+                .withColumnRenamed("pl_p", f"p_{c.var}")
+                .withColumnRenamed("pl_pp", f"pp_{c.var}")
+                .drop("pl_h", "pl_k")
+            )
         scope[c.var] = {
             "kind": "item",
             "stored": seq.stored,
             "handles": seq.handles,
         }
         return df
+
+    def _path_lut(self, handles: tuple[int, ...]) -> DataFrame:
+        """(handle, key) → (ipath, structural-parent ipath) lookup
+        rows for the sdb:path join (field nodes are skipped when
+        hopping to the parent, as in the reference's path summary)."""
+        rows = []
+        for hid in handles:
+            h = self.handles.get(hid)
+            by_key = {r[1]: r for r in h.rows()}
+            for k, r in by_key.items():
+                pk = r[2]
+                while pk is not None and by_key[pk][3] == "field":
+                    pk = by_key[pk][2]
+                rows.append(
+                    (hid, k, r[8], by_key[pk][8] if pk is not None else None)
+                )
+        return self.spark.createDataFrame(
+            rows, "pl_h int, pl_k bigint, pl_p string, pl_pp string"
+        )
 
     @staticmethod
     def _var_cols(var: str) -> tuple[str, ...]:
@@ -436,9 +473,13 @@ class DocEvaluator:
         )
 
     def _flwor_correlated(self, f: P.Flwor, stream: DataFrame, scope: dict) -> Seq:
-        """A nested FLWOR used as a sequence source. Corpus shapes are
-        uncorrelated with the outer stream apart from static handle
-        vars, so compile it standalone and cross-join its items."""
+        """A nested FLWOR used as a sequence source. If it references
+        outer-scope variables, continue the outer tuple stream so the
+        bindings stay visible (correlated evaluation); otherwise
+        compile it standalone and cross-join its items (cheaper, and
+        broadcastable)."""
+        if _free_vars(f) & set(scope.keys()):
+            return self._flwor(f, stream, scope)
         sub = self._flwor(f)
         joined = stream.crossJoin(
             F.broadcast(
@@ -523,7 +564,11 @@ class DocEvaluator:
                 F.map_keys(
                     F.from_json(F.col("__j"), "map<string,string>")
                 ),
-                lambda k: F.parse_json(F.to_json(k)),
+                # to_json can't take a bare string; wrap in a one-
+                # element array and unwrap as variant
+                lambda k: F.try_variant_get(
+                    F.parse_json(F.to_json(F.array(k))), "$[0]", "variant"
+                ),
             )
             ex = base.df.select(
                 "*", F.posexplode(arr).alias("__p", "__v")
@@ -543,6 +588,23 @@ class DocEvaluator:
         if name in ("jn:parse", "parse"):
             arr = self._scalar(node, scope)
             return self._seq_from_scalar(arr, stream)
+        if name == "jn:diff":
+            args = [a.value for a in node.args if isinstance(a, P.Lit)]
+            if len(args) < 4:
+                raise JsoniqCompileError(
+                    "jn:diff needs (database, resource, rev1, rev2)"
+                )
+            wire = self.store.diff_json(
+                args[0], args[1], int(args[2]), int(args[3])
+            )
+            df = (
+                stream.withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit(wire))
+            )
+            return Seq(df, False, (), "one")
         if name in _SCAN_FNS:
             from sirix_spark.jsoniq.docindex import scan_index_seq
 
@@ -626,13 +688,13 @@ class DocEvaluator:
             return self._stored_step(seq, step, scope)
         return self._variant_step(seq, step, scope)
 
-    def _join_nodes(self, seq: Seq, make_cond, ord_col=None, project=None) -> Seq:
+    def _join_nodes(self, seq: Seq, make_cond, ord_col=None, project=None, nv_fn=None) -> Seq:
         """Join each handle's node view against the sequence; rebind
         item columns from the matched node."""
         parts = []
         for hid in seq.handles:
             h = self.handles.get(hid)
-            nv = _nodes_view(h)
+            nv = nv_fn(h) if nv_fn is not None else _nodes_view(h)
             part = seq.df.filter(F.col("__h") == hid).join(
                 F.broadcast(nv), make_cond(), "inner"
             )
@@ -691,50 +753,118 @@ class DocEvaluator:
             )
         if kind == "index":
             i = self._static_int(step[1], scope)
-            out = self._join_nodes(
-                seq,
-                lambda: (F.col("n_cont") == F.col("__k"))
-                & F.col("n_fname").isNull()
-                & (F.col("n_ord") == i),
-            )
+            if i >= 0:
+                out = self._join_nodes(
+                    seq,
+                    lambda: (F.col("n_cont") == F.col("__k"))
+                    & F.col("n_fname").isNull()
+                    & (F.col("n_ord") == i),
+                )
+            else:
+                # negative index counts from the array's end: augment
+                # the nodes view with per-container member counts
+                def nv_with_counts(h):
+                    nv = _nodes_view(h)
+                    counts = (
+                        nv.filter(
+                            F.col("n_fname").isNull() & F.col("n_ord").isNotNull()
+                        )
+                        .groupBy(F.col("n_cont").alias("nc_cont"))
+                        .agg(F.count(F.lit(1)).alias("n_cnt"))
+                    )
+                    return nv.join(
+                        counts, nv["n_cont"] == counts["nc_cont"], "left"
+                    ).drop("nc_cont")
+
+                out = self._join_nodes(
+                    seq,
+                    lambda: (F.col("n_cont") == F.col("__k"))
+                    & F.col("n_fname").isNull()
+                    & (F.col("n_ord") == F.col("n_cnt") + i),
+                    nv_fn=nv_with_counts,
+                )
             out.card = seq.card
             return out
         if kind == "slice":
             lo = 0 if step[1] is None else self._static_int(step[1], scope)
             hi = None if step[2] is None else self._static_int(step[2], scope)
-            v = F.try_variant_get(F.parse_json(F.col("__j")), "$", "array<variant>")
-            length = (F.size(v) - F.lit(lo)) if hi is None else F.lit(hi - lo)
-            sliced = F.slice(v, F.lit(lo + 1), length)
-            df = (
-                seq.df.withColumn(
-                    "__j",
-                    F.concat(
-                        F.lit("["),
-                        F.concat_ws(",", F.transform(sliced, F.to_json)),
-                        F.lit("]"),
-                    ),
-                )
-                .withColumn("__k", F.lit(None).cast("bigint"))
-                .withColumn("__sz", F.lit(None).cast("bigint"))
-            )
-            return Seq(df, False, (), seq.card)
+            return self._stored_slice(seq, lo, hi)
         if kind == "pred":
             item_scope = dict(scope)
             item_scope["$$"] = {"kind": "current"}
             cond = self._ebv(step[1], item_scope)
             return Seq(seq.df.filter(cond), seq.stored, seq.handles, "many")
         if kind == "field_var":
-            raise JsoniqCompileError("dynamic field deref only in updates")
+            # dynamic deref $obj.$key: join on fname == the variable's
+            # string value (carried on the stream as j_<var>)
+            name_col = F.try_variant_get(
+                F.parse_json(F.col(f"j_{step[1]}")), "$", "string"
+            )
+            out = self._join_nodes(
+                seq,
+                lambda: (F.col("n_cont") == F.col("__k"))
+                & (F.col("n_fname") == name_col)
+                & (F.col("n_kind") != "field"),
+            )
+            out.card = seq.card
+            return out
         raise JsoniqCompileError(f"unsupported step {kind!r}")
+
+    def _stored_slice(self, seq: Seq, lo: int, hi: int | None) -> Seq:
+        """Array slice on stored nodes, reassembled from member
+        n_json texts so object key order survives (a variant
+        round-trip would sort keys)."""
+        parts = []
+        orig_cols = seq.df.columns
+        for hid in seq.handles:
+            h = self.handles.get(hid)
+            nv = _nodes_view(h).select("n_cont", "n_ord", "n_json")
+            cond = (
+                (F.col("n_cont") == F.col("__k"))
+                & F.col("n_ord").isNotNull()
+                & (F.col("n_ord") >= lo)
+            )
+            if hi is not None:
+                cond = cond & (F.col("n_ord") < hi)
+            joined = seq.df.filter(F.col("__h") == hid).join(
+                F.broadcast(nv), cond, "left"
+            )
+            packed = joined.groupBy(*orig_cols).agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("n_ord").alias("o"), F.col("n_json").alias("j"))
+                    )
+                ).alias("__mem")
+            )
+            parts.append(
+                packed.withColumn(
+                    "__j",
+                    F.concat(
+                        F.lit("["),
+                        F.concat_ws(
+                            ",", F.transform(F.col("__mem"), lambda m: m["j"])
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .drop("__mem")
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return Seq(df, False, (), seq.card)
 
     def _variant_step(self, seq: Seq, step, scope: dict) -> Seq:
         kind = step[0]
         v = F.parse_json(F.col("__j"))
         if kind == "field":
             got = F.try_variant_get(v, f"$.{step[1]}", "variant")
-            df = seq.df.withColumn("__j", F.to_json(got)).filter(
-                got.isNotNull()
-            )
+            # filter BEFORE rebinding __j: `got` references __j, so a
+            # withColumn-first order would re-evaluate the deref
+            # against the already-extracted value
+            df = seq.df.filter(got.isNotNull()).withColumn("__j", F.to_json(got))
             return Seq(df, False, (), seq.card)
         if kind == "unbox":
             arr = F.try_variant_get(v, "$", "array<variant>")
@@ -751,8 +881,14 @@ class DocEvaluator:
             return Seq(df, False, (), "many")
         if kind == "index":
             i = self._static_int(step[1], scope)
-            got = F.try_variant_get(v, f"$[{i}]", "variant")
-            df = seq.df.withColumn("__j", F.to_json(got)).filter(got.isNotNull())
+            if i >= 0:
+                got = F.try_variant_get(v, f"$[{i}]", "variant")
+            else:
+                # negative index counts from the end (element_at is
+                # 1-based and supports negatives)
+                arr0 = F.try_variant_get(v, "$", "array<variant>")
+                got = F.try_element_at(arr0, F.lit(i))
+            df = seq.df.filter(got.isNotNull()).withColumn("__j", F.to_json(got))
             return Seq(df, False, (), seq.card)
         if kind == "slice":
             lo = 0 if step[1] is None else self._static_int(step[1], scope)
@@ -764,7 +900,7 @@ class DocEvaluator:
                 "__j",
                 F.concat(
                     F.lit("["),
-                    F.concat_ws(",", F.transform(sliced, F.to_json)),
+                    F.concat_ws(",", F.transform(sliced, lambda x: F.to_json(x))),
                     F.lit("]"),
                 ),
             )
@@ -864,7 +1000,7 @@ class DocEvaluator:
             inner = F.concat_ws(
                 ",",
                 *[
-                    F.concat_ws(",", F.transform(p, F.to_json))
+                    F.concat_ws(",", F.transform(p, lambda x: F.to_json(x)))
                     for p in parts
                 ],
             ) if parts else F.lit("")
@@ -965,6 +1101,13 @@ class DocEvaluator:
                 return F.col(f"j_{node.name}")
             if info and info["kind"] == "handle":
                 return F.lit(self.handles.get(info["handle"]).rows()[0][9])
+            if info and info["kind"] == "seq":
+                # sequence-valued let: original item texts, joined —
+                # preserves stored key order (no variant round-trip)
+                a = F.col(f"a_{node.name}")
+                return F.when(F.size(a) == 0, F.lit(None).cast("string")).otherwise(
+                    F.concat_ws(",", F.transform(a, lambda it: it["j"]))
+                )
         if isinstance(node, P.Var) and node.name == "$$":
             return F.col("__j")
         if isinstance(node, P.IfExpr):
@@ -1220,6 +1363,10 @@ class DocEvaluator:
                     "s": F.lit(h.rows()[0][10]).cast("bigint"),
                     "j": F.lit(h.rows()[0][9]),
                 }[which]
+            if info and info["kind"] == "seq":
+                # identity of a sequence-valued let: its first item
+                field = {"k": "k", "h": "h", "r": "r", "s": "s", "j": "j"}[which]
+                return F.try_element_at(F.col(f"a_{node.name}"), F.lit(1))[field]
             return F.col(f"{which}_{node.name}")
         raise JsoniqCompileError("node identity of a non-variable expression")
 
@@ -1232,6 +1379,25 @@ class DocEvaluator:
         if isinstance(inner, P.Call) and inner.name == "sdb:select-parent":
             inner = inner.args[0]
             hop_parent = True
+        # fast path: for-bound stored vars carry their (parent-)path
+        # on the stream (see _for's broadcast lut join)
+        if (
+            isinstance(inner, P.Var)
+            and inner.name != "$$"
+            and (scope.get(inner.name) or {}).get("kind") == "item"
+            and (scope.get(inner.name) or {}).get("stored")
+        ):
+            p = F.col(("pp_" if hop_parent else "p_") + inner.name)
+            quoted = F.concat(
+                F.lit('"'),
+                F.regexp_replace(
+                    F.regexp_replace(p, r"\\", r"\\\\"), '"', '\\\\"'
+                ),
+                F.lit('"'),
+            )
+            return F.when(
+                p.isNull(), F.array().cast("array<variant>")
+            ).otherwise(F.array(F.parse_json(quoted)))
         kcol = self._identity_col(inner, scope, "k")
         hcol = self._identity_col(inner, scope, "h")
         # resolved via a broadcast join at return-projection time is
@@ -1278,6 +1444,13 @@ class DocEvaluator:
 
     # ------------------------------------------------------- projection
     def _project_return(self, stream: DataFrame, scope: dict, ret) -> Seq:
+        if isinstance(ret, P.Var) and ret.name in scope and scope[ret.name].get("kind") == "seq":
+            # sequence-valued let in return position: explode its
+            # packed items, keeping original texts and node identity
+            seq = self._seq_core(ret, stream, scope)
+            return Seq(
+                seq.df, seq.stored, seq.handles, "many"
+            )
         if isinstance(ret, P.Var) and ret.name in scope and scope[ret.name].get("kind") == "item":
             kcol, hcol, rcol, scol, jcol = self._var_cols(ret.name)
             df = (
@@ -1289,7 +1462,7 @@ class DocEvaluator:
             )
             info = scope[ret.name]
             return Seq(
-                df.select("__ord", *ITEM_COLS),
+                df,
                 info.get("stored", False),
                 info.get("handles", ()),
                 "many",
@@ -1313,10 +1486,13 @@ class DocEvaluator:
             return Seq(df, False, (), "many")
         if isinstance(ret, P.Path) or (
             isinstance(ret, P.Call)
-            and ret.name in ("jn:doc", "doc", "sdb:select-item")
+            and (
+                ret.name in ("jn:doc", "doc", "sdb:select-item", "jn:all-times")
+                or ret.name in _SCAN_FNS
+            )
         ):
             seq = self._expr_seq(ret, stream, scope)
-            return Seq(seq.df.select("__ord", *ITEM_COLS), seq.stored, seq.handles, "many")
+            return Seq(seq.df, seq.stored, seq.handles, "many")
         if isinstance(ret, (P.ObjectCtor, P.ArrayCtor, P.Lit)):
             # order-preserving TEXT construction: variant round-trips
             # sort object keys, so constructed items never pass
@@ -1329,11 +1505,11 @@ class DocEvaluator:
                 .withColumn("__r", F.lit(None).cast("int"))
                 .withColumn("__sz", F.lit(None).cast("bigint"))
             )
-            return Seq(df.select("__ord", *ITEM_COLS), False, (), "many")
+            return Seq(df, False, (), "many")
         # scalar return (function calls, arithmetic, …)
         arr = self._scalar(ret, scope)
         exploded = stream.select(
-            "__ord", F.posexplode(F.filter(arr, lambda x: x.isNotNull())).alias("__p", "__v")
+            "*", F.posexplode(F.filter(arr, lambda x: x.isNotNull())).alias("__p", "__v")
         )
         df = (
             exploded.withColumn(
@@ -1346,7 +1522,7 @@ class DocEvaluator:
             .withColumn("__j", F.to_json(F.col("__v")))
             .drop("__p", "__v")
         )
-        return Seq(df.select("__ord", *ITEM_COLS), False, (), "many")
+        return Seq(df, False, (), "many")
 
 
 _SCAN_FNS = (
@@ -1355,6 +1531,44 @@ _SCAN_FNS = (
     "jn:scan-path-index",
     "jn:scan-name-index",
 )
+
+
+def _free_vars(node, bound: frozenset = frozenset()) -> set[str]:
+    """Variable names referenced by `node` that are not bound inside
+    it (FLWOR clauses and quantifiers introduce bindings in order)."""
+    if isinstance(node, P.Var):
+        return set() if node.name in bound or node.name == "$$" else {node.name}
+    if isinstance(node, P.Flwor):
+        free: set[str] = set()
+        b = bound
+        for c in node.clauses:
+            if isinstance(c, P.ForClause):
+                free |= _free_vars(c.source, b)
+                b = b | {c.var} | ({c.pos_var} if c.pos_var else set())
+            else:
+                free |= _free_vars(c.value, b)
+                b = b | {c.var}
+        for part in (node.where, *[k.value for k in node.order_by], node.ret):
+            if part is not None:
+                free |= _free_vars(part, b)
+        for g in node.group_by:
+            free |= _free_vars(g.value, b)
+        return free
+    if isinstance(node, P.Quantified):
+        return _free_vars(node.source, bound) | _free_vars(
+            node.predicate, bound | {node.var}
+        )
+    if isinstance(node, (list, tuple)):
+        out: set[str] = set()
+        for item in node:
+            out |= _free_vars(item, bound)
+        return out
+    if hasattr(node, "__dataclass_fields__"):
+        out = set()
+        for fname in node.__dataclass_fields__:
+            out |= _free_vars(getattr(node, fname), bound)
+        return out
+    return set()
 
 
 def execute_doc_query(

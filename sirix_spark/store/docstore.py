@@ -220,6 +220,16 @@ class DocumentStore:
             def covered(p: str) -> bool:
                 if p in e["paths"]:
                     return True
+                # wildcard indexes subsume *pattern* requests too: a
+                # `//*` index answers any request ending in a field
+                # step, `//[]` any request ending in an array step
+                # (the reference's findCASIndex path-class containment)
+                last = p.rsplit("/", 1)[-1]
+                for pat in e["paths"]:
+                    if pat == "//*" and last not in ("[]", ""):
+                        return True
+                    if pat == "//[]" and last == "[]":
+                        return True
                 return any(
                     _re.fullmatch(path_pattern_regex(pat).strip("^$"), p)
                     for pat in e["paths"]
@@ -227,6 +237,85 @@ class DocumentStore:
             if all(covered(p) for p in paths):
                 return e["number"]
         return None
+
+    # ------------------------------------------------------------- diff
+    def diff_json(self, db: str, res: str, r1: int, r2: int) -> str:
+        """jn:diff — node-level diff of two revisions in the
+        reference's wire shape (Diff.java:200 createMetaInfo +
+        JsonDiffSerializer.java op objects): ``{"database","resource",
+        "old-revision","new-revision","diffs":[{"insert":{...}},
+        {"delete":{...}},{"update":{...}},{"replace":{...}}]}``.
+
+        The op set comes from the same set-based differ the record
+        store uses (operators/diff.py — full-outer join over flattened
+        node rows, parent-suppressed); nodeKeys are this store's
+        pre-order keys resolved per revision."""
+        from sirix_spark.operators.diff import json_node_diff
+
+        old_text = self.read_text(db, res, r1)
+        new_text = self.read_text(db, res, r2)
+        meta = {
+            "database": db,
+            "resource": res,
+            "old-revision": r1,
+            "new-revision": r2,
+            "diffs": [],
+        }
+        if old_text == new_text:
+            return json.dumps(meta, separators=(",", ":"), ensure_ascii=False)
+        df = self.spark.createDataFrame(
+            [(1, old_text, new_text)], "id int, old string, new string"
+        )
+        ops = json_node_diff(df, ["id"], "old", "new").collect()
+
+        def flatten_keys(text: str) -> dict[str, int]:
+            rows = shred_text(text)
+            by_key = {r[1]: r for r in rows}
+            memo: dict[int, str] = {}
+
+            def fp(key: int) -> str:
+                if key in memo:
+                    return memo[key]
+                _, k, parent, kind, fname, cont, ordv = by_key[key][:7]
+                if parent is None:
+                    p = ""
+                elif fname is not None:
+                    base = parent if kind == "field" else cont
+                    p = fp(base) + "/" + fname
+                else:
+                    p = fp(cont) + f"/[{ordv}]"
+                memo[key] = p
+                return p
+
+            out: dict[str, int] = {}
+            for r in rows:
+                if r[3] == "field":
+                    continue
+                out.setdefault(fp(r[1]), r[1])
+            return out
+
+        old_keys = flatten_keys(old_text)
+        new_keys = flatten_keys(new_text)
+        diffs = []
+        for row in sorted(ops, key=lambda r: r["path"]):
+            path, op = row["path"], row["op"]
+            if op == "insert":
+                body = {
+                    "nodeKey": new_keys.get(path),
+                    "path": path,
+                    "data": row["new_value"],
+                }
+            elif op == "delete":
+                body = {"nodeKey": old_keys.get(path), "path": path}
+            else:  # update | replace
+                body = {
+                    "nodeKey": new_keys.get(path),
+                    "path": path,
+                    "value": row["new_value"],
+                }
+            diffs.append({op: body})
+        meta["diffs"] = diffs
+        return json.dumps(meta, separators=(",", ":"), ensure_ascii=False)
 
     def index_def(self, db: str, res: str, number: int) -> IndexDef:
         for e in self._read_manifest(db, res)["indexes"]:

@@ -1,0 +1,137 @@
+"""Document-mode JSONiq engine regressions (sirix_spark/jsoniq/docmodel.py).
+
+Each test pins a behavior the reference's integration corpus
+(bundles/sirix-query/src/test/java/io/sirix/query/JsonIntegrationTest.java)
+exercises and that once regressed:
+
+- deref over a parenthesized FLWOR pipeline (filter-before-rebind
+  order in _variant_step);
+- negative array indexes, stored and constructed;
+- array slices that keep stored object key ORDER (no variant
+  round-trip — variants sort keys);
+- dynamic field deref $rec.$key / bit:fields;
+- correlated nested FLWOR (free outer variables continue the tuple
+  stream instead of compiling standalone);
+- jn:diff wire shape (Diff.java:200 / JsonDiffSerializer.java);
+- wildcard index subsumption (findCASIndex path-class containment).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def docstore(spark, tmp_path):
+    from sirix_spark.store.docstore import DocumentStore
+
+    return DocumentStore(spark, str(tmp_path))
+
+
+def run(spark, store, query: str) -> str:
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+
+    return DocEvaluator(spark, store).execute(query)
+
+
+def test_deref_over_parenthesized_pipeline(spark, docstore):
+    assert run(spark, docstore, 'count((for $i in 1 to 3 return {"a": $i}).a)') == "3"
+    # records without the field are skipped, not nulled
+    q = 'count((for $i in 1 to 3 return if ($i eq 2) then {"b": $i} else {"a": $i}).a)'
+    assert run(spark, docstore, q) == "2"
+
+
+def test_negative_index_stored(spark, docstore):
+    run(spark, docstore, "jn:store('d','r.jn','{\"tada\":[1,2,{\"foo\":\"bar\"}]}')")
+    got = run(spark, docstore, "jn:doc('d','r.jn').tada[-1]")
+    assert got == '{"foo":"bar"}'
+
+
+def test_negative_index_constructed(spark, docstore):
+    assert run(spark, docstore, "[1,2,3][-1]") == "3"
+
+
+def test_slice_keeps_stored_key_order(spark, docstore):
+    # keys deliberately NOT in sorted order: a variant round-trip
+    # would emit {"a":...,"z":...}
+    run(spark, docstore, "jn:store('d','r.jn','[{\"z\":1,\"a\":2},{\"x\":3}]')")
+    got = run(spark, docstore, "let $d := jn:doc('d','r.jn') return $d[0:1]")
+    assert got == '[{"z":1,"a":2}]'
+
+
+def test_dynamic_field_deref(spark, docstore):
+    run(spark, docstore, "jn:store('d','r.jn','{\"first\":1,\"second\":2}')")
+    q = (
+        "let $doc := jn:doc('d','r.jn') "
+        "let $rec := sdb:select-item($doc, 1) "
+        "for $key in bit:fields($rec) return $rec.$key"
+    )
+    assert run(spark, docstore, q) == "1 2"
+
+
+def test_correlated_nested_flwor(spark, docstore):
+    run(spark, docstore, "jn:store('d','r.jn','[]')")
+    run(
+        spark,
+        docstore,
+        "append json {\"n\": 1} into jn:doc('d','r.jn')",
+    )
+    # inner FLWOR references $node bound outside it → must evaluate
+    # correlated with the outer stream, not standalone
+    q = (
+        "let $node := sdb:select-item(jn:doc('d','r.jn'), 1) "
+        "let $result := for $rev in jn:all-times($node) return sdb:revision($rev) "
+        "return for $i in $result order by $i descending return $i"
+    )
+    assert run(spark, docstore, q) == "2 1"
+
+
+def test_jn_diff_wire_shape(spark, docstore):
+    run(spark, docstore, "jn:store('d','r.jn','{\"a\":1,\"b\":[1,2]}')")
+    run(
+        spark,
+        docstore,
+        "replace json value of jn:doc('d','r.jn').a with 9",
+    )
+    wire = json.loads(run(spark, docstore, "jn:diff('d','r.jn',1,2)"))
+    assert wire["database"] == "d" and wire["resource"] == "r.jn"
+    assert wire["old-revision"] == 1 and wire["new-revision"] == 2
+    ops = [next(iter(d)) for d in wire["diffs"]]
+    assert ops == ["update"]
+    body = wire["diffs"][0]["update"]
+    assert body["path"] == "/a" and body["value"] == "9"
+    # identical revisions → empty diffs array, same metadata
+    run(spark, docstore, "let $d := jn:doc('d','r.jn') return {\"r\": sdb:commit($d)}")
+    wire2 = json.loads(run(spark, docstore, "jn:diff('d','r.jn',2,3)"))
+    assert wire2["diffs"] == []
+
+
+def test_wildcard_index_subsumption(docstore):
+    # a //* CAS index answers any field-step request; //[] any
+    # array-step request (reference findCASIndex containment)
+    docstore.store("d", "r.jn", '{"a": {"b": "x"}}')
+    docstore.create_index("d", "r.jn", "cas", "xs:string", ("//*", "//[]"))
+    assert docstore.find_index("d", "r.jn", "cas", "xs:string", ("//@context",)) == 0
+    assert docstore.find_index("d", "r.jn", "cas", "xs:string", ("//[]",)) == 0
+    assert docstore.find_index("d", "r.jn", "path", None, ("//x",)) is None
+
+
+def test_sdb_path_join_on_large_doc(spark, docstore):
+    # sdb:path over a for-bound stored var resolves via a broadcast
+    # join (not an O(nodes) literal expression): a few-thousand-node
+    # doc must compile and run quickly
+    doc = {"items": [{"name": f"n{i}", "tags": [i, i + 1]} for i in range(500)]}
+    docstore.store("d", "big.jn", json.dumps(doc))
+    docstore.create_index("d", "big.jn", "name", None, ("name",))
+    q = (
+        "let $doc := jn:doc('d','big.jn') "
+        "let $i := jn:find-name-index($doc, 'name') "
+        "for $n in jn:scan-name-index($doc, $i, 'name') "
+        "order by sdb:nodekey($n) "
+        "return sdb:path($n)"
+    )
+    out = run(spark, docstore, q).split(" ")
+    assert len(out) == 500
+    assert out[0] == '"/items/[0]/name"'
