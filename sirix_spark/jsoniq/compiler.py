@@ -86,6 +86,21 @@ _FN1 = {
     # jn:keys over an object (struct) — via JSON rendering, JVM-side
     "keys": lambda c: F.json_object_keys(F.to_json(c)),
     "jn:keys": lambda c: F.json_object_keys(F.to_json(c)),
+    # math: namespace (MathFun parity — all JVM built-ins)
+    "math:sqrt": F.sqrt,
+    "math:exp": F.exp,
+    "math:exp10": lambda c: F.pow(F.lit(10.0), c),
+    "math:log": F.log,
+    "math:log10": F.log10,
+    "math:sin": F.sin,
+    "math:cos": F.cos,
+    "math:tan": F.tan,
+    "math:asin": F.asin,
+    "math:acos": F.acos,
+    "math:atan": F.atan,
+    "math:sinh": F.sinh,
+    "math:cosh": F.cosh,
+    "math:tanh": F.tanh,
 }
 
 _FN2 = {
@@ -95,6 +110,29 @@ _FN2 = {
     "fn:starts-with": F.startswith,
     "ends-with": F.endswith,
     "fn:ends-with": F.endswith,
+    "math:pow": F.pow,
+    "math:atan2": F.atan2,
+}
+
+# error-tolerant lowerings used inside `try { … }` bodies (ANSI mode
+# throws on overflow/div-by-zero; try_* returns NULL → catch branch)
+_TRY_BINOPS = {
+    "+": F.try_add,
+    "-": F.try_subtract,
+    "*": F.try_multiply,
+    "div": F.try_divide,
+    "idiv": lambda a, b: F.try_divide(a, b).cast("long"),
+    "mod": F.try_mod,
+}
+
+# casts that become try_cast inside a try body
+_TRY_CASTS = {
+    "xs:integer": "long",
+    "xs:long": "long",
+    "xs:decimal": "double",
+    "xs:double": "double",
+    "number": "double",
+    "fn:number": "double",
 }
 
 _BINOPS = {
@@ -249,6 +287,8 @@ class Compiler:
         self.document_order = document_order
         self.udfs: dict[str, P.FunDecl] = {}
         self._udf_depth = 0
+        self._try_depth = 0  # >0 inside a try body: error-prone ops
+        # lower to their try_* variants (ANSI mode throws otherwise)
         self._xml_origin: dict[str, DataFrame] = {}
 
     # ---------------------------------------------------------- entry
@@ -532,9 +572,30 @@ class Compiler:
                 else:
                     raise JsoniqCompileError(f"unsupported step {kind!r}")
             return col
+        if isinstance(node, P.TryCatch):
+            # XQuery try/catch: inside the try body, the dynamic-
+            # error sites (casts, div/arithmetic, element_at) compile
+            # to Spark's try_* variants, which turn the error into
+            # NULL — so `try E catch F` is coalesce(E', F). A try
+            # body the compiler itself can't express falls through to
+            # the catch branch at compile time (same observable
+            # result: the error is caught).
+            self._try_depth += 1
+            try:
+                body = self._scalar(node.body, scope)
+            except JsoniqCompileError:
+                return self._scalar(node.fallback, scope)
+            finally:
+                self._try_depth -= 1
+            return F.coalesce(body, self._scalar(node.fallback, scope))
         if isinstance(node, P.Unary):
             return -self._scalar(node.operand, scope)
         if isinstance(node, P.Binop):
+            if self._try_depth and node.op in _TRY_BINOPS:
+                return _TRY_BINOPS[node.op](
+                    self._scalar(node.left, scope),
+                    self._scalar(node.right, scope),
+                )
             return _BINOPS[node.op](
                 self._scalar(node.left, scope), self._scalar(node.right, scope)
             )
@@ -637,6 +698,8 @@ class Compiler:
         ):
             # sum/count/min/max/avg over an array sub-sequence
             return self._array_agg(name, args[0], scope)
+        if self._try_depth and name in _TRY_CASTS and len(args) == 1:
+            return self._scalar(args[0], scope).try_cast(_TRY_CASTS[name])
         if name in _FN1 and len(args) == 1:
             return _FN1[name](self._scalar(args[0], scope))
         if name in _FN2 and len(args) == 2:
@@ -677,6 +740,10 @@ class Compiler:
                 str(_lit_value(args[1])),
                 str(_lit_value(args[2])),
             )
+        if name == "math:pi" and not args:
+            import math
+
+            return F.lit(math.pi)
         if name == "not":
             return ~self._scalar(args[0], scope)
         if name in ("deep-equal", "fn:deep-equal"):
@@ -826,7 +893,7 @@ class Compiler:
                     key = e[1].value if isinstance(e[1], P.Lit) else e[1].name
                     cols.append(self._scalar(e[2], scope).alias(str(key)))
             return df.select(*cols)
-        if isinstance(ret, P.Path) or isinstance(ret, (P.Call, P.Binop, P.IfExpr, P.Lit, P.Unary, P.ArrayCtor)):
+        if isinstance(ret, P.Path) or isinstance(ret, (P.Call, P.Binop, P.IfExpr, P.Lit, P.Unary, P.ArrayCtor, P.TryCatch)):
             name = "value"
             if isinstance(ret, P.Path) and ret.steps and ret.steps[-1][0] == "field":
                 name = ret.steps[-1][1]

@@ -73,6 +73,12 @@ class Lit:
 
 
 @dataclass
+class TryCatch:
+    body: object
+    fallback: object
+
+
+@dataclass
 class Var:
     name: str  # without the $; "$$" stays "$$"
 
@@ -536,6 +542,28 @@ class _Parser:
         if t.kind == "var":
             self.i += 1
             return Var(t.text if t.text == "$$" else t.text[1:])
+        if (
+            t.kind == "name"
+            and t.text == "try"
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == "{"
+        ):
+            # try { Expr } catch (*|err-name) { Expr }
+            self.i += 1
+            self.eat("op", "{")
+            body = self.expr()
+            self.eat("op", "}")
+            kw = self.eat(self.cur.kind)
+            if kw.text != "catch":
+                raise JsoniqSyntaxError(f"expected catch at {kw.pos}")
+            if self.cur.kind == "op" and self.cur.text == "*":
+                self.i += 1
+            elif self.cur.kind in ("name", "qname"):
+                self.i += 1
+            self.eat("op", "{")
+            fallback = self.expr()
+            self.eat("op", "}")
+            return TryCatch(body, fallback)
         if t.kind in ("qname", "name") or (
             t.kind == "kw" and self.toks[self.i + 1].text == "("
             and t.text not in ("true", "false", "null", "if", "not", "some", "every")

@@ -572,3 +572,45 @@ def test_open_timestamp_and_open_revisions(spark, tmp_path_factory):
         spark, store=st,
     )
     assert sorted(rows(out2)) == [(1, 100), (2, 200)]
+
+
+# ------------------------------------------------------ try/catch, math:
+def test_try_catch_failed_cast_falls_back(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') "
+        "return {\"id\": $i.record_key, \"n\": try { xs:integer($i.generic) } catch * { 0 }}",
+        spark, store=store,
+    )
+    got = {r["id"]: r["n"] for r in out.collect()}
+    # generic is 'a'/'b'/'c' — every cast fails, catch value used
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_try_catch_div_by_zero(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.record_key eq 1 "
+        "return try { $i.value div ($i.record_key - 1) } catch * { -1 }",
+        spark, store=store,
+    )
+    assert [tuple(r) for r in out.collect()] == [(-1.0,)]
+
+
+def test_try_catch_uncompilable_body_uses_catch(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.record_key eq 1 "
+        "return try { fn:no-such-fn($i) } catch err:XPDY0002 { \"fell back\" }",
+        spark, store=store,
+    )
+    assert out.collect()[0][0] == "fell back"
+
+
+def test_math_namespace(spark, store):
+    out = execute(
+        "for $i in jn:doc('db','res') where $i.record_key eq 1 "
+        "return {\"sq\": math:sqrt(144), "
+        "\"p\": math:pow($i.record_key, 3), \"pi\": math:pi()}",
+        spark, store=store,
+    )
+    r = out.collect()[0]
+    assert r["sq"] == 12.0 and r["p"] == 1.0
+    assert abs(r["pi"] - 3.141592653589793) < 1e-12
