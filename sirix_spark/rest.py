@@ -193,9 +193,25 @@ class _Handler(BaseHTTPRequestHandler):
                 sess_store = type(store)(
                     sess, store.root, checkpoint_every=store.checkpoint_every
                 )
-                df = sess_store.doc(db, res, revision=rev)
-                df.createOrReplaceTempView(res)
-                out = sess.sql(q["query"])
+                qstr = q["query"].strip()
+                lang = q.get("query-language")
+                # The reference's ?query= speaks JSONiq
+                # (SirixVerticle.kt ?query= → SirixCompileChain); SQL
+                # stays available. Explicit ?query-language=jsoniq|sql
+                # wins; otherwise SELECT/WITH prefixes mean SQL.
+                is_sql = (
+                    lang == "sql"
+                    if lang in ("sql", "jsoniq")
+                    else qstr.lower().startswith(("select", "with"))
+                )
+                if is_sql:
+                    df = sess_store.doc(db, res, revision=rev)
+                    df.createOrReplaceTempView(res)
+                    out = sess.sql(qstr)
+                else:
+                    from sirix_spark.jsoniq import execute as _jq
+
+                    out = _jq(qstr, sess, store=sess_store)
                 return self._send(200, _rows_json(out, limit))
             if "start-revision" in q:
                 a, b = int(q["start-revision"]), int(q["end-revision"])

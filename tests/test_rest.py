@@ -85,6 +85,20 @@ def test_crud_roundtrip_and_time_travel(server):
     code, rows = _req(server, "/db1/res1?query=SELECT+sum(v)+AS+s+FROM+res1")
     assert code == 200 and rows == [{"s": 109}]
 
+    # JSONiq query entry (the reference's ?query= language:
+    # SirixVerticle.kt routes ?query= through SirixCompileChain)
+    jq = urllib.parse.quote(
+        "for $i in jn:doc('db1','res1') where $i.v ge 20 "
+        "return {\"k\": $i.record_key, \"v\": $i.v}"
+    )
+    code, rows = _req(server, f"/db1/res1?query={jq}")
+    assert code == 200
+    assert {r["k"]: r["v"] for r in rows} == {2: 99}
+
+    # explicit language override wins over the prefix heuristic
+    code, rows = _req(server, f"/db1/res1?query={jq}&query-language=jsoniq")
+    assert code == 200 and len(rows) == 1
+
     # limit applies (serializer maxNodes analog)
     _, rows = _req(server, "/db1/res1?limit=1")
     assert len(rows) == 1
