@@ -180,6 +180,14 @@ class _Handler(BaseHTTPRequestHandler):
                 r1 = int(q["first-revision"])
                 r2 = int(q["second-revision"])
                 return self._send(200, store.diff_json(db, res, r1, r2))
+            if sub == "pathSummary":
+                # SirixVerticle.kt GET /:db/:res/pathSummary — the
+                # path-summary stats table (path, type, count)
+                from sirix_spark.operators.navigation import path_summary
+
+                rev = int(q["revision"]) if "revision" in q else None
+                df = store.doc(db, res, revision=rev)
+                return self._send(200, _rows_json(path_summary(df), limit))
             if sub is not None:
                 return self._send(404, {"error": f"unknown endpoint {sub}"})
 

@@ -99,6 +99,12 @@ def test_crud_roundtrip_and_time_travel(server):
     code, rows = _req(server, f"/db1/res1?query={jq}&query-language=jsoniq")
     assert code == 200 and len(rows) == 1
 
+    # path summary endpoint (SirixVerticle /pathSummary route)
+    code, summary = _req(server, "/db1/res1/pathSummary")
+    assert code == 200
+    paths = {r["path"] for r in summary}
+    assert "v" in paths or any("v" in p for p in paths)
+
     # limit applies (serializer maxNodes analog)
     _, rows = _req(server, "/db1/res1?limit=1")
     assert len(rows) == 1
