@@ -231,6 +231,9 @@ class DocEvaluator:
                 )
                 .withColumnRenamed("pl_p", f"p_{c.var}")
                 .withColumnRenamed("pl_pp", f"pp_{c.var}")
+                .withColumnRenamed("pl_pk", f"pk_{c.var}")
+                .withColumnRenamed("pl_cc", f"cc_{c.var}")
+                .withColumnRenamed("pl_dc", f"dc_{c.var}")
                 .drop("pl_h", "pl_k")
             )
         scope[c.var] = {
@@ -241,22 +244,38 @@ class DocEvaluator:
         return df
 
     def _path_lut(self, handles: tuple[int, ...]) -> DataFrame:
-        """(handle, key) → (ipath, structural-parent ipath) lookup
-        rows for the sdb:path join (field nodes are skipped when
-        hopping to the parent, as in the reference's path summary)."""
+        """(handle, key) → (ipath, structural-parent ipath+key,
+        child count, descendant count) lookup rows for the sdb:path /
+        select-parent / child-count joins (field nodes are skipped
+        when hopping to the parent, as in the reference's path
+        summary)."""
         rows = []
         for hid in handles:
             h = self.handles.get(hid)
             by_key = {r[1]: r for r in h.rows()}
+            children: dict[int, int] = {}
+            for r in by_key.values():
+                if r[2] is not None:
+                    children[r[2]] = children.get(r[2], 0) + 1
             for k, r in by_key.items():
                 pk = r[2]
                 while pk is not None and by_key[pk][3] == "field":
                     pk = by_key[pk][2]
                 rows.append(
-                    (hid, k, r[8], by_key[pk][8] if pk is not None else None)
+                    (
+                        hid,
+                        k,
+                        r[8],
+                        by_key[pk][8] if pk is not None else None,
+                        pk,
+                        children.get(k, 0),
+                        int(r[10]) - 1,
+                    )
                 )
         return self.spark.createDataFrame(
-            rows, "pl_h int, pl_k bigint, pl_p string, pl_pp string"
+            rows,
+            "pl_h int, pl_k bigint, pl_p string, pl_pp string, "
+            "pl_pk bigint, pl_cc bigint, pl_dc bigint",
         )
 
     @staticmethod
@@ -383,6 +402,7 @@ class DocEvaluator:
             "fn:range",
             "sdb:select-item",
             "select-item",
+            "sdb:select-parent",
         ):
             return True
         return False
@@ -558,6 +578,27 @@ class DocEvaluator:
             base = self._seq_core(node.args[0], stream, scope)
             key = self._static_int(node.args[1], scope)
             return self._node_by_key(base, key)
+        if name == "sdb:select-parent":
+            # SelectParent.java: the node's structural parent (field
+            # nodes skipped). The parent key is carried on the stream
+            # by _for's lut join; resolve the node via a join.
+            inner = node.args[0]
+            if not (
+                isinstance(inner, P.Var)
+                and (scope.get(inner.name) or {}).get("kind") == "item"
+                and (scope.get(inner.name) or {}).get("stored")
+            ):
+                raise JsoniqCompileError(
+                    "sdb:select-parent needs a for-bound stored node"
+                )
+            pk_col = f"pk_{inner.name}"
+            base = self._seq_core(inner, stream, scope)
+            out = self._join_nodes(
+                base,
+                lambda: F.col("n_key") == F.col(pk_col),
+            )
+            out.card = "one"
+            return out
         if name == "bit:fields":
             base = self._seq_core(node.args[0], stream, scope)
             arr = F.transform(
@@ -1329,9 +1370,26 @@ class DocEvaluator:
             ).otherwise(F.array(F.parse_json(pj)))
         if name == "sdb:path":
             return self._path_call(node, scope, parent=False)
+        if name in ("sdb:child-count", "sdb:descendant-count"):
+            # carried on the stream by _for's lut join (GetChildCount /
+            # GetDescendantCount.java accessors)
+            inner = node.args[0]
+            prefix = "cc_" if name == "sdb:child-count" else "dc_"
+            if (
+                isinstance(inner, P.Var)
+                and inner.name != "$$"
+                and (scope.get(inner.name) or {}).get("kind") == "item"
+                and (scope.get(inner.name) or {}).get("stored")
+            ):
+                c = F.col(prefix + inner.name)
+                return F.when(
+                    c.isNull(), F.array().cast("array<variant>")
+                ).otherwise(F.array(F.parse_json(c.cast("string"))))
+            raise JsoniqCompileError(f"{name} needs a for-bound stored node")
         if name == "sdb:select-parent":
             raise JsoniqCompileError(
-                "sdb:select-parent outside sdb:path unsupported"
+                "sdb:select-parent in scalar position — use it as a "
+                "sequence source or inside sdb:path"
             )
         raise JsoniqCompileError(f"unknown function {name}()")
 

@@ -110,6 +110,7 @@ def build_registry() -> dict[str, Query]:
         analytics,
         dedup,
         diff,
+        doccollection,
         joins,
         json_nav,
         jsoniq_queries,
@@ -135,6 +136,7 @@ def build_registry() -> dict[str, Query]:
         similarity,
         semantics,
         multimodal,
+        doccollection,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:

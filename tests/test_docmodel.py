@@ -135,3 +135,36 @@ def test_sdb_path_join_on_large_doc(spark, docstore):
     out = run(spark, docstore, q).split(" ")
     assert len(out) == 500
     assert out[0] == '"/items/[0]/name"'
+
+
+def test_child_and_descendant_count(spark, docstore):
+    run(
+        spark,
+        docstore,
+        "jn:store('d','cnt.jn','[{\"a\":1,\"b\":{\"c\":2}},[1,2,3]]')",
+    )
+    q = (
+        "let $doc := jn:doc('d','cnt.jn') "
+        "for $m in $doc "
+        "return {\"cc\": sdb:child-count($m), \"dc\": sdb:descendant-count($m)}"
+    )
+    out = run(spark, docstore, q)
+    # first member: object with 2 fields (a, b{c}) — children=2 keys,
+    # descendants = 2 field nodes + 2 values + 1 nested field + 1 value
+    # = 6; second member: array of 3 primitives
+    assert out == '{"cc":2,"dc":6} {"cc":3,"dc":3}'
+
+
+def test_select_parent_sequence_source(spark, docstore):
+    run(spark, docstore, "jn:store('d','par.jn','{\"xs\":[{\"y\":5}]}')")
+    # for each y-object, hop to the structural parent (the xs array;
+    # the field node is skipped). Bound via `let` — a `for` over the
+    # parent would iterate the array's members (JsonDBArray for-source
+    # semantics), not bind the array itself.
+    q = (
+        "let $doc := jn:doc('d','par.jn') "
+        "for $m in $doc.xs "
+        "let $p := sdb:select-parent($m) "
+        "return $p"
+    )
+    assert run(spark, docstore, q) == '[{"y":5}]'

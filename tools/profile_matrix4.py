@@ -39,16 +39,13 @@ def main():
     spark.conf.set("spark.sql.sources.useV1SourceList", "")
 
     qs = matrix_queries()
+    small = {"spark.sql.files.maxPartitionBytes": "33554432"}
     variants = {
-        "base": {},
-        "small-tasks": {"spark.sql.files.maxPartitionBytes": "33554432"},
-        "vec-hashmap": {
-            "spark.sql.codegen.aggregate.map.vectorized.enable": "true"
-        },
-        "both": {
-            "spark.sql.files.maxPartitionBytes": "33554432",
-            "spark.sql.codegen.aggregate.map.vectorized.enable": "true",
-        },
+        "warmup": {},
+        "base-1": {},
+        "small-1": small,
+        "base-2": {},
+        "small-2": small,
     }
     defaults = {
         "spark.sql.files.maxPartitionBytes": spark.conf.get(
