@@ -394,6 +394,10 @@ class DocEvaluator:
             return True
         if isinstance(v, P.Call) and v.name in (
             "jn:all-times",
+            "jn:past",
+            "jn:future",
+            "jn:first",
+            "jn:last",
             "jn:scan-cas-index",
             "jn:scan-cas-index-range",
             "jn:scan-path-index",
@@ -650,8 +654,10 @@ class DocEvaluator:
             from sirix_spark.jsoniq.docindex import scan_index_seq
 
             return scan_index_seq(self, node, stream, scope)
-        if name == "jn:all-times":
-            return self._all_times_seq(node, stream, scope)
+        if name in (
+            "jn:all-times", "jn:past", "jn:future", "jn:first", "jn:last",
+        ):
+            return self._all_times_seq(node, stream, scope, variant=name[3:])
         # fall back: scalar function applied over the stream
         arr = self._scalar(node, scope)
         return self._seq_from_scalar(arr, stream)
@@ -676,17 +682,34 @@ class DocEvaluator:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
 
-    def _all_times_seq(self, node: P.Call, stream: DataFrame, scope: dict) -> Seq:
-        """jn:all-times($node): the same nodeKey across every revision
-        of the resource (the corpus anchors it at the document root).
-        Companion columns __pj/__pr (previous revision's json) feed
-        jn:previous / sdb:hash(jn:previous(...)) in scalar position."""
+    def _all_times_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict, variant: str = "all-times"
+    ) -> Seq:
+        """jn:all-times($node) and its filtered variants jn:past /
+        jn:future / jn:first / jn:last (AllTimeAxis / PastAxis /
+        FutureAxis / First.java / Last.java): the same nodeKey across
+        the resource's revisions, restricted relative to the anchor's
+        revision. Companion columns __pj/__pr (previous revision's
+        json) feed jn:previous / sdb:hash(jn:previous(...)) in scalar
+        position."""
         inner = node.args[0]
         base = self._seq_core(inner, stream, scope)
         if not base.stored or len(base.handles) != 1:
-            raise JsoniqCompileError("jn:all-times needs a stored node")
+            raise JsoniqCompileError(f"jn:{variant} needs a stored node")
         h0 = self.handles.get(base.handles[0])
         revs = self.store.revisions(h0.db, h0.res)
+        include_self = True
+        if len(node.args) > 1 and isinstance(node.args[1], P.Lit):
+            include_self = bool(node.args[1].value)
+        anchor = h0.revision
+        if variant == "past":
+            revs = [r for r in revs if r < anchor or (include_self and r == anchor)]
+        elif variant == "future":
+            revs = [r for r in revs if r > anchor or (include_self and r == anchor)]
+        elif variant == "first":
+            revs = revs[:1]
+        elif variant == "last":
+            revs = revs[-1:]
         handle_ids = [
             self.handles.add(self.store.doc(h0.db, h0.res, r)) for r in revs
         ]
@@ -1545,7 +1568,11 @@ class DocEvaluator:
         if isinstance(ret, P.Path) or (
             isinstance(ret, P.Call)
             and (
-                ret.name in ("jn:doc", "doc", "sdb:select-item", "jn:all-times")
+                ret.name
+                in (
+                    "jn:doc", "doc", "sdb:select-item", "jn:all-times",
+                    "jn:past", "jn:future", "jn:first", "jn:last",
+                )
                 or ret.name in _SCAN_FNS
             )
         ):

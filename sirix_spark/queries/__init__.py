@@ -82,10 +82,12 @@ PRIORITY: tuple[str, ...] = (
     "array_posexplode",
     # §2.8 set ops (dense: union+intersect+except in one row)
     "set_ops",
-    # LLM-pipeline: text analysis
+    # LLM-pipeline: text analysis (+ the distributed document-mode
+    # node-table path — round-3: ngram_freq rotates out to keep the
+    # window at 50; still oracle-checked locally)
     "token_count",
     "text_profile",
-    "ngram_freq",
+    "doc_collection_cas_scan",
     # LLM-pipeline: dedup family
     "exact_dedup",
     "minhash_signatures",
