@@ -739,11 +739,43 @@ class DocEvaluator:
         return Seq(df, True, hids, "many")
 
     def _static_int(self, node, scope: dict) -> int:
+        v = self._const_fold(node)
+        if v is None:
+            raise JsoniqCompileError("expected a literal integer argument")
+        return int(v)
+
+    def _const_fold(self, node):
+        """Compile-time constant folding for index/arg positions:
+        literals, unary minus, arithmetic over constants, and
+        count/size over literal sequences (the corpus uses e.g.
+        ``b[count((1,2))]``). Returns None when not constant."""
         if isinstance(node, P.Lit) and isinstance(node.value, (int, float)):
-            return int(node.value)
+            return node.value
         if isinstance(node, P.Unary) and node.op == "-":
-            return -self._static_int(node.operand, scope)
-        raise JsoniqCompileError("expected a literal integer argument")
+            v = self._const_fold(node.operand)
+            return None if v is None else -v
+        if isinstance(node, P.Binop):
+            l, r = self._const_fold(node.left), self._const_fold(node.right)
+            if l is None or r is None:
+                return None
+            ops = {
+                "+": lambda: l + r,
+                "-": lambda: l - r,
+                "*": lambda: l * r,
+                "div": lambda: l / r,
+                "idiv": lambda: int(l // r),
+                "mod": lambda: l % r,
+            }
+            return ops[node.op]() if node.op in ops else None
+        if (
+            isinstance(node, P.Call)
+            and node.name in ("count", "fn:count")
+            and len(node.args) == 1
+            and isinstance(node.args[0], P.SeqCtor)
+            and all(isinstance(i, P.Lit) for i in node.args[0].items)
+        ):
+            return len(node.args[0].items)
+        return None
 
     # ------------------------------------------------------------ steps
     def _apply_step(self, seq: Seq, step, scope: dict) -> Seq:

@@ -196,9 +196,13 @@ class _Evaluator:
             args = _split_args(found[0])
             fmt = self.value(args[0])
             vals = [self.value(a) for a in args[1:]]
-            # Java %s only in this corpus
             for v in vals:
-                fmt = fmt.replace("%s", v, 1)
+                # replace whichever of %s/%d comes first
+                si, di = fmt.find("%s"), fmt.find("%d")
+                if si == -1 and di == -1:
+                    raise Unsupported("format args without %s/%d")
+                spec = "%s" if di == -1 or (si != -1 and si < di) else "%d"
+                fmt = fmt.replace(spec, v, 1)
             return fmt
         if expr.startswith("Files.readString"):
             found = _find_call(expr, "Files.readString")
@@ -207,6 +211,33 @@ class _Evaluator:
         if "JSON_RESOURCE_PATH" in expr and ".toUri()" in expr:
             path = self._resolve_path(expr[: expr.rindex(".toUri()")])
             return path.as_uri()
+        # FUSED_NAMED_PRIMITIVES ? a : b — the reference runs fused
+        # node numbering; our shredder is the legacy (non-fused)
+        # numbering, so take the FALSE branch. The reference's own
+        # comments pin that both modes serialize identically — only
+        # sdb:select-item nodeKey arguments shift.
+        tern = re.match(r"^FUSED?_NAMED_PRIMITIVES\s*\?\s*", expr, re.S)
+        if tern:
+            # split on the ':' at depth 0 OUTSIDE string literals
+            # (JSON-bearing branches contain ':' inside quotes)
+            i = tern.end()
+            depth = 0
+            while i < len(expr):
+                c = expr[i]
+                if c == '"':
+                    _, i = _scan_string(expr, i)
+                    continue
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    depth -= 1
+                elif c == ":" and depth == 0:
+                    return self.value(expr[i + 1 :])
+                i += 1
+            raise Unsupported("unterminated ternary")
+        m = re.fullmatch(r"(\d+)L?", expr)
+        if m:
+            return m.group(1)
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
             if expr not in self.assigns:
                 raise Unsupported(f"unknown variable {expr}")
@@ -227,8 +258,11 @@ class _Evaluator:
 
 
 def _method_bodies(src: str):
-    """Yield (name, body-source) for every @Test method."""
-    pat = re.compile(r"@Test\s+(?:@\w+(?:\([^)]*\))?\s+)*public void (\w+)\(\)[^{]*\{")
+    """Yield (name, body-source) for every @Test method (public or
+    package-private, optional @DisplayName etc. between)."""
+    pat = re.compile(
+        r"@Test\s+(?:@\w+(?:\([^)]*\))?\s+)*(?:public\s+)?void (\w+)\(\)[^{]*\{"
+    )
     matches = list(pat.finditer(src))
     for k, m in enumerate(matches):
         start = m.end()
@@ -237,7 +271,9 @@ def _method_bodies(src: str):
 
 
 _ASSIGN = re.compile(
-    r"(?:final\s+)?(?:String|var|URI)\s+(\w+)\s*=\s*", re.S
+    r"(?:private\s+)?(?:static\s+)?(?:final\s+)?"
+    r"(?:String|var|URI|long|int|boolean)\s+(\w+)\s*=\s*",
+    re.S,
 )
 
 
@@ -268,8 +304,9 @@ def extract_file(path: Path) -> tuple[list[dict], list[dict]]:
     """Return (cases, skipped) for one Java test source."""
     src = path.read_text()
     cases, skipped = [], []
+    class_assigns = _collect_assigns(src)  # class-level constants
     for name, body in _method_bodies(src):
-        ev = _Evaluator(_collect_assigns(body))
+        ev = _Evaluator({**class_assigns, **_collect_assigns(body)})
         call = None
         for fn, ignore_nk in (("testIgnoreNodeKeys", True), ("test", False)):
             found = _find_call(body, fn)
@@ -313,7 +350,16 @@ def extract_file(path: Path) -> tuple[list[dict], list[dict]]:
 
 def extract_corpus(paths: list[Path] | None = None) -> dict:
     if paths is None:
-        paths = [REF_QUERY_TEST_DIR / "JsonIntegrationTest.java"]
+        paths = [
+            REF_QUERY_TEST_DIR / "JsonIntegrationTest.java",
+            REF_QUERY_TEST_DIR / "JsonMultipleUpdatesTest.java",
+            REF_QUERY_TEST_DIR
+            / "function/jn/index/PredicateOverUnwrappedArrayTest.java",
+            REF_QUERY_TEST_DIR
+            / "function/jn/index/ArrayIndexAccessOptimizerTest.java",
+            REF_QUERY_TEST_DIR
+            / "function/jn/index/IndexVersioningIntegrationTest.java",
+        ]
     all_cases, all_skipped = [], []
     for p in paths:
         cases, skipped = extract_file(p)
