@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from sirix_spark.jsoniq import parser as P
 from sirix_spark.jsoniq.compiler import JsoniqCompileError
-from sirix_spark.store.docstore import DocHandle, DocumentStore
+from sirix_spark.store.docstore import DocHandle, DocStoreError, DocumentStore
 
 ITEM_COLS = ("__k", "__h", "__r", "__sz", "__j")
 
@@ -406,7 +406,12 @@ class DocEvaluator:
             "fn:range",
             "sdb:select-item",
             "select-item",
+            "jn:select-json-item",
             "sdb:select-parent",
+            "jn:first-existing",
+            "jn:last-existing",
+            "sdb:item-history",
+            "sdb:level-order",
         ):
             return True
         return False
@@ -578,10 +583,166 @@ class DocEvaluator:
                 .drop("__p", "__v")
             )
             return Seq(df, False, (), "many")
-        if name in ("sdb:select-item", "select-item"):
+        if name in ("sdb:select-item", "select-item", "jn:select-json-item"):
             base = self._seq_core(node.args[0], stream, scope)
             key = self._static_int(node.args[1], scope)
             return self._node_by_key(base, key)
+        if name in ("jn:first-existing", "jn:last-existing"):
+            return self._existing_seq(node, stream, scope, name == "jn:first-existing")
+        if name == "sdb:item-history":
+            return self._item_history_seq(node, stream, scope)
+        if name == "sdb:is-deleted":
+            h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+            latest = self.store.latest_revision(h0.db, h0.res)
+            keys = self.store.read_keys(h0.db, h0.res, latest)
+            if keys is None:
+                keys = [r[1] for r in self.store.doc(h0.db, h0.res, latest).rows()]
+            deleted = key not in set(keys)
+            df = (
+                base.df.drop(*ITEM_COLS)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit("true" if deleted else "false"))
+            )
+            return Seq(df, False, (), "one")
+        if name in ("sdb:revision", "sdb:nodekey") and isinstance(
+            node.args[0], (P.Call, P.Path)
+        ):
+            # accessor over a nested call (sdb:revision(jn:first-
+            # existing(...)) — GetRevision.java over any item source)
+            inner = self._seq_core(node.args[0], stream, scope)
+            col = F.col("__r") if name == "sdb:revision" else F.col("__k")
+            df = (
+                inner.df.withColumn("__j", col.cast("string"))
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+            )
+            return Seq(df, False, (), inner.card)
+        if name == "sdb:level-order":
+            return self._level_order_seq(node, stream, scope)
+        if name in ("jn:exists-database", "jn:exists-resource"):
+            args = [a.value for a in node.args if isinstance(a, P.Lit)]
+            if name == "jn:exists-database":
+                val = self.store.database_exists(args[0])
+            else:
+                val = self.store.exists(args[0], args[1])
+            df = (
+                stream.withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit("true" if val else "false"))
+            )
+            return Seq(df, False, (), "one")
+        if name == "jn:open":
+            # jn:open(db, res, xs:dateTime(...)) — DocByPointInTime:
+            # the latest revision committed at-or-before the instant;
+            # EMPTY before the first revision (the resource did not
+            # exist yet — the reference's anachronism regression)
+            from datetime import datetime as _dt
+
+            args = []
+            for a in node.args:
+                if isinstance(a, P.Lit):
+                    args.append(a.value)
+                elif (
+                    isinstance(a, P.Call)
+                    and a.name == "xs:dateTime"
+                    and a.args
+                    and isinstance(a.args[0], P.Lit)
+                ):
+                    args.append(a.args[0].value)
+            if len(args) != 3:
+                raise JsoniqCompileError(
+                    "jn:open needs (db, res, xs:dateTime literal)"
+                )
+            db, res, ts_str = args
+            ts = _dt.fromisoformat(str(ts_str).replace("Z", "+00:00"))
+            chosen = None
+            for e in self.store._read_manifest(db, res)["revisions"]:
+                committed = _dt.fromisoformat(e["committed_at"])
+                if committed <= ts:
+                    chosen = e["revision"]
+            if chosen is None:
+                df = (
+                    stream.withColumn("__k", F.lit(None).cast("bigint"))
+                    .withColumn("__h", F.lit(None).cast("int"))
+                    .withColumn("__r", F.lit(None).cast("int"))
+                    .withColumn("__sz", F.lit(None).cast("bigint"))
+                    .withColumn("__j", F.lit(None).cast("string"))
+                    .limit(0)
+                )
+                return Seq(df, False, (), "many")
+            hid = self.handles.add(self.store.doc(db, res, chosen))
+            return self._handle_root_seq(hid, stream)
+        if name in ("sdb:child-count", "sdb:descendant-count") and isinstance(
+            node.args[0], (P.Call, P.Path)
+        ):
+            # accessor over a direct node expression (GetChildCount /
+            # GetDescendantCount.java) — counts from the node table's
+            # subtree span; field records are not structural nodes
+            import json as _json
+
+            h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+            rows = h0.rows()
+            i0 = next(i for i, r in enumerate(rows) if r[1] == key)
+            if name == "sdb:child-count":
+                v = _json.loads(rows[i0][9])
+                cnt = len(v) if isinstance(v, (dict, list)) else 0
+            else:
+                span = rows[i0 + 1 : i0 + int(rows[i0][10])]
+                cnt = sum(1 for r in span if r[3] != "field")
+            df = (
+                base.df.drop(*ITEM_COLS)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit(str(cnt)))
+            )
+            return Seq(df, False, (), "one")
+        if name in ("sdb:author-name", "sdb:author-id", "sdb:timestamp"):
+            # commit metadata accessors (GetAuthorName / GetAuthorID /
+            # GetRevisionTimestamp.java): read the manifest entry of
+            # the handle's revision; serialized raw (XQuery atomics)
+            base = self._seq_core(node.args[0], stream, scope)
+            if not base.stored or len(base.handles) != 1:
+                raise JsoniqCompileError(f"{name} needs a stored node")
+            h0 = self.handles.get(base.handles[0])
+            e = self.store.rev_entry(h0.db, h0.res, h0.revision)
+            val = {
+                "sdb:author-name": e.get("author", "admin"),
+                "sdb:author-id": e.get("author_id", ""),
+                "sdb:timestamp": e.get("committed_at", ""),
+            }[name]
+            df = (
+                base.df.drop(*ITEM_COLS)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit(val))
+            )
+            return Seq(df, False, (), "one")
+        if name == "sdb:path" and isinstance(node.args[0], P.Call):
+            # sdb:path(sdb:select-item(...)) — GetPath.java over a
+            # statically-addressed node; the instance path comes from
+            # the node table (raw serialization, XQuery string atomic)
+            h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+            row = next(r for r in h0.rows() if r[1] == key)
+            df = (
+                base.df.drop(*ITEM_COLS)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit(row[8]))
+            )
+            return Seq(df, False, (), "one")
         if name == "sdb:select-parent":
             # SelectParent.java: the node's structural parent (field
             # nodes skipped). The parent key is carried on the stream
@@ -592,9 +753,7 @@ class DocEvaluator:
                 and (scope.get(inner.name) or {}).get("kind") == "item"
                 and (scope.get(inner.name) or {}).get("stored")
             ):
-                raise JsoniqCompileError(
-                    "sdb:select-parent needs a for-bound stored node"
-                )
+                return self._select_parent_general(node, stream, scope)
             pk_col = f"pk_{inner.name}"
             base = self._seq_core(inner, stream, scope)
             out = self._join_nodes(
@@ -658,6 +817,41 @@ class DocEvaluator:
             "jn:all-times", "jn:past", "jn:future", "jn:first", "jn:last",
         ):
             return self._all_times_seq(node, stream, scope, variant=name[3:])
+        if name in ("jn:next", "jn:previous") and isinstance(
+            node.args[0], P.Call
+        ):
+            # NextAxis / PreviousAxis over a document handle: the same
+            # resource one revision forward/back; empty at the edges
+            base = self._seq_core(node.args[0], stream, scope)
+            if not base.stored or len(base.handles) != 1:
+                raise JsoniqCompileError(f"{name} needs a stored node")
+            h0 = self.handles.get(base.handles[0])
+            revs = self.store.revisions(h0.db, h0.res)
+            if name == "jn:next":
+                nxt = [r for r in revs if r > h0.revision]
+                target = nxt[0] if nxt else None
+            else:
+                prv = [r for r in revs if r < h0.revision]
+                target = prv[-1] if prv else None
+            if target is None:
+                df = base.df.drop(*ITEM_COLS).limit(0)
+                for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
+                    df = df.withColumn(c, F.lit(None).cast(t))
+                return Seq(df, False, (), "many")
+            hid = self.handles.add(self.store.doc(h0.db, h0.res, target))
+            return self._handle_root_seq(hid, stream)
+        if name == "sdb:hash" and isinstance(node.args[0], (P.Call, P.Path)):
+            inner = self._seq_core(node.args[0], stream, scope)
+            df = (
+                inner.df.withColumn(
+                    "__j", F.concat(F.lit('"'), F.md5(F.col("__j")), F.lit('"'))
+                )
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+            )
+            return Seq(df, False, (), inner.card)
         # fall back: scalar function applied over the stream
         arr = self._scalar(node, scope)
         return self._seq_from_scalar(arr, stream)
@@ -665,6 +859,13 @@ class DocEvaluator:
     def _node_by_key(self, base: Seq, key: int) -> Seq:
         if not base.stored:
             raise JsoniqCompileError("sdb:select-item needs a stored node")
+        if not any(
+            any(r[1] == key for r in self.handles.get(hid).rows())
+            for hid in base.handles
+        ):
+            # SelectJsonItemTest#testSelectInvalidNodeKeyThrows: an
+            # absent key is a query error, not an empty sequence
+            raise DocStoreError(f"no node with key {key}")
         parts = []
         for hid in base.handles:
             h = self.handles.get(hid)
@@ -682,6 +883,200 @@ class DocEvaluator:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
 
+    def _select_parent_general(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """sdb:select-parent over any stored sequence (postfix paths,
+        select-item, …): two broadcast joins against the node table —
+        first to read the item's structural-parent key (container for
+        value nodes — field records are skipped, SelectParent.java),
+        then to materialize the parent node."""
+        base = self._seq_core(node.args[0], stream, scope)
+        if not base.stored:
+            raise JsoniqCompileError("sdb:select-parent needs a stored node")
+        parts = []
+        for hid in base.handles:
+            h = self.handles.get(hid)
+            nv = _nodes_view(h)
+            pk = F.when(
+                F.col("n_cont").isNotNull(), F.col("n_cont")
+            ).otherwise(F.col("n_parent"))
+            j1 = (
+                base.df.filter(F.col("__h") == hid)
+                .join(F.broadcast(nv), F.col("__k") == F.col("n_key"), "inner")
+                .withColumn("__pk", pk)
+            )
+            j1 = j1.drop(*[c for c in j1.columns if c.startswith("n_")])
+            pv = _nodes_view(h).select(
+                F.col("n_key").alias("m_key"),
+                F.col("n_json").alias("m_json"),
+                F.col("n_sz").alias("m_sz"),
+            )
+            j2 = (
+                j1.join(F.broadcast(pv), F.col("__pk") == F.col("m_key"), "inner")
+                .withColumn("__k", F.col("m_key"))
+                .withColumn("__sz", F.col("m_sz"))
+                .withColumn("__j", F.col("m_json"))
+                .drop("__pk", "m_key", "m_json", "m_sz")
+            )
+            parts.append(j2)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return Seq(df, True, base.handles, base.card)
+
+    def _level_order_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """sdb:level-order($node[, $depth]) (LevelOrderAxis): BFS
+        enumeration of the subtree's structural nodes. The level map
+        comes from the driver-resident row set of the (single-
+        document) handle — the txn-catalog surface; collection-scale
+        BFS lives in operators/navigation.py."""
+        h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+        max_depth = None
+        if len(node.args) > 1:
+            max_depth = self._static_int(node.args[1], scope)
+        rows = h0.rows()
+        by_parent: dict[int, list] = {}
+        for r in rows:
+            by_parent.setdefault(r[2], []).append(r)
+        out_rows = []
+        frontier = [key]
+        depth = 0
+        while frontier and (max_depth is None or depth < max_depth):
+            nxt = []
+            for pk in frontier:
+                for r in by_parent.get(pk, []):
+                    # field records are traversed through, their value
+                    # nodes surface (structural children)
+                    if r[3] == "field":
+                        nxt.append(r[1])
+                    else:
+                        out_rows.append(r)
+                        nxt.append(r[1])
+            frontier = nxt
+            depth += 1
+        # drain remaining levels' field hops when depth-capped: done
+        rev_rows = [
+            (i, int(r[1]), r[9], int(r[10])) for i, r in enumerate(out_rows)
+        ]
+        if not rev_rows:
+            df = (
+                base.df.drop(*ITEM_COLS)
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.lit(None).cast("string"))
+                .limit(0)
+            )
+            return Seq(df, True, base.handles, "many")
+        rev_df = self.spark.createDataFrame(
+            rev_rows, "i bigint, k bigint, j string, sz bigint"
+        )
+        hid = base.handles[0]
+        joined = base.df.drop(*ITEM_COLS).crossJoin(F.broadcast(rev_df))
+        df = (
+            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
+            .withColumn("__k", F.col("k"))
+            .withColumn("__h", F.lit(hid).cast("int"))
+            .withColumn("__r", F.lit(h0.revision).cast("int"))
+            .withColumn("__sz", F.col("sz"))
+            .withColumn("__j", F.col("j"))
+            .drop("i", "k", "j", "sz")
+        )
+        return Seq(df, True, base.handles, "many")
+
+    def _static_node_ref(self, inner, stream: DataFrame, scope: dict):
+        """(handle, nodeKey, base Seq) of a statically-addressable
+        stored item — sdb:select-item(doc, K) or jn:doc(...) (root).
+        The txn-catalog probes (first/last-existing, item-history,
+        is-deleted) resolve revisions driver-side from this."""
+        base = self._seq_core(inner, stream, scope)
+        if not base.stored or len(base.handles) != 1:
+            raise JsoniqCompileError(
+                "temporal node probe needs a single stored node"
+            )
+        h0 = self.handles.get(base.handles[0])
+        if isinstance(inner, P.Call) and inner.name in (
+            "sdb:select-item", "select-item", "jn:select-json-item",
+        ):
+            key = self._static_int(inner.args[1], scope)
+        elif isinstance(inner, P.Call) and inner.name in ("jn:doc", "doc"):
+            key = h0.rows()[0][1]
+        else:
+            raise JsoniqCompileError(
+                "temporal node probe needs sdb:select-item or jn:doc"
+            )
+        return h0, key, base
+
+    def _existing_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict, first: bool
+    ) -> Seq:
+        """jn:first-existing / jn:last-existing (FirstExisting.java /
+        LastExisting.java): the same node in the earliest/latest
+        revision whose node table contains its key — a metadata probe
+        over the per-revision key-sets (the RecordPersister node-
+        history read), then a normal node lookup in that revision."""
+        h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+        revs = self.store.node_revisions(h0.db, h0.res, key)
+        if not revs:
+            raise DocStoreError(
+                f"node {key} not found in any revision of {h0.db}/{h0.res}"
+            )
+        rev = revs[0] if first else revs[-1]
+        h2 = self.store.doc(h0.db, h0.res, rev)
+        hid2 = self.handles.add(h2)
+        row = next(r for r in h2.rows() if r[1] == key)
+        df = (
+            base.df.drop(*ITEM_COLS)
+            .withColumn("__k", F.lit(key).cast("bigint"))
+            .withColumn("__h", F.lit(hid2).cast("int"))
+            .withColumn("__r", F.lit(rev).cast("int"))
+            .withColumn("__sz", F.lit(int(row[10])).cast("bigint"))
+            .withColumn("__j", F.lit(row[9]))
+        )
+        return Seq(df, True, (hid2,), "one")
+
+    def _item_history_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """sdb:item-history (ItemHistory.java): the node's state in
+        every revision where its key exists, in revision order. Field
+        (OBJECT_KEY) records serialize to their NAME, matching the
+        reference's legacy-layout serialization."""
+        import json as _json
+
+        h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+        revs = self.store.node_revisions(h0.db, h0.res, key)
+        rows = []
+        hids = ()
+        for r in revs:
+            h = self.store.doc(h0.db, h0.res, r)
+            hid = self.handles.add(h)
+            row = next(rw for rw in h.rows() if rw[1] == key)
+            if row[3] == "field":
+                jtext = _json.dumps(row[4], ensure_ascii=False)
+            else:
+                jtext = row[9]
+            rows.append((r, hid, jtext, int(row[10])))
+            hids = hids + (hid,)
+        rev_df = self.spark.createDataFrame(rows, "r int, h int, j string, sz bigint")
+        joined = base.df.drop(*ITEM_COLS).crossJoin(F.broadcast(rev_df))
+        df = (
+            joined.withColumn(
+                "__ord", F.concat("__ord", F.array(F.col("r").cast("bigint")))
+            )
+            .withColumn("__k", F.lit(key).cast("bigint"))
+            .withColumn("__h", F.col("h"))
+            .withColumn("__r", F.col("r"))
+            .withColumn("__sz", F.col("sz"))
+            .withColumn("__j", F.col("j"))
+            .drop("r", "h", "j", "sz")
+        )
+        return Seq(df, True, hids, "many")
+
     def _all_times_seq(
         self, node: P.Call, stream: DataFrame, scope: dict, variant: str = "all-times"
     ) -> Seq:
@@ -698,14 +1093,24 @@ class DocEvaluator:
             raise JsoniqCompileError(f"jn:{variant} needs a stored node")
         h0 = self.handles.get(base.handles[0])
         revs = self.store.revisions(h0.db, h0.res)
-        include_self = True
-        if len(node.args) > 1 and isinstance(node.args[1], P.Lit):
-            include_self = bool(node.args[1].value)
+        # PastAxis/FutureAxis default includeSelf=false; jn:past walks
+        # newest→oldest from the anchor, jn:future oldest→newest
+        # (SimpleQueryIntegrationTest#testTimeTravelPast/Future pins
+        # both the exclusion and the iteration order)
+        include_self = False
+        if len(node.args) > 1:
+            a1 = node.args[1]
+            if isinstance(a1, P.Lit):
+                include_self = bool(a1.value)
+            elif isinstance(a1, P.Call) and a1.name in ("true", "fn:true"):
+                include_self = True
         anchor = h0.revision
         if variant == "past":
-            revs = [r for r in revs if r < anchor or (include_self and r == anchor)]
+            past = sorted([r for r in revs if r < anchor], reverse=True)
+            revs = ([anchor] if include_self else []) + past
         elif variant == "future":
-            revs = [r for r in revs if r > anchor or (include_self and r == anchor)]
+            fut = [r for r in revs if r > anchor]
+            revs = ([anchor] if include_self else []) + fut
         elif variant == "first":
             revs = revs[:1]
         elif variant == "last":
@@ -713,21 +1118,32 @@ class DocEvaluator:
         handle_ids = [
             self.handles.add(self.store.doc(h0.db, h0.res, r)) for r in revs
         ]
+        all_revs = self.store.revisions(h0.db, h0.res)
         rows = []
-        prev_j = None
         hids = ()
+        root_json: dict[int, tuple] = {}
         for r, hid in zip(revs, handle_ids):
             h = self.handles.get(hid)
-            root = h.rows()[0]
-            rows.append((r, hid, root[9], int(root[10]), prev_j))
-            prev_j = root[9]
+            root_json[r] = (hid, h.rows()[0])
+        for i, (r, hid) in enumerate(zip(revs, handle_ids)):
+            root = root_json[r][1]
+            # jn:previous companion: the PRIOR REVISION's root (not the
+            # prior item in axis order — jn:past iterates newest-first)
+            prior = [x for x in all_revs if x < r]
+            if prior:
+                ph = self.store.doc(h0.db, h0.res, prior[-1])
+                prev_j = ph.rows()[0][9]
+            else:
+                prev_j = None
+            rows.append((i, r, hid, root[9], int(root[10]), prev_j))
             hids = hids + (hid,)
         rev_df = self.spark.createDataFrame(
-            rows, "r int, h int, j string, sz bigint, pj string"
+            rows, "i bigint, r int, h int, j string, sz bigint, pj string"
         )
         joined = base.df.drop(*ITEM_COLS).crossJoin(F.broadcast(rev_df))
         df = (
-            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("r").cast("bigint"))))
+            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
+            .drop("i")
             .withColumn("__k", F.lit(1).cast("bigint"))
             .withColumn("__h", F.col("h"))
             .withColumn("__r", F.col("r"))
@@ -1604,6 +2020,9 @@ class DocEvaluator:
                 in (
                     "jn:doc", "doc", "sdb:select-item", "jn:all-times",
                     "jn:past", "jn:future", "jn:first", "jn:last",
+                    "jn:select-json-item", "jn:first-existing",
+                    "jn:last-existing", "sdb:item-history",
+                    "sdb:level-order", "sdb:select-parent",
                 )
                 or ret.name in _SCAN_FNS
             )

@@ -22,7 +22,6 @@ from dataclasses import dataclass, field
 
 from sirix_spark.jsoniq import parser as P
 from sirix_spark.jsoniq.compiler import JsoniqCompileError
-from sirix_spark.store.docnodes import access_paths
 
 _SIDE_EFFECT_FNS = {
     "jn:store",
@@ -30,6 +29,8 @@ _SIDE_EFFECT_FNS = {
     "jn:create-cas-index",
     "jn:create-path-index",
     "jn:create-name-index",
+    "jn:drop-database",
+    "jn:drop-resource",
     "sdb:commit",
 }
 
@@ -309,13 +310,33 @@ class _PyInterp:
     # ------------------------------------------------------------ calls
     def _call(self, node: P.Call, env) -> list[PyItem]:
         name = node.name
-        if name in ("jn:store", "store"):
-            args = [self._one(self.eval(a, env)) for a in node.args]
-            self.ev.store.store(args[0], args[1], args[2])
+        if name in ("jn:store", "store", "jn:load", "load"):
+            db = self._one(self.eval(node.args[0], env))
+            res = self._one(self.eval(node.args[1], env))
+            texts = [it.value for it in self.eval(node.args[2], env)]
+            put = (
+                self.ev.store.store
+                if name in ("jn:store", "store")
+                else self.ev.store.load
+            )
+            if res is None:
+                # collection form jn:store(db, (), (doc, doc, …)) —
+                # auto-named resources (BasicJsonDBStore.createCollection)
+                start = len(self.ev.store.resources(db))
+                for i, t in enumerate(texts):
+                    put(db, f"resource{start + i + 1}", t)
+            else:
+                for t in texts:
+                    put(db, res, t)
             return []
-        if name in ("jn:load", "load"):
-            args = [self._one(self.eval(a, env)) for a in node.args]
-            self.ev.store.load(args[0], args[1], args[2])
+        if name == "jn:drop-database":
+            self.ev.store.drop_database(self._one(self.eval(node.args[0], env)))
+            return []
+        if name == "jn:drop-resource":
+            self.ev.store.drop_resource(
+                self._one(self.eval(node.args[0], env)),
+                self._one(self.eval(node.args[1], env)),
+            )
             return []
         if name in ("jn:doc", "doc"):
             hid = self.ev._open_handle(node)
@@ -424,79 +445,97 @@ class _PyInterp:
         raise JsoniqCompileError(f"unsupported update {u.kind!r}")
 
     def _apply_ops(self, h, hid: int | None = None) -> int:
+        """Apply staged ops over the revision's **keyed tree** and
+        commit with the tracked key sequence — unchanged nodes keep
+        their nodeKeys, inserted/replacement subtrees draw fresh keys
+        from the resource counter (the reference's JsonNodeTrx
+        key-allocation discipline: insertSubtree* shreds with a
+        monotonic counter, remove retires keys; powers item-history /
+        first-existing / is-deleted over updated resources)."""
+        from sirix_spark.store.docnodes import enum_count
+        from sirix_spark.store.docwtx import (
+            find_node,
+            tree_from,
+            tree_keys,
+            tree_value,
+        )
+
         mine = [
             op for op in self.txn.ops if hid is None or op[1] == hid
         ]
         self.txn.ops = [op for op in self.txn.ops if op not in mine]
-        doc = json.loads(h.text())
-        ap = access_paths(h.rows())
+        value = json.loads(h.text())
+        keys = self.ev.store.read_keys(h.db, h.res, h.revision)
+        if keys is None:
+            keys = list(range(1, enum_count(value) + 1))
+        root = tree_from(value, iter(keys))
+        nxt = [self.ev.store.next_key(h.db, h.res)]
 
-        def chain(key) -> list:
-            acc = []
-            k = key
-            while True:
-                kind, parent, a = ap[k]
-                if parent is None:
-                    break
-                acc.append(a)
-                k = parent
-            return list(reversed(acc))
+        def fresh(payload):
+            n = enum_count(payload)
+            t = tree_from(payload, iter(range(nxt[0], nxt[0] + n)))
+            nxt[0] += n
+            return t
 
-        def container_of(key):
-            c = chain(key)
-            node = doc
-            for a in c[:-1]:
-                node = node[a]
-            return node, (c[-1] if c else None)
-
-        # document-order stability: apply deletes last-first so member
-        # indices stay valid; other ops keep query order
+        # document-order stability: apply deletes last-first (kept for
+        # parity with the old path-based applier; key-addressed tree
+        # ops are index-shift-proof either way)
         deletes = sorted(
             [op for op in mine if op[0] == "delete"], key=lambda o: -(o[2] or 0)
         )
         others = [op for op in mine if op[0] != "delete"]
         for op in others + deletes:
             kind, _hid, key, payload, pos, new_name = op
+            node, parent, slot = find_node(root, key)
+            if node is None:
+                continue  # ancestor already removed by an earlier op
             if kind in ("insert", "append"):
-                target = doc
-                for a in chain(key):
-                    target = target[a]
-                if isinstance(target, list):
+                if node["kind"] == "array":
                     if kind == "append" or pos is None:
-                        target.append(payload)
+                        node["items"].append(fresh(payload))
                     else:
-                        target.insert(pos, payload)
-                elif isinstance(target, dict):
-                    if isinstance(payload, dict):
-                        target.update(payload)
-                    else:
+                        node["items"].insert(pos, fresh(payload))
+                elif node["kind"] == "object":
+                    if not isinstance(payload, dict):
                         raise JsoniqCompileError(
                             "insert json into object needs an object payload"
                         )
+                    by_name = {f[1]: f for f in node["fields"]}
+                    for k, v in payload.items():
+                        if k in by_name:
+                            # dict.update parity: replace in place,
+                            # field record keeps its key
+                            by_name[k][2] = fresh(v)
+                        else:
+                            fkey = nxt[0]
+                            nxt[0] += 1
+                            node["fields"].append([fkey, k, fresh(v)])
+                else:
+                    raise JsoniqCompileError(
+                        "insert json needs an array or object target"
+                    )
                 continue
-            container, acc = container_of(key)
-            if acc is None:
+            if parent is None:
                 raise JsoniqCompileError("cannot update the document root")
             if kind == "delete":
-                del container[acc]
-            elif kind == "replace":
-                container[acc] = payload
-            elif kind == "rename":
-                if not isinstance(container, dict):
-                    raise JsoniqCompileError("rename json needs an object field")
-                container = {
-                    (new_name if k == acc else k): v for k, v in container.items()
-                }
-                # write back in place
-                parent_chain = chain(key)[:-1]
-                node = doc
-                for a in parent_chain[:-1]:
-                    node = node[a]
-                if parent_chain:
-                    node[parent_chain[-1]] = container
+                if slot[0] == "item":
+                    parent["items"].pop(slot[1])
                 else:
-                    doc = container
-        return self.ev.store.commit(h.db, h.res, _compact(doc))
+                    parent["fields"].pop(slot[1])
+            elif kind == "replace":
+                if slot[0] == "item":
+                    parent["items"][slot[1]] = fresh(payload)
+                else:
+                    # field value replaced; the field record keeps its
+                    # key (OBJECT_KEY survives setValue/replace)
+                    parent["fields"][slot[1]][2] = fresh(payload)
+            elif kind == "rename":
+                if slot[0] not in ("field", "fieldkey"):
+                    raise JsoniqCompileError("rename json needs an object field")
+                parent["fields"][slot[1]][1] = new_name
+        return self.ev.store.commit(
+            h.db, h.res, _compact(tree_value(root)), keys=tree_keys(root)
+        )
 
 
 class _Neg:

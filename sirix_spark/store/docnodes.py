@@ -89,6 +89,7 @@ def shred_value(
     value,
     doc_id: str = "",
     start_key: int = 1,
+    keys: list[int] | None = None,
 ) -> list[tuple]:
     """Shred a parsed JSON value into NODE_SCHEMA rows (python-side;
     the per-document unit of work `shred_collection` parallelizes).
@@ -98,9 +99,29 @@ def shred_value(
     path** — so a CAS index on ``/[]/test/[]`` matches the primitive
     members of each ``test`` array, and ``sdb:path`` of a member is
     the array's instance path (ancestor members instantiate their
-    position, e.g. ``/sirix/[0]/revision/foo/[]``)."""
+    position, e.g. ``/sirix/[0]/revision/foo/[]``).
+
+    ``keys`` — explicit nodeKeys in enumeration (pre-order) order,
+    one per node/field slot. This is how revision N>1 of a document
+    keeps STABLE node identity across commits (the reference's
+    monotonic nodeKey counter: unchanged nodes keep their key,
+    inserted subtrees draw fresh keys — JsonNodeTrx insert*, node
+    page persistence): the committer records the key sequence
+    (store/docwtx.py) and the shredder assigns positionally instead
+    of renumbering."""
     rows: list[tuple] = []
-    counter = [start_key]
+    if keys is not None:
+        it = iter(keys)
+        counter = None
+    else:
+        counter = [start_key]
+
+    def next_key() -> int:
+        if counter is None:
+            return next(it)
+        k = counter[0]
+        counter[0] += 1
+        return k
 
     def walk(v, parent, container, fname, ord_, pcr, inst, inst_pos) -> int:
         """Append rows for value v; return its subtree size.
@@ -110,16 +131,14 @@ def shred_value(
         inst_pos like inst, but with THIS node's member position
                  instantiated — containers extend from it
         """
-        key = counter[0]
-        counter[0] += 1
+        key = next_key()
         kind = _kind_of(v)
         at = len(rows)
         rows.append(None)  # placeholder, patched with size below
         size = 1
         if kind == "object":
             for i, (fk, fv) in enumerate(v.items()):
-                fkey = counter[0]
-                counter[0] += 1
+                fkey = next_key()
                 fat = len(rows)
                 rows.append(None)
                 fpcr = pcr + "/" + fk
@@ -154,8 +173,20 @@ def shred_value(
     return rows
 
 
-def shred_text(text: str, doc_id: str = "") -> list[tuple]:
-    return shred_value(json.loads(text), doc_id=doc_id)
+def shred_text(
+    text: str, doc_id: str = "", keys: list[int] | None = None
+) -> list[tuple]:
+    return shred_value(json.loads(text), doc_id=doc_id, keys=keys)
+
+
+def enum_count(value) -> int:
+    """Number of key slots a value consumes when shredded: one per
+    node plus one per object field record."""
+    if isinstance(value, dict):
+        return 1 + sum(1 + enum_count(v) for v in value.values())
+    if isinstance(value, list):
+        return 1 + sum(enum_count(v) for v in value)
+    return 1
 
 
 def nodes_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:

@@ -60,7 +60,11 @@ class DocHandle:
 
     def rows(self) -> list:
         if self._rows is None:
-            self._rows = shred_text(self.text(), doc_id=self.doc_id)
+            self._rows = shred_text(
+                self.text(),
+                doc_id=self.doc_id,
+                keys=self.store.read_keys(self.db, self.res, self.revision),
+            )
         return self._rows
 
     def nodes(self) -> DataFrame:
@@ -100,7 +104,14 @@ class DocumentStore:
     def exists(self, db: str, res: str) -> bool:
         return os.path.exists(self._manifest_path(db, res))
 
-    def store(self, db: str, res: str, text: str) -> int:
+    def store(
+        self,
+        db: str,
+        res: str,
+        text: str,
+        author: str | None = None,
+        author_id: str | None = None,
+    ) -> int:
         """jn:store — create the resource at revision 1 (the text is
         validated/canonicalized through one parse)."""
         canon = json.dumps(
@@ -109,13 +120,20 @@ class DocumentStore:
         os.makedirs(self._res_dir(db, res), exist_ok=True)
         if self.exists(db, res):
             raise DocStoreError(f"resource {db}/{res} already exists")
-        self._write_revision(db, res, 1, canon)
+        from sirix_spark.store.docnodes import enum_count
+
+        n_slots = enum_count(json.loads(canon))
+        self._write_revision(db, res, 1, canon, keys=list(range(1, n_slots + 1)))
         self._write_manifest(
             db,
             res,
             {
-                "revisions": [self._rev_entry(1)],
+                "revisions": [self._rev_entry(1, author, author_id)],
                 "indexes": [],
+                # the reference's monotonic nodeKey counter: never
+                # reused, advanced by every insert (stable identity
+                # across revisions — SirixDeweyID-free key allocation)
+                "next_key": n_slots + 1,
             },
         )
         return 1
@@ -126,16 +144,86 @@ class DocumentStore:
         with open(path, encoding="utf-8-sig") as f:
             return self.store(db, res, f.read())
 
+    # the reference's default commit user (Databases.openJsonDatabase
+    # without an explicit User — GetAuthorName.java serves "admin")
+    DEFAULT_AUTHOR = "admin"
+    DEFAULT_AUTHOR_ID = "00000000-0000-0000-0000-000000000000"
+
     @staticmethod
-    def _rev_entry(n: int) -> dict:
+    def _rev_entry(
+        n: int, author: str | None = None, author_id: str | None = None
+    ) -> dict:
         return {
             "revision": n,
             "committed_at": datetime.now(timezone.utc).isoformat(),
+            "author": author or DocumentStore.DEFAULT_AUTHOR,
+            "author_id": author_id or DocumentStore.DEFAULT_AUTHOR_ID,
         }
 
-    def _write_revision(self, db: str, res: str, n: int, text: str) -> None:
+    def rev_entry(self, db: str, res: str, revision: int) -> dict:
+        for e in self._read_manifest(db, res)["revisions"]:
+            if e["revision"] == revision:
+                return e
+        raise DocStoreError(f"no revision {revision} of {db}/{res}")
+
+    def _write_revision(
+        self, db: str, res: str, n: int, text: str, keys: list[int] | None = None
+    ) -> None:
         with open(os.path.join(self._res_dir(db, res), f"r{n}.json"), "w") as f:
             f.write(text)
+        if keys is not None:
+            with open(
+                os.path.join(self._res_dir(db, res), f"k{n}.json"), "w"
+            ) as f:
+                json.dump(keys, f)
+
+    def read_keys(self, db: str, res: str, revision: int) -> list[int] | None:
+        """Pre-order nodeKey sequence of a revision (None → the keys
+        are sequential 1..N, the pre-identity legacy layout)."""
+        p = os.path.join(self._res_dir(db, res), f"k{revision}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def next_key(self, db: str, res: str) -> int:
+        m = self._read_manifest(db, res)
+        nk = m.get("next_key")
+        if nk is None:
+            keys = self.read_keys(db, res, self.latest_revision(db, res))
+            if keys is None:
+                from sirix_spark.store.docnodes import enum_count
+
+                nk = (
+                    enum_count(
+                        json.loads(
+                            self.read_text(db, res, self.latest_revision(db, res))
+                        )
+                    )
+                    + 1
+                )
+            else:
+                nk = max(keys) + 1
+        return nk
+
+    def node_revisions(self, db: str, res: str, key: int) -> list[int]:
+        """Revisions whose node table contains ``key`` — the probe
+        behind jn:first-existing / jn:last-existing / sdb:item-history
+        / sdb:is-deleted (RecordPersister node-history reads). Metadata-
+        sized: one key-set per revision, read driver-side like any txn
+        catalog lookup."""
+        out = []
+        for r in self.revisions(db, res):
+            keys = self.read_keys(db, res, r)
+            if keys is None:
+                from sirix_spark.store.docnodes import enum_count
+
+                n = enum_count(json.loads(self.read_text(db, res, r)))
+                if 1 <= key <= n:
+                    out.append(r)
+            elif key in keys:
+                out.append(r)
+        return out
 
     def read_text(self, db: str, res: str, revision: int) -> str:
         p = os.path.join(self._res_dir(db, res), f"r{revision}.json")
@@ -156,15 +244,35 @@ class DocumentStore:
             revision = self.latest_revision(db, res)
         return DocHandle(self, db, res, revision)
 
-    def commit(self, db: str, res: str, text: str | None = None) -> int:
+    def commit(
+        self,
+        db: str,
+        res: str,
+        text: str | None = None,
+        keys: list[int] | None = None,
+        author: str | None = None,
+        author_id: str | None = None,
+    ) -> int:
         """sdb:commit — write a new revision (same content unless an
-        update supplies new text; index creation commits this way)."""
+        update supplies new text; index creation commits this way).
+
+        ``keys`` is the pre-order nodeKey sequence of the new text
+        (stable identity — the committer tracked keys through the
+        mutation, store/docwtx.py). Omitted with unchanged text, the
+        previous revision's keys carry over (an empty commit preserves
+        every node's identity); omitted WITH new text, the revision
+        renumbers sequentially (legacy, identity-breaking — no
+        in-repo caller does this any more)."""
         m = self._read_manifest(db, res)
         n = m["revisions"][-1]["revision"] + 1
         if text is None:
             text = self.read_text(db, res, n - 1)
-        self._write_revision(db, res, n, text)
-        m["revisions"].append(self._rev_entry(n))
+            if keys is None:
+                keys = self.read_keys(db, res, n - 1)
+        self._write_revision(db, res, n, text, keys=keys)
+        if keys is not None:
+            m["next_key"] = max(m.get("next_key", 1), max(keys, default=0) + 1)
+        m["revisions"].append(self._rev_entry(n, author, author_id))
         self._write_manifest(db, res, m)
         return n
 
@@ -237,6 +345,36 @@ class DocumentStore:
             if all(covered(p) for p in paths):
                 return e["number"]
         return None
+
+    # -------------------------------------------------------- lifecycle
+    def drop_resource(self, db: str, res: str) -> None:
+        """jn:drop-resource (DropResource.java)."""
+        import shutil
+
+        if not self.exists(db, res):
+            raise DocStoreError(f"unknown resource {db}/{res}")
+        shutil.rmtree(self._res_dir(db, res))
+
+    def drop_database(self, db: str) -> None:
+        """jn:drop-database (DropDatabase.java)."""
+        import shutil
+
+        p = os.path.join(self.root, db)
+        if not os.path.isdir(p):
+            raise DocStoreError(f"unknown database {db}")
+        shutil.rmtree(p)
+
+    def database_exists(self, db: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, db))
+
+    def resources(self, db: str) -> list[str]:
+        p = os.path.join(self.root, db)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            r for r in os.listdir(p)
+            if os.path.exists(os.path.join(p, r, "manifest.json"))
+        )
 
     # ------------------------------------------------------------- diff
     def diff_json(self, db: str, res: str, r1: int, r2: int) -> str:

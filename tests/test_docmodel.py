@@ -176,11 +176,16 @@ def test_temporal_variants_past_future_first_last(spark, docstore):
     run(spark, docstore, "replace json value of jn:doc('d','t.jn').v with 3")
     # anchor at revision 2 of 3
     base = "let $n := sdb:select-item(jn:doc('d','t.jn', 2), 1) "
+    # reference PastAxis/FutureAxis: includeSelf defaults to FALSE,
+    # jn:past iterates newest→oldest (SimpleQueryIntegrationTest
+    # #testTimeTravelPast / #testTimeTravelPastOrSelf pin both)
     q = base + "for $r in jn:past($n) return sdb:revision($r)"
-    assert run(spark, docstore, q) == "1 2"
-    q = base + "for $r in jn:past($n, false) return sdb:revision($r)"
     assert run(spark, docstore, q) == "1"
+    q = base + "for $r in jn:past($n, true()) return sdb:revision($r)"
+    assert run(spark, docstore, q) == "2 1"
     q = base + "for $r in jn:future($n) return sdb:revision($r)"
+    assert run(spark, docstore, q) == "3"
+    q = base + "for $r in jn:future($n, true()) return sdb:revision($r)"
     assert run(spark, docstore, q) == "2 3"
     q = base + "for $r in jn:first($n) return $r"
     assert run(spark, docstore, q) == '{"v":1}'

@@ -1,0 +1,139 @@
+"""Stable node identity across revisions (store/docwtx.py,
+docstore keys sidecars) — the reference's monotonic nodeKey
+discipline (JsonNodeTrxImpl insert*/remove/commit) that powers
+jn:first-existing / jn:last-existing / sdb:item-history /
+sdb:is-deleted. Timelines replicate
+bundles/sirix-query/src/test/java/io/sirix/query/function/jn/temporal/
+SetupRevisions.java and sdb/trx/ItemHistoryTest.java (legacy nodeKey
+constants)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+JSON = (
+    '{"foo":["bar",null,2.33],"bar":{"hello":"world","helloo":true},'
+    '"baz":"hello","tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}'
+)
+
+
+@pytest.fixture()
+def docstore(spark, tmp_path):
+    from sirix_spark.store.docstore import DocumentStore
+
+    return DocumentStore(spark, str(tmp_path))
+
+
+def run(spark, store, query: str) -> str:
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+
+    return DocEvaluator(spark, store).execute(query)
+
+
+def _setup_revisions(store):
+    """SetupRevisions.java (legacy keys): 5 revisions incl. the empty
+    explicit commit after the auto-committing subtree insert."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    store.store("db", "doc.jn", JSON)
+    w = DocWtx(store, "db", "doc.jn")
+    w.move_to(3)
+    w.insert_subtree_as_first_child('{"foo":"bar"}')  # auto-commit r2
+    w.commit()  # r3 empty
+    w.move_to(11).remove().commit()  # r4
+    w.move_to(25).insert_array_as_right_sibling()
+    w.commit()  # r5
+    return w
+
+
+def test_setup_revisions_timeline_and_keys(spark, docstore):
+    _setup_revisions(docstore)
+    assert docstore.revisions("db", "doc.jn") == [1, 2, 3, 4, 5]
+    # inserted {"foo":"bar"} drew fresh keys 26,27,28; the rev-5 array 29
+    assert docstore.node_revisions("db", "doc.jn", 26) == [2, 3, 4, 5]
+    assert docstore.node_revisions("db", "doc.jn", 11) == [1, 2, 3]
+    assert docstore.node_revisions("db", "doc.jn", 29) == [5]
+    # empty commit preserved every key
+    assert docstore.read_keys("db", "doc.jn", 2) == docstore.read_keys(
+        "db", "doc.jn", 3
+    )
+
+
+def test_first_last_existing(spark, docstore):
+    _setup_revisions(docstore)
+    q = "sdb:revision(jn:first-existing(sdb:select-item(jn:doc('db','doc.jn'), 26)))"
+    assert run(spark, docstore, q) == "2"
+    q = "sdb:revision(jn:last-existing(sdb:select-item(jn:doc('db','doc.jn',2), 11)))"
+    assert run(spark, docstore, q) == "3"
+    q = "sdb:revision(jn:first-existing(sdb:select-item(jn:doc('db','doc.jn'), 29)))"
+    assert run(spark, docstore, q) == "5"
+
+
+def test_item_history_value_chain(spark, docstore):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(docstore, "db", "h.jn")
+    w.insert_subtree_as_first_child('["bla", "blubb"]')
+    w.move_to(2).set_string_value("blabla").commit()
+    w.move_to(2).set_string_value("blablabla").commit()
+    w.move_to(2).remove().commit()
+    q = "sdb:item-history(sdb:select-item(jn:doc('db','h.jn', 1), 2))"
+    assert run(spark, docstore, q) == '"bla" "blabla" "blablabla"'
+    q = "sdb:is-deleted(sdb:select-item(jn:doc('db','h.jn', 1), 2))"
+    assert run(spark, docstore, q) == "true"
+
+
+def test_update_interpreter_keeps_identity(spark, docstore):
+    """JSONiq updates route through the same keyed-tree commit: the
+    untouched sibling keeps its key, the replacement draws a fresh
+    one (monotonic counter, never reused)."""
+    run(spark, docstore, "jn:store('db','u.jn','{\"a\":1,\"b\":2}')")
+    # keys r1: 1 obj, 2 fld a, 3 val 1, 4 fld b, 5 val 2
+    run(spark, docstore, "replace json value of jn:doc('db','u.jn').a with 9")
+    keys2 = docstore.read_keys("db", "u.jn", 2)
+    assert keys2 == [1, 2, 6, 4, 5]  # value of a replaced → fresh key 6
+    run(spark, docstore, "delete json jn:doc('db','u.jn').b")
+    assert docstore.read_keys("db", "u.jn", 3) == [1, 2, 6]
+    # b (key 4/5) existed in r1..r2 only
+    assert docstore.node_revisions("db", "u.jn", 4) == [1, 2]
+
+
+def test_author_metadata(spark, docstore):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(docstore, "db", "a.jn")
+    w.insert_subtree_as_first_child('["x"]')
+    DocWtx(docstore, "db", "a.jn", author="johannes", author_id="u-1").move_to(
+        2
+    ).set_string_value("y").commit()
+    assert run(spark, docstore, "sdb:author-name(jn:doc('db','a.jn', 1))") == "admin"
+    assert (
+        run(spark, docstore, "sdb:author-name(jn:doc('db','a.jn', 2))")
+        == "johannes"
+    )
+    assert run(spark, docstore, "sdb:author-id(jn:doc('db','a.jn', 2))") == "u-1"
+
+
+def test_rollback_discards(spark, docstore):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(docstore, "db", "r.jn")
+    w.insert_subtree_as_first_child('["original"]')
+    w.move_to(2).set_string_value("modified")
+    w.rollback()
+    assert run(spark, docstore, "jn:doc('db','r.jn')") == '["original"]'
+    assert docstore.revisions("db", "r.jn") == [1]
+
+
+def test_past_future_axis_order(spark, docstore):
+    """Reference Past/FutureAxis: excludeSelf default, past iterates
+    newest-first (SimpleQueryIntegrationTest#testTimeTravelPast)."""
+    _setup_revisions(docstore)
+    q = "for $r in jn:past(jn:doc('db','doc.jn',3)) return sdb:revision($r)"
+    assert run(spark, docstore, q) == "2 1"
+    q = "for $r in jn:past(jn:doc('db','doc.jn',3), true()) return sdb:revision($r)"
+    assert run(spark, docstore, q) == "3 2 1"
+    q = "for $r in jn:future(jn:doc('db','doc.jn',3)) return sdb:revision($r)"
+    assert run(spark, docstore, q) == "4 5"

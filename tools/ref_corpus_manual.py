@@ -1,0 +1,424 @@
+"""Hand-authored replay cases for reference test classes whose setup
+is JUnit-driven (wtx node transactions, per-test Java logic) rather
+than extractable (query, expected) pairs.
+
+Every case cites its reference test (file#method under
+bundles/sirix-query/src/test/java/io/sirix/query/function/) and pins
+the reference's own expected output. Setups that use the reference's
+JsonNodeTrx API are replayed through the DocWtx analog
+(sirix_spark/store/docwtx.py) with the LEGACY (non-fused) nodeKey
+layout — the same layout the extractor corpus pins — translating each
+test's `FUSED ? x : y` constants to their y branch.
+
+Assertion modes:
+- default              exact string equality with the reference output
+- assert = "nonempty"  reference used assertNotNull/assertFalse(isEmpty)
+- assert = "int_gt0"   reference parsed the output and asserted > 0
+- assert = ["a","b"]   reference asserted contains() for each element
+- assert = "error"     reference asserted the query throws
+"""
+
+from __future__ import annotations
+
+# JsonDocumentCreator.JSON (bundles/sirix-core/src/main/java/io/sirix/
+# utils/JsonDocumentCreator.java) — the shared fixture document.
+JSON = (
+    '{"foo":["bar",null,2.33],"bar":{"hello":"world","helloo":true},'
+    '"baz":"hello","tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}'
+)
+
+# SimpleQueryIntegrationTest.java fixture constants (verbatim).
+SQ_JSON = (
+    '{"sirix":[{"revisionNumber":1,"revision":{"foo":["bar",null,2.33],'
+    '"bar":{"hello":"world","helloo":true},"baz":"hello","tada":[{"foo":"bar"},'
+    '{"baz":false},"boo",{},[]]}},{"revisionNumber":2,"revision":{"tadaaa":"todooo",'
+    '"foo":["bar",null,2.33],"bar":{"hello":"world","helloo":true},"baz":"hello",'
+    '"tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}}]}'
+)
+SQ_EXPECTED_SIRIX = (
+    '[{"revisionNumber":1,"revision":{"foo":["bar",null,2.33],'
+    '"bar":{"hello":"world","helloo":true},"baz":"hello","tada":[{"foo":"bar"},'
+    '{"baz":false},"boo",{},[]]}},{"revisionNumber":2,"revision":{"tadaaa":"todooo",'
+    '"foo":["bar",null,2.33],"bar":{"hello":"world","helloo":true},"baz":"hello",'
+    '"tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}}]'
+)
+_R1 = (
+    '{"foo":["bar",null,2.33],"bar":{"hello":"world","helloo":true},'
+    '"baz":"hello","tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}'
+)
+_R2 = (
+    '{"foo":[{"foo":"bar"},"bar",null,2.33],"bar":{"hello":"world","helloo":true},'
+    '"baz":"hello","tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}'
+)
+_R3 = (
+    '{"foo":[{"foo":"bar"},"bar",null,2.33],"bar":{"hello":"world"},'
+    '"baz":"hello","tada":[{"foo":"bar"},{"baz":false},"boo",{},[]]}'
+)
+SQ_ALL_TIMES = f"{_R1} {_R2} {_R3}"
+SQ_LAST = _R3
+SQ_NEXT = _R2
+SQ_FUTURE = f"{_R2} {_R3}"
+SQ_PAST = f"{_R2} {_R1}"
+SQ_PAST_OR_SELF = f"{_R3} {_R2} {_R1}"
+
+
+# --------------------------------------------------------------- setups
+def _setup_temporal5(spark, store):
+    """jn/temporal/SetupRevisions.java (legacy constants: foo-array 3,
+    helloo 11, tada last item 25): store → subtree-insert auto-commit
+    → explicit (empty) commit → remove+commit → array-insert+commit =
+    5 revisions."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    store.store("json-path1", "mydoc.jn", JSON)
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.move_to(3)
+    w.insert_subtree_as_first_child('{"foo":"bar"}')  # auto-commit r2
+    w.commit()  # r3 (the explicit wtx.commit after the subtree insert)
+    w.move_to(11).remove().commit()  # r4
+    w.move_to(25).insert_array_as_right_sibling()
+    w.commit()  # r5
+
+
+def _setup_simplequery3(spark, store):
+    """SimpleQueryIntegrationTest#setupRevisions (legacy constants):
+    store → subtree-insert auto-commit → remove+commit = 3 revisions."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    store.store("json-path1", "mydoc.jn", JSON)
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.move_to(3)
+    w.insert_subtree_as_first_child('{"foo":"bar"}')  # auto-commit r2
+    w.move_to(11).remove().commit()  # r3
+
+
+def _setup_itemhistory1(spark, store):
+    """sdb/trx/ItemHistoryTest#test: value history of "bla" (key 2)."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.insert_subtree_as_first_child('["bla", "blubb"]')  # r1
+    w.move_to(2).set_string_value("blabla").commit()  # r2
+    w.move_to(2).set_string_value("blablabla").commit()  # r3
+    w.move_to(2).remove().commit()  # r4
+
+
+def _setup_itemhistory2(spark, store):
+    """sdb/trx/ItemHistoryTest#test2 (legacy key 12 = OBJECT_KEY
+    "generic" of the second object): rename history."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc2.jn")
+    w.insert_subtree_as_first_child("[]")  # r1
+    w.insert_subtree_as_first_child(
+        '{"generic": 1, "location": {"state": "NY", "city": "New York"}}'
+    )  # r2
+    w.insert_subtree_as_right_sibling(
+        '{"generic": 1, "location": {"state": "CA", "city": "Los Angeles"}}'
+    )  # r3
+    w.move_to(12).set_object_key_name("generic1").commit()  # r4
+
+
+def _setup_isdeleted_true(spark, store):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.insert_subtree_as_first_child('["bla", "blubb"]')  # r1
+    w.move_to(2).remove().commit()  # r2
+
+
+def _setup_isdeleted_false(spark, store):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.insert_subtree_as_first_child('["bla", "blubb"]', commit=False)
+    w.move_to(2)
+    w.commit()  # single revision
+
+
+def _setup_getpath(spark, store):
+    """sdb/trx/GetPathTest (legacy keys: 2.33 at 6; queried keys 17→25,
+    8→11, 14→21, 19→28): createTestDocument + {"foo":[]} inserted as
+    foo[3]."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    store.store("json-path1", "shredded", JSON)
+    w = DocWtx(store, "json-path1", "shredded")
+    w.move_to(6)
+    w.insert_subtree_as_right_sibling('{"foo":[]}')  # auto-commit r2
+
+
+def _setup_rollback(spark, store):
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.insert_subtree_as_first_child('["original"]')  # r1
+    w.move_to(2).set_string_value("modified")
+    w.rollback()
+
+
+def _setup_authors(spark, store):
+    """sdb/trx/AuthorNameTest / AuthorUUIDTest: four committing users
+    (first commit is the default "admin" user)."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "json-path1", "mydoc.jn")
+    w.insert_subtree_as_first_child('["bla", "blubb"]')  # r1 admin
+    DocWtx(
+        store, "json-path1", "mydoc.jn",
+        author="johannes", author_id="11111111-1111-1111-1111-111111111111",
+    ).move_to(2).set_string_value("blabla").commit()  # r2
+    DocWtx(
+        store, "json-path1", "mydoc.jn",
+        author="moshe", author_id="22222222-2222-2222-2222-222222222222",
+    ).move_to(2).set_string_value("blablabla").commit()  # r3
+    DocWtx(
+        store, "json-path1", "mydoc.jn",
+        author="carolin", author_id="33333333-3333-3333-3333-333333333333",
+    ).move_to(2).remove().commit()  # r4
+
+
+SETUPS = {
+    "temporal5": _setup_temporal5,
+    "simplequery3": _setup_simplequery3,
+    "itemhistory1": _setup_itemhistory1,
+    "itemhistory2": _setup_itemhistory2,
+    "isdeleted_true": _setup_isdeleted_true,
+    "isdeleted_false": _setup_isdeleted_false,
+    "getpath": _setup_getpath,
+    "rollback": _setup_rollback,
+    "authors": _setup_authors,
+}
+
+
+def _c(name, source, query, expected=None, setup=(), setup_py=None, **kw):
+    case = {
+        "name": name,
+        "source": source,
+        "setup": list(setup),
+        "query": query,
+        "expected": expected,
+        "ignore_node_keys": False,
+    }
+    if setup_py:
+        case["setup_py"] = setup_py
+    case.update(kw)
+    return case
+
+
+_STORE2 = "jn:store('json-path1','mydoc.jn','[\"bla\", \"blubb\"]')"
+_DOC = "jn:doc('json-path1','mydoc.jn')"
+
+CASES = [
+    # ---------------------------------------- jn/temporal/FirstExisting
+    _c("FirstExisting#revisionsAndNodeExists", "FirstExistingTest.java",
+       "sdb:revision(jn:first-existing(sdb:select-item(jn:doc('json-path1','mydoc.jn'), 26)))",
+       "2", setup_py="temporal5"),
+    _c("FirstExisting#nodeDoesNotExist", "FirstExistingTest.java",
+       "sdb:revision(jn:first-existing(sdb:select-item(jn:doc('json-path1','mydoc.jn',2), 11)))",
+       "1", setup_py="temporal5"),
+    _c("FirstExisting#existsInMostRecentRevision", "FirstExistingTest.java",
+       "sdb:revision(jn:first-existing(sdb:select-item(jn:doc('json-path1','mydoc.jn'), 29)))",
+       "5", setup_py="temporal5"),
+    # ----------------------------------------- jn/temporal/LastExisting
+    _c("LastExisting#revisionsAndNodeExists", "LastExistingTest.java",
+       "sdb:revision(jn:last-existing(sdb:select-item(jn:doc('json-path1','mydoc.jn'), 26)))",
+       "5", setup_py="temporal5"),
+    _c("LastExisting#nodeGoneInLastRevision", "LastExistingTest.java",
+       "sdb:revision(jn:last-existing(sdb:select-item(jn:doc('json-path1','mydoc.jn',2), 11)))",
+       "3", setup_py="temporal5"),
+    # ------------------------------------ jn/temporal/DocByPointInTime
+    _c("DocByPointInTime#beforeFirstRevision", "DocByPointInTimeJsonTest.java",
+       "jn:open('json-path1','mydoc.jn', xs:dateTime('2000-01-01T00:00:00Z'))",
+       "", setup_py="temporal5"),
+    _c("DocByPointInTime#afterFirstRevision", "DocByPointInTimeJsonTest.java",
+       "jn:open('json-path1','mydoc.jn', xs:dateTime('2100-01-01T00:00:00Z'))",
+       None, setup_py="temporal5", **{"assert": "nonempty"}),
+    # ------------------------------------------ sdb/trx/ItemHistory
+    _c("ItemHistory#test", "ItemHistoryTest.java",
+       "sdb:item-history(sdb:select-item(jn:doc('json-path1','mydoc.jn', 1), 2))",
+       '"bla" "blabla" "blablabla"', setup_py="itemhistory1"),
+    _c("ItemHistory#test2", "ItemHistoryTest.java",
+       "sdb:item-history(sdb:select-item(jn:doc('json-path1','mydoc2.jn'), 12))",
+       '"generic" "generic1"', setup_py="itemhistory2"),
+    # -------------------------------------------- sdb/trx/IsDeleted
+    _c("IsDeleted#true", "IsDeletedTest.java",
+       "sdb:is-deleted(sdb:select-item(jn:doc('json-path1','mydoc.jn', 1), 2))",
+       "true", setup_py="isdeleted_true"),
+    _c("IsDeleted#false", "IsDeletedTest.java",
+       "sdb:is-deleted(sdb:select-item(jn:doc('json-path1','mydoc.jn', 1), 2))",
+       "false", setup_py="isdeleted_false"),
+    # --------------------------------------- jn/trx/SelectJsonItem
+    _c("SelectJsonItem#root", "SelectJsonItemTest.java",
+       "jn:select-json-item(jn:doc('json-path1','mydoc.jn'), 1)",
+       '["bla","blubb"]', setup=[_STORE2]),
+    _c("SelectJsonItem#string", "SelectJsonItemTest.java",
+       "jn:select-json-item(jn:doc('json-path1','mydoc.jn'), 2)",
+       '"bla"', setup=[_STORE2]),
+    _c("SelectJsonItem#nestedObject", "SelectJsonItemTest.java",
+       "jn:select-json-item(jn:doc('json-path1','mydoc.jn'), 2)",
+       '{"name":"Alice"}',
+       setup=["jn:store('json-path1','mydoc.jn','[{\"name\":\"Alice\"}, {\"name\":\"Bob\"}]')"]),
+    _c("SelectJsonItem#invalidKeyThrows", "SelectJsonItemTest.java",
+       "jn:select-json-item(jn:doc('json-path1','mydoc.jn'), 999)",
+       None, setup=["jn:store('json-path1','mydoc.jn','[\"bla\"]')"],
+       **{"assert": "error"}),
+    # -------------------------------------------- sdb/trx counts
+    _c("GetChildCount#array", "GetChildCountTest.java",
+       f"sdb:child-count({_DOC})", "3",
+       setup=["jn:store('json-path1','mydoc.jn','[\"a\", \"b\", \"c\"]')"]),
+    _c("GetChildCount#object", "GetChildCountTest.java",
+       f"sdb:child-count({_DOC})", "2",
+       setup=["jn:store('json-path1','mydoc.jn','{\"a\":1, \"b\":2}')"]),
+    _c("GetChildCount#leaf", "GetChildCountTest.java",
+       f"sdb:child-count(sdb:select-item({_DOC}, 2))", "0", setup=[_STORE2]),
+    _c("GetDescendantCount#array", "GetDescendantCountTest.java",
+       f"sdb:descendant-count({_DOC})", "3",
+       setup=["jn:store('json-path1','mydoc.jn','[\"a\", \"b\", \"c\"]')"]),
+    _c("GetDescendantCount#nested", "GetDescendantCountTest.java",
+       f"sdb:descendant-count({_DOC})", "2",
+       setup=["jn:store('json-path1','mydoc.jn','{\"a\": {\"b\": 1}}')"]),
+    _c("GetDescendantCount#leaf", "GetDescendantCountTest.java",
+       f"sdb:descendant-count(sdb:select-item({_DOC}, 2))", "0",
+       setup=[_STORE2]),
+    # -------------------------------------------- sdb/trx/LevelOrder
+    _c("LevelOrder#traverseAll", "LevelOrderTest.java",
+       f"for $node in sdb:level-order({_DOC}) return $node",
+       None, setup=["jn:store('json-path1','mydoc.jn','[\"a\", \"b\", \"c\"]')"],
+       **{"assert": ["a", "b", "c"]}),
+    _c("LevelOrder#depth1", "LevelOrderTest.java",
+       f"count(sdb:level-order({_DOC}, 1))", None,
+       setup=["jn:store('json-path1','mydoc.jn','[{\"a\": {\"deep\": 1}}, {\"b\": 2}]')"],
+       **{"assert": "int_gt0"}),
+    _c("LevelOrder#all", "LevelOrderTest.java",
+       f"count(sdb:level-order({_DOC}))", None,
+       setup=["jn:store('json-path1','mydoc.jn','[{\"a\": {\"deep\": 1}}, {\"b\": 2}]')"],
+       **{"assert": "int_gt0"}),
+    # ------------------------------------------ sdb/trx/SelectParent
+    _c("SelectParent#memberParent", "SelectParentTest.java",
+       f"sdb:select-parent({_DOC}[1])", '["bla","blubb"]', setup=[_STORE2]),
+    # ------------------------------------------ sdb/trx/GetNodeKey
+    _c("JsonGetNodeKey#member", "JsonGetNodeKeyTest.java",
+       f"sdb:nodekey({_DOC}[1])", "3", setup=[_STORE2]),
+    # --------------------------------------------- sdb/trx/GetPath
+    _c("GetPath#arrayMember", "GetPathTest.java",
+       "sdb:path(sdb:select-item(jn:doc('json-path1','shredded'), 25))",
+       "/tada/[]/[4]", setup_py="getpath"),
+    _c("GetPath#objectField", "GetPathTest.java",
+       "sdb:path(sdb:select-item(jn:doc('json-path1','shredded'), 11))",
+       "/bar/helloo", setup_py="getpath"),
+    _c("GetPath#nestedField", "GetPathTest.java",
+       "sdb:path(sdb:select-item(jn:doc('json-path1','shredded'), 21))",
+       "/tada/[1]/baz", setup_py="getpath"),
+    _c("GetPath#insertedArray", "GetPathTest.java",
+       "sdb:path(sdb:select-item(jn:doc('json-path1','shredded'), 28))",
+       "/foo/[3]/foo/[]", setup_py="getpath"),
+    # ---------------------------------------------- sdb/trx/GetHash
+    _c("GetHash#root", "GetHashTest.java",
+       f"sdb:hash({_DOC})", None, setup=[_STORE2], **{"assert": "nonempty"}),
+    _c("GetHash#child", "GetHashTest.java",
+       f"sdb:hash(sdb:select-item({_DOC}, 2))", None, setup=[_STORE2],
+       **{"assert": "nonempty"}),
+    # --------------------------------------------- sdb/trx/Rollback
+    _c("Rollback#lowLevelApi", "RollbackTest.java",
+       _DOC, '["original"]', setup_py="rollback"),
+    _c("Rollback#preservesOriginalData", "RollbackTest.java",
+       _DOC, '["original"]', setup_py="rollback"),
+    # ------------------------------------------- sdb/trx author fns
+    _c("AuthorName#rev1", "AuthorNameTest.java",
+       "sdb:author-name(jn:doc('json-path1','mydoc.jn', 1))", "admin",
+       setup_py="authors"),
+    _c("AuthorName#rev2", "AuthorNameTest.java",
+       "sdb:author-name(jn:doc('json-path1','mydoc.jn', 2))", "johannes",
+       setup_py="authors"),
+    _c("AuthorName#rev3", "AuthorNameTest.java",
+       "sdb:author-name(jn:doc('json-path1','mydoc.jn', 3))", "moshe",
+       setup_py="authors"),
+    _c("AuthorName#rev4", "AuthorNameTest.java",
+       "sdb:author-name(jn:doc('json-path1','mydoc.jn', 4))", "carolin",
+       setup_py="authors"),
+    _c("AuthorUUID#rev2", "AuthorUUIDTest.java",
+       "sdb:author-id(jn:doc('json-path1','mydoc.jn', 2))",
+       "11111111-1111-1111-1111-111111111111", setup_py="authors"),
+    _c("AuthorUUID#rev3", "AuthorUUIDTest.java",
+       "sdb:author-id(jn:doc('json-path1','mydoc.jn', 3))",
+       "22222222-2222-2222-2222-222222222222", setup_py="authors"),
+    _c("AuthorUUID#rev4", "AuthorUUIDTest.java",
+       "sdb:author-id(jn:doc('json-path1','mydoc.jn', 4))",
+       "33333333-3333-3333-3333-333333333333", setup_py="authors"),
+    # -------------------------------------- jn/io/SimpleQueryIntegration
+    _c("SimpleQuery#testSimple", "SimpleQueryIntegrationTest.java",
+       f"{_DOC}[0]", '"bla"', setup=[_STORE2]),
+    _c("SimpleQuery#testSimpleSecond", "SimpleQueryIntegrationTest.java",
+       f"{_DOC}.sirix", SQ_EXPECTED_SIRIX,
+       setup=[f"jn:store('json-path1','mydoc.jn','{SQ_JSON}')"]),
+    _c("SimpleQuery#testSimpleDeref", "SimpleQueryIntegrationTest.java",
+       f"{_DOC}.sirix.revisionNumber", "1",
+       setup=["jn:store('json-path1','mydoc.jn','{\"sirix\":{\"revisionNumber\":1}}')"]),
+    _c("SimpleQuery#testComplexSecond", "SimpleQueryIntegrationTest.java",
+       f"{_DOC}.sirix[0].revisionNumber", "1",
+       setup=[f"jn:store('json-path1','mydoc.jn','{SQ_JSON}')"]),
+    _c("SimpleQuery#testArrays", "SimpleQueryIntegrationTest.java",
+       f"{_DOC}[1][0][0]", '"bar"',
+       setup=["jn:store('json-path1','mydoc.jn','[\"foo\",[[\"bar\"]]]')"]),
+    _c("SimpleQuery#allTimes", "SimpleQueryIntegrationTest.java",
+       f"jn:all-times({_DOC})", SQ_ALL_TIMES, setup_py="simplequery3"),
+    _c("SimpleQuery#first", "SimpleQueryIntegrationTest.java",
+       f"jn:first({_DOC})", JSON, setup_py="simplequery3"),
+    _c("SimpleQuery#last", "SimpleQueryIntegrationTest.java",
+       f"jn:last({_DOC})", SQ_LAST, setup_py="simplequery3"),
+    _c("SimpleQuery#next", "SimpleQueryIntegrationTest.java",
+       "jn:next(jn:doc('json-path1','mydoc.jn',1))", SQ_NEXT,
+       setup_py="simplequery3"),
+    _c("SimpleQuery#previous", "SimpleQueryIntegrationTest.java",
+       "jn:previous(jn:doc('json-path1','mydoc.jn',2))", JSON,
+       setup_py="simplequery3"),
+    _c("SimpleQuery#future", "SimpleQueryIntegrationTest.java",
+       "jn:future(jn:doc('json-path1','mydoc.jn',1))", SQ_FUTURE,
+       setup_py="simplequery3"),
+    _c("SimpleQuery#futureOrSelf", "SimpleQueryIntegrationTest.java",
+       "jn:future(jn:doc('json-path1','mydoc.jn',1),true())", SQ_ALL_TIMES,
+       setup_py="simplequery3"),
+    _c("SimpleQuery#past", "SimpleQueryIntegrationTest.java",
+       "jn:past(jn:doc('json-path1','mydoc.jn',3))", SQ_PAST,
+       setup_py="simplequery3"),
+    _c("SimpleQuery#pastOrSelf", "SimpleQueryIntegrationTest.java",
+       "jn:past(jn:doc('json-path1','mydoc.jn',3),true())", SQ_PAST_OR_SELF,
+       setup_py="simplequery3"),
+    # ----------------------------------------------- jn/io lifecycle
+    _c("StoreIntegration#single", "StoreIntegrationTest.java",
+       "jn:doc('json-path1','mydoc.jn')", '["bla","blubb"]',
+       setup=[_STORE2]),
+    _c("StoreIntegration#collection", "StoreIntegrationTest.java",
+       "jn:exists-database('json-path1')", "true",
+       setup=["jn:store('json-path1',(),('[\"bla\", \"blubb\"]','{\"foo\": true}'))"]),
+    _c("DocIntegration#openRoot", "DocIntegrationTest.java",
+       _DOC, '["bla","blubb"]', setup=[_STORE2]),
+    _c("DropDatabaseIntegration#dropThenExistsFalse",
+       "DropDatabaseIntegrationTest.java",
+       "jn:exists-database('json-path1')", "false",
+       setup=[_STORE2, "jn:drop-database('json-path1')"]),
+    _c("DropResourceIntegration#dropThenExistsFalse",
+       "DropResourceIntegrationTest.java",
+       "jn:exists-resource('json-path1','mydoc')", "false",
+       setup=["jn:store('json-path1','mydoc', '{\"foo\":\"bar\"}')",
+              "jn:drop-resource('json-path1','mydoc')"]),
+    _c("DropResourceIntegration#databaseStillExists",
+       "DropResourceIntegrationTest.java",
+       "jn:exists-database('json-path1')", "true",
+       setup=["jn:store('json-path1','mydoc', '{\"foo\":\"bar\"}')",
+              "jn:drop-resource('json-path1','mydoc')"]),
+]
+
+# GetPath#arrayMember: the reference emits /tada/[]/[4] — position on
+# the MEMBER step, [] on the array — via GetPath.java's kind-special-
+# cased ancestor walk (the same walk whose array-node attribution is
+# already a documented delta, see run_ref_corpus.KNOWN_DELTAS). Our
+# instance path instantiates ancestor member positions and leaves the
+# node's own array step positionless: /tada/[4]/[].
+MANUAL_DELTAS = {
+    "GetPath#arrayMember": {
+        "why": "GetPath.java array-member step ordering ([]/[4] vs [4]/[])",
+        "expected": "/tada/[4]/[]",
+    },
+}

@@ -67,30 +67,64 @@ def run_case(spark, case) -> tuple[str, str]:
     from sirix_spark.jsoniq.compiler import JsoniqCompileError
     from sirix_spark.jsoniq.docmodel import DocEvaluator
     from sirix_spark.jsoniq.parser import JsoniqSyntaxError
-    from sirix_spark.store.docstore import DocumentStore
+    from sirix_spark.store.docstore import DocStoreError, DocumentStore
 
     tmp = tempfile.mkdtemp(prefix="refcorpus_")
     try:
         store = DocumentStore(spark, tmp)
+        mode = case.get("assert")
         try:
+            if case.get("setup_py"):
+                from tools.ref_corpus_manual import SETUPS
+
+                SETUPS[case["setup_py"]](spark, store)
             for q in case["setup"]:
                 DocEvaluator(spark, store).execute(q)
             got = DocEvaluator(spark, store).execute(case["query"])
         except (JsoniqCompileError, JsoniqSyntaxError) as e:
+            if mode == "error":
+                return "pass", ""
             return "unsupported", f"{type(e).__name__}: {e}"
+        except DocStoreError as e:
+            if mode == "error":
+                return "pass", ""
+            tb = traceback.format_exc()
+            return "error", f"DocStoreError: {e}\n" + tb.splitlines()[-2]
         except Exception as e:
+            if mode == "error":
+                return "pass", ""
             tb = traceback.format_exc()
             frames = [
                 ln for ln in tb.splitlines() if "sirix_spark/" in ln
             ][-3:]
             return "error", f"{type(e).__name__}: {e}\n" + "\n".join(frames)
+        # soft assertion modes (the reference test asserted a property,
+        # not an exact string)
+        if mode == "error":
+            return "fail", f"expected an error, got {got[:120]!r}"
+        if mode == "nonempty":
+            return ("pass", "") if got.strip() else ("fail", "empty output")
+        if mode == "int_gt0":
+            try:
+                return ("pass", "") if int(got.strip()) > 0 else (
+                    "fail", f"expected >0, got {got!r}"
+                )
+            except ValueError:
+                return "fail", f"not an int: {got[:80]!r}"
+        if isinstance(mode, list):
+            missing = [m for m in mode if m not in got]
+            return ("pass", "") if not missing else (
+                "fail", f"missing {missing} in {got[:120]!r}"
+            )
         want = case["expected"].strip()
         got = got.strip()
         if case["ignore_node_keys"]:
             want, got = strip_nk(want), strip_nk(got)
         if got == want:
             return "pass", ""
-        delta = KNOWN_DELTAS.get(case["name"])
+        from tools.ref_corpus_manual import MANUAL_DELTAS
+
+        delta = KNOWN_DELTAS.get(case["name"]) or MANUAL_DELTAS.get(case["name"])
         if delta is not None:
             pinned = delta["expected"].strip()
             if case["ignore_node_keys"]:
@@ -112,8 +146,10 @@ def main() -> int:
     from sirix_spark.session import get_spark
 
     spark = get_spark()
+    from tools.ref_corpus_manual import CASES as MANUAL_CASES
+
     corpus = extract_corpus()
-    cases = corpus["cases"]
+    cases = corpus["cases"] + MANUAL_CASES
     if args.only:
         cases = [c for c in cases if args.only.lower() in c["name"].lower()]
 
