@@ -412,6 +412,9 @@ class DocEvaluator:
             "jn:last-existing",
             "sdb:item-history",
             "sdb:level-order",
+            "jn:valid-at",
+            "jn:open-bitemporal",
+            "jn:open",
         ):
             return True
         return False
@@ -624,6 +627,8 @@ class DocEvaluator:
             return Seq(df, False, (), inner.card)
         if name == "sdb:level-order":
             return self._level_order_seq(node, stream, scope)
+        if name in ("jn:valid-at", "jn:open-bitemporal"):
+            return self._valid_at_seq(node, stream, scope)
         if name in ("jn:exists-database", "jn:exists-resource"):
             args = [a.value for a in node.args if isinstance(a, P.Lit)]
             if name == "jn:exists-database":
@@ -882,6 +887,95 @@ class DocEvaluator:
         for p in parts[1:]:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
+
+    def _valid_at_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """jn:valid-at(db, res, $validTime) and jn:open-bitemporal(db,
+        res, $txTime, $validTime) (ValidAt.java / OpenBitemporal.java):
+        members of the root array whose valid-time interval contains
+        the instant, validFrom <= t <= validTo inclusive
+        (ValidTimeIndexScanDifferentialTest Record.validAt). The
+        bitemporal form first resolves the revision by transaction
+        time like jn:open. The filter is a Spark plan over the node
+        table — the parquet/columnar layout serves as the reference's
+        valid-time CAS index."""
+        from datetime import datetime as _dt
+
+        def _dt_arg(a):
+            if (
+                isinstance(a, P.Call)
+                and a.name == "xs:dateTime"
+                and a.args
+                and isinstance(a.args[0], P.Lit)
+            ):
+                return str(a.args[0].value)
+            if isinstance(a, P.Lit):
+                return str(a.value)
+            raise JsoniqCompileError(f"{node.name} needs xs:dateTime literals")
+
+        lits = [a.value for a in node.args[:2] if isinstance(a, P.Lit)]
+        if len(lits) != 2:
+            raise JsoniqCompileError(f"{node.name} needs (db, res, …)")
+        db, res = lits
+        if node.name == "jn:open-bitemporal":
+            tx_str = _dt_arg(node.args[2])
+            valid_str = _dt_arg(node.args[3])
+            tx = _dt.fromisoformat(tx_str.replace("Z", "+00:00"))
+            chosen = None
+            for e in self.store._read_manifest(db, res)["revisions"]:
+                if _dt.fromisoformat(e["committed_at"]) <= tx:
+                    chosen = e["revision"]
+        else:
+            valid_str = _dt_arg(node.args[2])
+            chosen = self.store.latest_revision(db, res)
+        cfg = self.store.valid_time_config(db, res) or {
+            "from": "validFrom",
+            "to": "validTo",
+        }
+        if chosen is None:
+            df = stream.limit(0)
+            for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
+                df = df.withColumn(c, F.lit(None).cast(t))
+            return Seq(df, False, (), "many")
+        h = self.store.doc(db, res, chosen)
+        hid = self.handles.add(h)
+        root_key = h.rows()[0][1]
+        nv = _nodes_view(h)
+        t_lit = F.lit(valid_str.replace("Z", "+00:00")).cast("timestamp")
+        vfrom = F.try_to_timestamp(
+            F.regexp_replace(
+                F.get_json_object(F.col("n_json"), f"$.{cfg['from']}"),
+                "Z$", "+00:00",
+            )
+        )
+        vto = F.try_to_timestamp(
+            F.regexp_replace(
+                F.get_json_object(F.col("n_json"), f"$.{cfg['to']}"),
+                "Z$", "+00:00",
+            )
+        )
+        members = nv.filter(
+            (F.col("n_parent") == F.lit(root_key))
+            & (F.col("n_kind") != "field")
+            & vfrom.isNotNull()
+            & vto.isNotNull()
+            & (vfrom <= t_lit)
+            & (t_lit <= vto)
+        )
+        joined = stream.join(F.broadcast(members), F.lit(True), "inner")
+        df = (
+            joined.withColumn(
+                "__ord", F.concat("__ord", F.array(F.col("n_ord")))
+            )
+            .withColumn("__k", F.col("n_key"))
+            .withColumn("__h", F.lit(hid).cast("int"))
+            .withColumn("__r", F.lit(chosen).cast("int"))
+            .withColumn("__sz", F.col("n_sz"))
+            .withColumn("__j", F.col("n_json"))
+        )
+        df = df.drop(*[c for c in df.columns if c.startswith("n_")])
+        return Seq(df, True, (hid,), "many")
 
     def _select_parent_general(
         self, node: P.Call, stream: DataFrame, scope: dict

@@ -346,6 +346,27 @@ class DocumentStore:
                 return e["number"]
         return None
 
+    # ------------------------------------------------------ valid time
+    def set_valid_time_paths(
+        self, db: str, res: str, valid_from: str, valid_to: str
+    ) -> None:
+        """ResourceConfiguration.validTimePaths analog: record the
+        member fields carrying the valid-time interval and auto-
+        register the CAS indexes the reference builds for them
+        (StoreValidTimeAutoIndex — xs:dateTime CAS on both paths).
+        Leading '$.' is normalized away (ValidTimeConfig)."""
+        frm = valid_from[2:] if valid_from.startswith("$.") else valid_from
+        to = valid_to[2:] if valid_to.startswith("$.") else valid_to
+        m = self._read_manifest(db, res)
+        m["valid_time"] = {"from": frm, "to": to}
+        self._write_manifest(db, res, m)
+        self.create_index(
+            db, res, "cas", "xs:dateTime", (f"//[]/{frm}", f"//[]/{to}")
+        )
+
+    def valid_time_config(self, db: str, res: str) -> dict | None:
+        return self._read_manifest(db, res).get("valid_time")
+
     # -------------------------------------------------------- lifecycle
     def drop_resource(self, db: str, res: str) -> None:
         """jn:drop-resource (DropResource.java)."""

@@ -137,3 +137,108 @@ def test_past_future_axis_order(spark, docstore):
     assert run(spark, docstore, q) == "3 2 1"
     q = "for $r in jn:future(jn:doc('db','doc.jn',3)) return sdb:revision($r)"
     assert run(spark, docstore, q) == "4 5"
+
+
+BITEMPORAL_JSON = json.dumps(
+    [
+        {"id": 1, "name": "Alice", "salary": 50000,
+         "validFrom": "2020-01-01T00:00:00Z", "validTo": "2020-12-31T23:59:59Z"},
+        {"id": 2, "name": "Bob", "salary": 60000,
+         "validFrom": "2020-06-01T00:00:00Z", "validTo": "2021-05-31T23:59:59Z"},
+        {"id": 3, "name": "Charlie", "salary": 55000,
+         "validFrom": "2019-01-01T00:00:00Z", "validTo": "2019-12-31T23:59:59Z"},
+    ],
+    separators=(",", ":"),
+)
+
+
+def test_valid_at_doc_mode(spark, docstore):
+    """jn:valid-at over the BitemporalQueryIntegrationTest dataset:
+    inclusive interval containment, document order."""
+    docstore.store("bitemporal-db", "employees", BITEMPORAL_JSON)
+    docstore.set_valid_time_paths("bitemporal-db", "employees", "validFrom", "validTo")
+    got = run(
+        spark, docstore,
+        "jn:valid-at('bitemporal-db', 'employees', xs:dateTime('2020-07-01T12:00:00Z'))",
+    )
+    ids = [json.loads(x)["id"] for x in got.split(" ")]
+    assert ids == [1, 2]
+    # the auto-registered CAS index (StoreValidTimeAutoIndex analog)
+    assert docstore.find_index(
+        "bitemporal-db", "employees", "cas", "xs:dateTime", ("//[]/validFrom",)
+    ) is not None
+    # boundary inclusivity: validFrom itself and validTo itself match
+    got = run(
+        spark, docstore,
+        "jn:valid-at('bitemporal-db', 'employees', xs:dateTime('2019-01-01T00:00:00Z'))",
+    )
+    assert [json.loads(x)["id"] for x in got.split(" ")] == [3]
+    got = run(
+        spark, docstore,
+        "jn:valid-at('bitemporal-db', 'employees', xs:dateTime('2019-12-31T23:59:59Z'))",
+    )
+    assert [json.loads(x)["id"] for x in got.split(" ")] == [3]
+
+
+def test_valid_at_differential(spark, docstore):
+    """ValidTimeIndexEndToEndTest's differential property: jn:valid-at
+    equals brute force over a randomized interval set, probing interval
+    endpoints and ±1ms (millisecond precision, open-ended intervals,
+    point intervals)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    rnd = random.Random(20260619)
+    base = datetime(2019, 1, 1, tzinfo=timezone.utc)
+    universal = datetime(2021, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    recs = []
+    for i in range(40):
+        frm = base + timedelta(days=rnd.randint(0, 880), seconds=rnd.randint(0, 86399))
+        if i % 6 == 0:
+            to = datetime(2999, 12, 31, 23, 59, 59, tzinfo=timezone.utc)
+        else:
+            to = universal + timedelta(days=1 + rnd.randint(0, 700))
+        recs.append((i, frm, to))
+    recs.append((40, universal - timedelta(milliseconds=3), universal + timedelta(milliseconds=250)))
+    recs.append((41, universal, universal))  # point interval
+
+    def iso(d):
+        s = d.strftime("%Y-%m-%dT%H:%M:%S")
+        if d.microsecond:
+            s += f".{d.microsecond // 1000:03d}"
+        return s + "Z"
+
+    doc = [
+        {"id": i, "validFrom": iso(f), "validTo": iso(t)} for i, f, t in recs
+    ]
+    docstore.store("vt", "r", json.dumps(doc, separators=(",", ":")))
+    docstore.set_valid_time_paths("vt", "r", "validFrom", "validTo")
+    probes = {universal, datetime(1900, 1, 1, tzinfo=timezone.utc)}
+    for _, f, t in recs[:6] + recs[-2:]:
+        for p in (f, t, f - timedelta(milliseconds=1), t + timedelta(milliseconds=1)):
+            probes.add(p)
+    for p in sorted(probes):
+        brute = sorted(i for i, f, t in recs if f <= p <= t)
+        got = run(spark, docstore, f"jn:valid-at('vt', 'r', xs:dateTime('{iso(p)}'))")
+        ids = sorted(json.loads(x)["id"] for x in got.split(" ") if x)
+        assert ids == brute, f"mismatch at {iso(p)}"
+
+
+def test_open_bitemporal(spark, docstore):
+    """jn:open-bitemporal: transaction time resolves the revision
+    (like jn:open), valid time filters members; a tx instant before
+    the first commit yields the empty sequence."""
+    docstore.store("bt", "r", BITEMPORAL_JSON)
+    docstore.set_valid_time_paths("bt", "r", "validFrom", "validTo")
+    got = run(
+        spark, docstore,
+        "jn:open-bitemporal('bt', 'r', xs:dateTime('2100-01-01T00:00:00Z'), "
+        "xs:dateTime('2020-07-01T12:00:00Z'))",
+    )
+    assert [json.loads(x)["id"] for x in got.split(" ")] == [1, 2]
+    got = run(
+        spark, docstore,
+        "jn:open-bitemporal('bt', 'r', xs:dateTime('2000-01-01T00:00:00Z'), "
+        "xs:dateTime('2020-07-01T12:00:00Z'))",
+    )
+    assert got == ""

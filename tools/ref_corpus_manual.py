@@ -178,7 +178,32 @@ def _setup_authors(spark, store):
     ).move_to(2).remove().commit()  # r4
 
 
+def _setup_bitemporal(spark, store):
+    """jn/temporal/BitemporalQueryIntegrationTest: employees resource
+    configured with validTimePaths(validFrom, validTo), BITEMPORAL_JSON
+    inserted via wtx."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(store, "bitemporal-db", "employees")
+    w.insert_subtree_as_first_child(BITEMPORAL_JSON, commit=False)
+    w.commit()
+    store.set_valid_time_paths(
+        "bitemporal-db", "employees", "validFrom", "validTo"
+    )
+
+
+BITEMPORAL_JSON = (
+    '[{"id": 1, "name": "Alice", "salary": 50000,'
+    ' "validFrom": "2020-01-01T00:00:00Z", "validTo": "2020-12-31T23:59:59Z"},'
+    '{"id": 2, "name": "Bob", "salary": 60000,'
+    ' "validFrom": "2020-06-01T00:00:00Z", "validTo": "2021-05-31T23:59:59Z"},'
+    '{"id": 3, "name": "Charlie", "salary": 55000,'
+    ' "validFrom": "2019-01-01T00:00:00Z", "validTo": "2019-12-31T23:59:59Z"}]'
+)
+
+
 SETUPS = {
+    "bitemporal": _setup_bitemporal,
     "temporal5": _setup_temporal5,
     "simplequery3": _setup_simplequery3,
     "itemhistory1": _setup_itemhistory1,
@@ -346,6 +371,11 @@ CASES = [
     _c("AuthorUUID#rev4", "AuthorUUIDTest.java",
        "sdb:author-id(jn:doc('json-path1','mydoc.jn', 4))",
        "33333333-3333-3333-3333-333333333333", setup_py="authors"),
+    # --------------------------- jn/temporal/BitemporalQueryIntegration
+    _c("BitemporalQuery#validAtQueryFunction",
+       "BitemporalQueryIntegrationTest.java",
+       "jn:valid-at('bitemporal-db', 'employees', xs:dateTime('2020-07-01T12:00:00Z'))",
+       None, setup_py="bitemporal", **{"assert": "nonempty"}),
     # -------------------------------------- jn/io/SimpleQueryIntegration
     _c("SimpleQuery#testSimple", "SimpleQueryIntegrationTest.java",
        f"{_DOC}[0]", '"bla"', setup=[_STORE2]),
