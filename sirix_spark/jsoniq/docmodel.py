@@ -42,6 +42,27 @@ from sirix_spark.store.docstore import DocHandle, DocStoreError, DocumentStore
 ITEM_COLS = ("__k", "__h", "__r", "__sz", "__j")
 
 
+def _iso_epoch(s: str) -> float:
+    """ISO-8601 instant → epoch seconds (float keeps millis)."""
+    from datetime import datetime
+
+    return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+
+def _duration_seconds(s: str) -> float:
+    """ISO-8601 dayTimeDuration (PnDTnHnMnS) → total seconds."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"-?P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?", s
+    )
+    if not m:
+        raise JsoniqCompileError(f"bad dayTimeDuration {s!r}")
+    d, h, mi, sec = (float(x) if x else 0.0 for x in m.groups())
+    total = d * 86400 + h * 3600 + mi * 60 + sec
+    return -total if s.startswith("-") else total
+
+
 def _compact(v) -> str:
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
@@ -282,18 +303,75 @@ class DocEvaluator:
     def _var_cols(var: str) -> tuple[str, ...]:
         return tuple(f"{p}_{var}" for p in ("k", "h", "r", "s", "j"))
 
+    def _static_handle_of(self, expr, scope: dict) -> int | None:
+        """Handle id of a statically-resolvable document expression
+        (a handle-bound variable or a jn:doc call); None otherwise."""
+        if isinstance(expr, P.Var):
+            info = scope.get(expr.name) or {}
+            if info.get("kind") == "handle":
+                return info["handle"]
+            if expr.name in self.static_env:
+                kind, hid = self.static_env[expr.name]
+                if kind == "handle":
+                    return hid
+            return None
+        if isinstance(expr, P.Call) and expr.name in ("jn:doc", "doc"):
+            return self._open_handle(expr)
+        return None
+
+    def _neighbor_handle(self, v: P.Call, scope: dict) -> int | None:
+        """Resolve jn:previous/jn:next over a static handle to the
+        neighboring revision's handle (None at the history edge)."""
+        hid0 = self._static_handle_of(v.args[0], scope)
+        if hid0 is None:
+            raise JsoniqCompileError(f"{v.name} needs a document handle")
+        h0 = self.handles.get(hid0)
+        revs = self.store.revisions(h0.db, h0.res)
+        if v.name == "jn:next":
+            nxt = [r for r in revs if r > h0.revision]
+            target = nxt[0] if nxt else None
+        else:
+            prv = [r for r in revs if r < h0.revision]
+            target = prv[-1] if prv else None
+        if target is None:
+            return None
+        return self.handles.add(self.store.doc(h0.db, h0.res, target))
+
     def _let(self, stream: DataFrame, scope: dict, c: P.LetClause) -> DataFrame:
         v = c.value
-        # statically-known doc handle binding
-        if isinstance(v, P.Call) and v.name in ("jn:doc", "doc"):
-            hid = self._open_handle(v)
+        # statically-known doc handle binding (incl. temporal
+        # navigation from another static handle: let $prev :=
+        # jn:previous($current) — NextAxis/PreviousAxis over handles)
+        if isinstance(v, P.Call) and (
+            v.name in ("jn:doc", "doc")
+            or (
+                v.name in ("jn:previous", "jn:next")
+                and v.args
+                and self._static_handle_of(v.args[0], scope) is not None
+            )
+        ):
+            if v.name in ("jn:doc", "doc"):
+                hid = self._open_handle(v)
+            else:
+                hid = self._neighbor_handle(v, scope)
+                if hid is None:
+                    # edge of history → bind the empty sequence
+                    kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
+                    scope[c.var] = {"kind": "scalar"}
+                    return (
+                        stream.withColumn(jcol, F.lit(None).cast("string"))
+                        .withColumn(kcol, F.lit(None).cast("bigint"))
+                        .withColumn(hcol, F.lit(None).cast("int"))
+                        .withColumn(rcol, F.lit(None).cast("int"))
+                        .withColumn(scol, F.lit(None).cast("bigint"))
+                    )
             self.static_env[c.var] = ("handle", hid)
             scope[c.var] = {"kind": "handle", "handle": hid}
             h = self.handles.get(hid)
             root = h.rows()[0]
             kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
             return (
-                stream.withColumn(kcol, F.lit(1).cast("bigint"))
+                stream.withColumn(kcol, F.lit(int(root[1])).cast("bigint"))
                 .withColumn(hcol, F.lit(hid))
                 .withColumn(rcol, F.lit(h.revision))
                 .withColumn(scol, F.lit(root[10]).cast("bigint"))
@@ -798,13 +876,32 @@ class DocEvaluator:
             arr = self._scalar(node, scope)
             return self._seq_from_scalar(arr, stream)
         if name == "jn:diff":
-            args = [a.value for a in node.args if isinstance(a, P.Lit)]
-            if len(args) < 4:
+            lits = [a.value for a in node.args[:2] if isinstance(a, P.Lit)]
+            if len(lits) < 2 or len(node.args) < 4:
                 raise JsoniqCompileError(
                     "jn:diff needs (database, resource, rev1, rev2)"
                 )
+
+            def rev_arg(a):
+                if isinstance(a, P.Lit):
+                    return int(a.value)
+                # sdb:revision($staticHandle) resolves at compile time
+                # (ArchitectureDocQueryTest diff-between-revisions)
+                if (
+                    isinstance(a, P.Call)
+                    and a.name == "sdb:revision"
+                    and a.args
+                ):
+                    hid = self._static_handle_of(a.args[0], scope)
+                    if hid is not None:
+                        return self.handles.get(hid).revision
+                raise JsoniqCompileError(
+                    "jn:diff revision args must be literals or "
+                    "sdb:revision of a static handle"
+                )
+
             wire = self.store.diff_json(
-                args[0], args[1], int(args[2]), int(args[3])
+                lits[0], lits[1], rev_arg(node.args[2]), rev_arg(node.args[3])
             )
             df = (
                 stream.withColumn("__k", F.lit(None).cast("bigint"))
@@ -822,28 +919,18 @@ class DocEvaluator:
             "jn:all-times", "jn:past", "jn:future", "jn:first", "jn:last",
         ):
             return self._all_times_seq(node, stream, scope, variant=name[3:])
-        if name in ("jn:next", "jn:previous") and isinstance(
-            node.args[0], P.Call
+        if name in ("jn:next", "jn:previous") and (
+            isinstance(node.args[0], P.Call)
+            or self._static_handle_of(node.args[0], scope) is not None
         ):
             # NextAxis / PreviousAxis over a document handle: the same
             # resource one revision forward/back; empty at the edges
-            base = self._seq_core(node.args[0], stream, scope)
-            if not base.stored or len(base.handles) != 1:
-                raise JsoniqCompileError(f"{name} needs a stored node")
-            h0 = self.handles.get(base.handles[0])
-            revs = self.store.revisions(h0.db, h0.res)
-            if name == "jn:next":
-                nxt = [r for r in revs if r > h0.revision]
-                target = nxt[0] if nxt else None
-            else:
-                prv = [r for r in revs if r < h0.revision]
-                target = prv[-1] if prv else None
-            if target is None:
-                df = base.df.drop(*ITEM_COLS).limit(0)
+            hid = self._neighbor_handle(node, scope)
+            if hid is None:
+                df = stream.limit(0)
                 for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
                     df = df.withColumn(c, F.lit(None).cast(t))
                 return Seq(df, False, (), "many")
-            hid = self.handles.add(self.store.doc(h0.db, h0.res, target))
             return self._handle_root_seq(hid, stream)
         if name == "sdb:hash" and isinstance(node.args[0], (P.Call, P.Path)):
             inner = self._seq_core(node.args[0], stream, scope)
@@ -1100,9 +1187,16 @@ class DocEvaluator:
         elif isinstance(inner, P.Call) and inner.name in ("jn:doc", "doc"):
             key = h0.rows()[0][1]
         else:
-            raise JsoniqCompileError(
-                "temporal node probe needs sdb:select-item or jn:doc"
-            )
+            # path-derived or let-bound single node (e.g.
+            # jn:doc(...).items[1]) — resolve its key by running the
+            # (tiny, single-document) plan; txn-catalog surface, one
+            # short job
+            rows = base.df.select("__k").limit(2).collect()
+            if len(rows) != 1 or rows[0]["__k"] is None:
+                raise JsoniqCompileError(
+                    "temporal node probe needs exactly one stored node"
+                )
+            key = int(rows[0]["__k"])
         return h0, key, base
 
     def _existing_seq(
@@ -1177,18 +1271,16 @@ class DocEvaluator:
         """jn:all-times($node) and its filtered variants jn:past /
         jn:future / jn:first / jn:last (AllTimeAxis / PastAxis /
         FutureAxis / First.java / Last.java): the same nodeKey across
-        the resource's revisions, restricted relative to the anchor's
-        revision. Companion columns __pj/__pr (previous revision's
-        json) feed jn:previous / sdb:hash(jn:previous(...)) in scalar
-        position."""
-        inner = node.args[0]
-        base = self._seq_core(inner, stream, scope)
-        if not base.stored or len(base.handles) != 1:
-            raise JsoniqCompileError(f"jn:{variant} needs a stored node")
-        h0 = self.handles.get(base.handles[0])
-        revs = self.store.revisions(h0.db, h0.res)
+        the revisions where it exists, restricted relative to the
+        anchor's revision. Works for any single stored node, not just
+        document roots — stable identity (store/docwtx.py) is what
+        makes the per-key probe meaningful. Companion column __pj
+        (the node in the prior revision) feeds jn:previous /
+        sdb:hash(jn:previous(...)) in scalar position."""
+        h0, key, base = self._static_node_ref(node.args[0], stream, scope)
+        exist_revs = self.store.node_revisions(h0.db, h0.res, key)
         # PastAxis/FutureAxis default includeSelf=false; jn:past walks
-        # newest→oldest from the anchor, jn:future oldest→newest
+        # newest-to-oldest from the anchor, jn:future oldest-to-newest
         # (SimpleQueryIntegrationTest#testTimeTravelPast/Future pins
         # both the exclusion and the iteration order)
         include_self = False
@@ -1199,38 +1291,40 @@ class DocEvaluator:
             elif isinstance(a1, P.Call) and a1.name in ("true", "fn:true"):
                 include_self = True
         anchor = h0.revision
+        revs = exist_revs
         if variant == "past":
             past = sorted([r for r in revs if r < anchor], reverse=True)
-            revs = ([anchor] if include_self else []) + past
+            revs = ([anchor] if include_self and anchor in exist_revs else []) + past
         elif variant == "future":
             fut = [r for r in revs if r > anchor]
-            revs = ([anchor] if include_self else []) + fut
+            revs = ([anchor] if include_self and anchor in exist_revs else []) + fut
         elif variant == "first":
             revs = revs[:1]
         elif variant == "last":
             revs = revs[-1:]
-        handle_ids = [
-            self.handles.add(self.store.doc(h0.db, h0.res, r)) for r in revs
-        ]
-        all_revs = self.store.revisions(h0.db, h0.res)
         rows = []
         hids = ()
-        root_json: dict[int, tuple] = {}
-        for r, hid in zip(revs, handle_ids):
-            h = self.handles.get(hid)
-            root_json[r] = (hid, h.rows()[0])
-        for i, (r, hid) in enumerate(zip(revs, handle_ids)):
-            root = root_json[r][1]
-            # jn:previous companion: the PRIOR REVISION's root (not the
-            # prior item in axis order — jn:past iterates newest-first)
-            prior = [x for x in all_revs if x < r]
+        for i, r in enumerate(revs):
+            h = self.store.doc(h0.db, h0.res, r)
+            hid = self.handles.add(h)
+            nrow = next(rw for rw in h.rows() if rw[1] == key)
+            # jn:previous companion: the node in the PRIOR REVISION
+            # where it exists (not the prior item in axis order)
+            prior = [x for x in exist_revs if x < r]
+            prev_j = None
             if prior:
                 ph = self.store.doc(h0.db, h0.res, prior[-1])
-                prev_j = ph.rows()[0][9]
-            else:
-                prev_j = None
-            rows.append((i, r, hid, root[9], int(root[10]), prev_j))
+                prow = next(
+                    (rw for rw in ph.rows() if rw[1] == key), None
+                )
+                prev_j = prow[9] if prow is not None else None
+            rows.append((i, r, hid, nrow[9], int(nrow[10]), prev_j))
             hids = hids + (hid,)
+        if not rows:
+            df = base.df.drop(*ITEM_COLS).limit(0)
+            for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
+                df = df.withColumn(c, F.lit(None).cast(t))
+            return Seq(df.withColumn("__pj", F.lit(None).cast("string")), True, (), "many")
         rev_df = self.spark.createDataFrame(
             rows, "i bigint, r int, h int, j string, sz bigint, pj string"
         )
@@ -1238,7 +1332,7 @@ class DocEvaluator:
         df = (
             joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
             .drop("i")
-            .withColumn("__k", F.lit(1).cast("bigint"))
+            .withColumn("__k", F.lit(key).cast("bigint"))
             .withColumn("__h", F.col("h"))
             .withColumn("__r", F.col("r"))
             .withColumn("__sz", F.col("sz"))
@@ -1891,6 +1985,57 @@ class DocEvaluator:
             return F.array(F.parse_json(self._ebv(node, scope).cast("string")))
         if name == "xs:string":
             return wrap_string(s1())
+        if name == "xs:dateTime":
+            # dateTime values live as epoch-seconds doubles in the
+            # scalar algebra: subtraction yields seconds and compares
+            # against xs:dayTimeDuration seconds with the plain
+            # numeric operators (UseCasesDocQueryTest fraud-detection
+            # arithmetic: dateTime - dateTime gt dayTimeDuration)
+            if isinstance(node.args[0], P.Lit):
+                secs = _iso_epoch(str(node.args[0].value))
+                return F.array(F.parse_json(F.lit(repr(secs))))
+            ts = F.try_to_timestamp(
+                F.regexp_replace(s1(), "Z$", "+00:00")
+            ).cast("double")
+            return F.array(F.parse_json(ts.cast("string")))
+        if name == "xs:dayTimeDuration":
+            if not isinstance(node.args[0], P.Lit):
+                raise JsoniqCompileError("xs:dayTimeDuration needs a literal")
+            secs = _duration_seconds(str(node.args[0].value))
+            return F.array(F.parse_json(F.lit(repr(secs))))
+        if name in ("sdb:valid-from", "sdb:valid-to"):
+            # the member's valid-time bound as epoch seconds (field
+            # names from the resource's valid-time config)
+            inner = node.args[0]
+            jcol = self._identity_col(inner, scope, "j")
+            fld = "validFrom" if name == "sdb:valid-from" else "validTo"
+            hids = self._var_handles(inner, scope)
+            for hid in hids:
+                h = self.handles.get(hid)
+                cfg = self.store.valid_time_config(h.db, h.res)
+                if cfg:
+                    fld = cfg["from"] if name == "sdb:valid-from" else cfg["to"]
+                break
+            ts = F.try_to_timestamp(
+                F.regexp_replace(
+                    F.get_json_object(jcol, f"$.{fld}"), "Z$", "+00:00"
+                )
+            ).cast("double")
+            return F.array(F.parse_json(ts.cast("string")))
+        if name == "sdb:timestamp":
+            # revision commit instant as epoch seconds, resolved from
+            # the manifest per revision (GetRevisionTimestamp.java)
+            inner = node.args[0]
+            rcol = self._identity_col(inner, scope, "r")
+            mapping = {}
+            for hid in self._var_handles(inner, scope):
+                h = self.handles.get(hid)
+                for e in self.store._read_manifest(h.db, h.res)["revisions"]:
+                    mapping[e["revision"]] = _iso_epoch(e["committed_at"])
+            expr = F.lit(None).cast("double")
+            for rev, secs in mapping.items():
+                expr = F.when(rcol == F.lit(rev), F.lit(secs)).otherwise(expr)
+            return F.array(F.parse_json(expr.cast("string")))
         if name in ("contains", "fn:contains"):
             return F.array(
                 F.parse_json(F.contains(s1(0), s1(1)).cast("string"))
@@ -1961,6 +2106,38 @@ class DocEvaluator:
     def _previous_json(self, node: P.Call, scope: dict) -> Column:
         inner = node.args[0]
         if isinstance(inner, P.Var):
+            info = scope.get(inner.name) or {}
+            hids = ()
+            try:
+                hids = self._var_handles(inner, scope)
+            except JsoniqCompileError:
+                pass
+            if (
+                info.get("kind") == "item"
+                and info.get("stored")
+                and len(hids) == 1
+            ):
+                # member of a single opened revision: jn:previous($m)
+                # = the same nodeKey in the PRIOR revision, absent →
+                # empty (ArchitectureDocQueryTest "records added after
+                # date": not(exists(jn:previous($account)))). Key→json
+                # literal map from the prior revision's rows — the
+                # single-document txn surface; collection-scale diffs
+                # go through operators/diff.py.
+                h = self.handles.get(hids[0])
+                prior = [
+                    r for r in self.store.revisions(h.db, h.res)
+                    if r < h.revision
+                ]
+                kcol = F.col(f"k_{inner.name}")
+                if not prior:
+                    return F.lit(None).cast("string")
+                ph = self.store.doc(h.db, h.res, prior[-1])
+                pairs = []
+                for r in ph.rows():
+                    pairs.append(F.lit(int(r[1])))
+                    pairs.append(F.lit(r[9]))
+                return F.create_map(*pairs)[kcol]
             # companion column bound by the jn:all-times for-source
             return F.col("__pj")
         raise JsoniqCompileError("jn:previous expects a revision variable")
@@ -2116,7 +2293,8 @@ class DocEvaluator:
                     "jn:past", "jn:future", "jn:first", "jn:last",
                     "jn:select-json-item", "jn:first-existing",
                     "jn:last-existing", "sdb:item-history",
-                    "sdb:level-order", "sdb:select-parent",
+                    "sdb:level-order", "sdb:select-parent", "jn:diff",
+                    "jn:valid-at", "jn:open-bitemporal",
                 )
                 or ret.name in _SCAN_FNS
             )

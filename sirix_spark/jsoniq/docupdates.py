@@ -523,11 +523,22 @@ class _PyInterp:
                 else:
                     parent["fields"].pop(slot[1])
             elif kind == "replace":
-                if slot[0] == "item":
+                if not isinstance(payload, (dict, list)) and node["kind"] not in (
+                    "object",
+                    "array",
+                ):
+                    # primitive→primitive value replace maps to the
+                    # reference's setValue: SAME node, new value — the
+                    # key survives, so sdb:item-history shows the full
+                    # value chain (docs/ShellDemoQueryTest: history of
+                    # the price node contains 999 AND 899)
+                    node["kind"] = _kind_of_value(payload)
+                    node["value"] = payload
+                elif slot[0] == "item":
                     parent["items"][slot[1]] = fresh(payload)
                 else:
-                    # field value replaced; the field record keeps its
-                    # key (OBJECT_KEY survives setValue/replace)
+                    # structural replace is a new node (fresh key); the
+                    # field record (OBJECT_KEY) keeps its key
                     parent["fields"][slot[1]][2] = fresh(payload)
             elif kind == "rename":
                 if slot[0] not in ("field", "fieldkey"):
@@ -549,6 +560,16 @@ class _Neg:
             return other.v < self.v
         except TypeError:
             return False
+
+
+def _kind_of_value(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if v is None:
+        return "null"
+    return "string"
 
 
 def _compact(v) -> str:

@@ -91,13 +91,19 @@ def test_update_interpreter_keeps_identity(spark, docstore):
     one (monotonic counter, never reused)."""
     run(spark, docstore, "jn:store('db','u.jn','{\"a\":1,\"b\":2}')")
     # keys r1: 1 obj, 2 fld a, 3 val 1, 4 fld b, 5 val 2
+    # primitive value replace = the reference's setValue: key SURVIVES
+    # (ShellDemoQueryTest: price history shows 999 then 899)
     run(spark, docstore, "replace json value of jn:doc('db','u.jn').a with 9")
-    keys2 = docstore.read_keys("db", "u.jn", 2)
-    assert keys2 == [1, 2, 6, 4, 5]  # value of a replaced → fresh key 6
+    assert docstore.read_keys("db", "u.jn", 2) == [1, 2, 3, 4, 5]
+    q = "sdb:item-history(sdb:select-item(jn:doc('db','u.jn'), 3))"
+    assert run(spark, docstore, q) == "1 9"
+    # structural replace draws a fresh subtree
+    run(spark, docstore, "replace json value of jn:doc('db','u.jn').a with [7]")
+    assert docstore.read_keys("db", "u.jn", 3) == [1, 2, 6, 7, 4, 5]
     run(spark, docstore, "delete json jn:doc('db','u.jn').b")
-    assert docstore.read_keys("db", "u.jn", 3) == [1, 2, 6]
-    # b (key 4/5) existed in r1..r2 only
-    assert docstore.node_revisions("db", "u.jn", 4) == [1, 2]
+    assert docstore.read_keys("db", "u.jn", 4) == [1, 2, 6, 7]
+    # b's field record (key 4) existed in r1..r3 only
+    assert docstore.node_revisions("db", "u.jn", 4) == [1, 2, 3]
 
 
 def test_author_metadata(spark, docstore):

@@ -202,8 +202,50 @@ BITEMPORAL_JSON = (
 )
 
 
+def _setup_usecases_exposures(spark, store):
+    """jn/docs/UseCasesDocQueryTest#testOpenBitemporalQuery."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    data = (
+        '[{"id": 1, "entity": "ACME Corp", "exposure": 5000000,'
+        ' "validFrom": "2025-02-01T00:00:00Z", "validTo": "2025-02-28T23:59:59Z"},'
+        '{"id": 2, "entity": "Globex Inc", "exposure": 3000000,'
+        ' "validFrom": "2025-03-01T00:00:00Z", "validTo": "2025-03-31T23:59:59Z"},'
+        '{"id": 3, "entity": "Initech LLC", "exposure": 8000000,'
+        ' "validFrom": "2025-01-01T00:00:00Z", "validTo": "2025-12-31T23:59:59Z"}]'
+    )
+    w = DocWtx(store, "risk-db", "exposures")
+    w.insert_subtree_as_first_child(data, commit=False)
+    w.commit()
+    store.set_valid_time_paths("risk-db", "exposures", "validFrom", "validTo")
+
+
+def _setup_usecases_ledger(spark, store):
+    """jn/docs/UseCasesDocQueryTest#testFraudDetectionQuery: TX-001/002
+    backdated (validFrom far before the commit instant), TX-003 recent."""
+    from datetime import datetime, timezone
+
+    from sirix_spark.store.docwtx import DocWtx
+
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    data = (
+        '[{"txId": "TX-001", "amount": 50000, "account": "ACC-123",'
+        ' "validFrom": "2024-01-15T00:00:00Z", "validTo": "2099-12-31T23:59:59Z"},'
+        '{"txId": "TX-002", "amount": 75000, "account": "ACC-456",'
+        ' "validFrom": "2024-06-01T00:00:00Z", "validTo": "2099-12-31T23:59:59Z"},'
+        '{"txId": "TX-003", "amount": 10000, "account": "ACC-789",'
+        f' "validFrom": "{now}", "validTo": "2099-12-31T23:59:59Z"}}]'
+    )
+    w = DocWtx(store, "ledger", "transactions")
+    w.insert_subtree_as_first_child(data, commit=False)
+    w.commit()
+    store.set_valid_time_paths("ledger", "transactions", "validFrom", "validTo")
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
+    "usecases_exposures": _setup_usecases_exposures,
+    "usecases_ledger": _setup_usecases_ledger,
     "temporal5": _setup_temporal5,
     "simplequery3": _setup_simplequery3,
     "itemhistory1": _setup_itemhistory1,
@@ -438,6 +480,220 @@ CASES = [
        "jn:exists-database('json-path1')", "true",
        setup=["jn:store('json-path1','mydoc', '{\"foo\":\"bar\"}')",
               "jn:drop-resource('json-path1','mydoc')"]),
+]
+
+# ------------------------------- jn/docs/ArchitectureDocQueryTest
+_SHOP_STORE = (
+    "jn:store('shop', 'products', '{\"products\":[{\"sku\":\"SKU-12345\","
+    "\"price\":99.99},{\"sku\":\"SKU-67890\",\"price\":49.99}]}')"
+)
+_SHOP_UPDATE = (
+    "let $doc := jn:doc('shop', 'products') "
+    "return replace json value of $doc.products[0].price with 129.99"
+)
+CASES += [
+    _c("ArchitectureDoc#pointInTimeRev1", "ArchitectureDocQueryTest.java",
+       "let $catalog := jn:doc('shop', 'products', 1) "
+       "for $p in $catalog.products[] where $p.sku eq \"SKU-12345\" return $p.price",
+       None, setup=[_SHOP_STORE, _SHOP_UPDATE], **{"assert": ["99.99"]}),
+    _c("ArchitectureDoc#pointInTimeRev2", "ArchitectureDocQueryTest.java",
+       "let $catalog := jn:doc('shop', 'products', 2) "
+       "for $p in $catalog.products[] where $p.sku eq \"SKU-12345\" return $p.price",
+       None, setup=[_SHOP_STORE, _SHOP_UPDATE], **{"assert": ["129.99"]}),
+    _c("ArchitectureDoc#diffBetweenRevisions", "ArchitectureDocQueryTest.java",
+       "let $rev1 := jn:doc('configs', 'production', 1) "
+       "let $rev2 := jn:doc('configs', 'production', 2) "
+       "return jn:diff('configs', 'production', sdb:revision($rev1), sdb:revision($rev2))",
+       None,
+       setup=["jn:store('configs', 'production', '{\"database\": {\"host\": "
+              "\"localhost\", \"port\": 5432}, \"cache\": {\"enabled\": true}}')",
+              "insert json {\"newSetting\": \"addedValue\"} into "
+              "jn:doc('configs', 'production')"],
+       **{"assert": "nonempty"}),
+    _c("ArchitectureDoc#allTimesEvolution", "ArchitectureDocQueryTest.java",
+       "let $allergy := jn:doc('hospital', 'patient').allergies[0] "
+       "for $version in jn:all-times($allergy) "
+       "return {\"revision\": sdb:revision($version), \"severity\": $version.severity}",
+       None,
+       setup=["jn:store('hospital', 'patient', '{\"name\": \"John Doe\", "
+              "\"allergies\": [{\"name\": \"Penicillin\", \"severity\": \"high\"}]}')",
+              "replace json value of jn:doc('hospital', 'patient')"
+              ".allergies[0].severity with \"critical\""],
+       **{"assert": ["high", "critical"]}),
+    _c("ArchitectureDoc#hashFunction", "ArchitectureDocQueryTest.java",
+       "sdb:hash(jn:doc('testdb', 'testres').data)", None,
+       setup=["jn:store('testdb', 'testres', '{\"data\": {\"value\": 100}}')"],
+       **{"assert": "nonempty"}),
+    _c("ArchitectureDoc#detectNewRecords", "ArchitectureDocQueryTest.java",
+       "let $current := jn:doc('bank', 'accounts') "
+       "for $account in $current.accounts[] "
+       "where not(exists(jn:previous($account))) return $account.owner",
+       None,
+       setup=["jn:store('bank', 'accounts', '{\"accounts\": [{\"id\": 1, "
+              "\"owner\": \"Alice\"}, {\"id\": 2, \"owner\": \"Bob\"}]}')",
+              "insert json {\"id\": 3, \"owner\": \"Charlie\"} into "
+              "jn:doc('bank', 'accounts').accounts"],
+       **{"assert": {"contains": ["Charlie"], "not_contains": ["Alice", "Bob"]}}),
+    _c("ArchitectureDoc#getNodeKey", "ArchitectureDocQueryTest.java",
+       "sdb:nodekey(jn:doc('mydb', 'myresource').field)", None,
+       setup=["jn:store('mydb', 'myresource', '{\"field\": \"value\"}')"],
+       **{"assert": "nonempty"}),
+    _c("ArchitectureDoc#selectItemByNodeKey", "ArchitectureDocQueryTest.java",
+       # legacy layout: the 'field' value node is key 3 (FUSED ? 2 : 3)
+       "let $oldDoc := jn:doc('mydb', 'myresource', 1) "
+       "return sdb:select-item($oldDoc, 3)",
+       None,
+       setup=["jn:store('mydb', 'myresource', '{\"field\": \"original\"}')",
+              "replace json value of jn:doc('mydb', 'myresource').field "
+              "with \"modified\""],
+       **{"assert": ["original"]}),
+    _c("ArchitectureDoc#crossRevisionComparison", "ArchitectureDocQueryTest.java",
+       "for $p in jn:doc('shop', 'products', 1).products[] return $p.price",
+       None,
+       setup=["jn:store('shop', 'products', '{\"products\": [{\"id\": 1, "
+              "\"name\": \"Widget\", \"price\": 100}, {\"id\": 2, \"name\": "
+              "\"Gadget\", \"price\": 200}]}')",
+              "replace json value of jn:doc('shop', 'products')"
+              ".products[0].price with 120"],
+       **{"assert": ["100"]}),
+    _c("ArchitectureDoc#crossRevisionComparisonRev2",
+       "ArchitectureDocQueryTest.java",
+       "for $p in jn:doc('shop', 'products').products[] return $p.price",
+       None,
+       setup=["jn:store('shop', 'products', '{\"products\": [{\"id\": 1, "
+              "\"name\": \"Widget\", \"price\": 100}, {\"id\": 2, \"name\": "
+              "\"Gadget\", \"price\": 200}]}')",
+              "replace json value of jn:doc('shop', 'products')"
+              ".products[0].price with 120"],
+       **{"assert": ["120"]}),
+    _c("ArchitectureDoc#getRevision", "ArchitectureDocQueryTest.java",
+       "sdb:revision(jn:doc('testdb', 'testres'))", None,
+       setup=["jn:store('testdb', 'testres', '{\"data\": 1}')",
+              "replace json value of jn:doc('testdb', 'testres').data with 2"],
+       **{"assert": ["2"]}),
+    _c("ArchitectureDoc#getTimestamp", "ArchitectureDocQueryTest.java",
+       "sdb:timestamp(jn:doc('testdb', 'testres'))", None,
+       setup=["jn:store('testdb', 'testres', '{\"data\": 1}')"],
+       **{"assert": "nonempty"}),
+    _c("ArchitectureDoc#jnPrevious", "ArchitectureDocQueryTest.java",
+       "let $current := jn:doc('testdb', 'testres') "
+       "let $prev := jn:previous($current) "
+       "return {\"currentRev\": sdb:revision($current), \"prevRev\": sdb:revision($prev)}",
+       None,
+       setup=["jn:store('testdb', 'testres', '{\"value\": \"v1\"}')",
+              "replace json value of jn:doc('testdb', 'testres').value "
+              "with \"v2\""],
+       **{"assert": ['"currentRev":2', '"prevRev":1']}),
+    _c("ArchitectureDoc#jnNext", "ArchitectureDocQueryTest.java",
+       "let $old := jn:doc('testdb', 'testres', 1) "
+       "let $next := jn:next($old) "
+       "return {\"oldRev\": sdb:revision($old), \"nextRev\": sdb:revision($next)}",
+       None,
+       setup=["jn:store('testdb', 'testres', '{\"value\": \"v1\"}')",
+              "replace json value of jn:doc('testdb', 'testres').value "
+              "with \"v2\""],
+       **{"assert": ['"oldRev":1', '"nextRev":2']}),
+    _c("ArchitectureDoc#firstExisting", "ArchitectureDocQueryTest.java",
+       "sdb:revision(jn:first-existing(jn:doc('testdb', 'testres').items[1]))",
+       None,
+       setup=["jn:store('testdb', 'testres', '{\"items\": [1]}')",
+              "insert json 2 into jn:doc('testdb', 'testres').items"],
+       **{"assert": ["2"]}),
+    _c("ArchitectureDoc#lastExisting", "ArchitectureDocQueryTest.java",
+       "sdb:revision(jn:last-existing(jn:doc('testdb', 'testres', 1).items[1]))",
+       None,
+       setup=["jn:store('testdb', 'testres', '{\"items\": [1, 2]}')",
+              "delete json jn:doc('testdb', 'testres').items[1]"],
+       **{"assert": ["1"]}),
+]
+
+# ---------------------------------- jn/docs/UseCasesDocQueryTest
+CASES += [
+    _c("UseCasesDoc#openBitemporal", "UseCasesDocQueryTest.java",
+       "jn:open-bitemporal('risk-db', 'exposures', "
+       "xs:dateTime('2099-12-31T23:59:59Z'), xs:dateTime('2025-03-15T00:00:00Z'))",
+       None, setup_py="usecases_exposures",
+       **{"assert": {"contains": ["Globex", "Initech"], "not_contains": ["ACME"]}}),
+    _c("UseCasesDoc#fraudDetection", "UseCasesDocQueryTest.java",
+       "for $rev in jn:all-times(jn:doc('ledger', 'transactions')) "
+       "for $r in $rev[] "
+       "where sdb:timestamp($rev) gt sdb:valid-from($r) "
+       "and sdb:timestamp($rev) - sdb:valid-from($r) gt xs:dayTimeDuration('P7D') "
+       "return $r",
+       None, setup_py="usecases_ledger",
+       **{"assert": {"contains": ["TX-001", "TX-002"], "not_contains": ["TX-003"]}}),
+    _c("UseCasesDoc#dateTimeArithGt", "UseCasesDocQueryTest.java",
+       "xs:dateTime('2025-03-15T00:00:00Z') - xs:dateTime('2025-03-01T00:00:00Z') "
+       "gt xs:dayTimeDuration('P7D')", "true"),
+    _c("UseCasesDoc#dateTimeArithLt", "UseCasesDocQueryTest.java",
+       "xs:dateTime('2025-03-04T00:00:00Z') - xs:dateTime('2025-03-01T00:00:00Z') "
+       "gt xs:dayTimeDuration('P7D')", "false"),
+    _c("UseCasesDoc#dateTimeArithExact", "UseCasesDocQueryTest.java",
+       "xs:dateTime('2025-03-08T00:00:00Z') - xs:dateTime('2025-03-01T00:00:00Z') "
+       "gt xs:dayTimeDuration('P7D')", "false"),
+]
+
+# ------------------------------------ jn/docs/ShellDemoQueryTest
+_SHELL_STORE = (
+    "jn:store('json-path1','products','[{\"name\":\"Laptop\",\"price\":999},"
+    "{\"name\":\"Phone\",\"price\":699}]')"
+)
+_SHELL_UPDATE = (
+    "let $doc := jn:doc('json-path1','products') "
+    "return replace json value of $doc[0].price with 899"
+)
+_SHELL_APPEND = (
+    "let $doc := jn:doc('json-path1','products') "
+    "return append json {\"name\":\"Tablet\",\"price\":449} into $doc"
+)
+_SHELL_DELETE = (
+    "let $doc := jn:doc('json-path1','products') return delete json $doc[1]"
+)
+_SHELL_DOC = "jn:doc('json-path1','products')"
+CASES += [
+    _c("ShellDemo#rev1", "ShellDemoQueryTest.java", _SHELL_DOC, None,
+       setup=[_SHELL_STORE],
+       **{"assert": ["Laptop", "999", "Phone", "699"]}),
+    _c("ShellDemo#rev2", "ShellDemoQueryTest.java", _SHELL_DOC, None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE],
+       **{"assert": ["899", "Laptop", "Phone"]}),
+    _c("ShellDemo#rev3", "ShellDemoQueryTest.java", _SHELL_DOC, None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND],
+       **{"assert": ["Tablet", "449"]}),
+    _c("ShellDemo#rev4", "ShellDemoQueryTest.java", _SHELL_DOC, None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": {"contains": ["Laptop", "Tablet"], "not_contains": ["Phone"]}}),
+    _c("ShellDemo#timeTravel", "ShellDemoQueryTest.java",
+       "jn:doc('json-path1','products', 1)", None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": ["Laptop", "999", "Phone", "699"]}),
+    # legacy keys: Laptop object = 2, its price VALUE node = 6 (the
+    # primitive-replace keeps the key — setValue semantics)
+    _c("ShellDemo#itemHistory", "ShellDemoQueryTest.java",
+       "let $item := sdb:select-item(jn:doc('json-path1','products'), 6) "
+       "for $v in sdb:item-history($item) "
+       "return {\"rev\": sdb:revision($v), \"price\": $v}",
+       None, setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": ["999", "899"]}),
+    _c("ShellDemo#objectHistory", "ShellDemoQueryTest.java",
+       "let $item := sdb:select-item(jn:doc('json-path1','products'), 2) "
+       "for $v in sdb:item-history($item) "
+       "return {\"rev\": sdb:revision($v), \"price\": $v.price}",
+       None, setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": ["999", "899"]}),
+    _c("ShellDemo#allTimes", "ShellDemoQueryTest.java",
+       "for $v in jn:all-times(jn:doc('json-path1','products')) "
+       "return {\"rev\": sdb:revision($v), \"products\": count($v[])}",
+       None, setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": ['"rev":1', '"rev":4']}),
+    _c("ShellDemo#diff", "ShellDemoQueryTest.java",
+       "jn:diff('json-path1','products', 1, 4)", None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": "nonempty"}),
+    _c("ShellDemo#smallDiff", "ShellDemoQueryTest.java",
+       "jn:diff('json-path1','products', 1, 2)", None,
+       setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
+       **{"assert": "nonempty"}),
 ]
 
 # GetPath#arrayMember: the reference emits /tada/[]/[4] — position on

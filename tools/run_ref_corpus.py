@@ -116,6 +116,14 @@ def run_case(spark, case) -> tuple[str, str]:
             return ("pass", "") if not missing else (
                 "fail", f"missing {missing} in {got[:120]!r}"
             )
+        if isinstance(mode, dict):
+            missing = [m for m in mode.get("contains", []) if m not in got]
+            present = [m for m in mode.get("not_contains", []) if m in got]
+            if missing or present:
+                return "fail", (
+                    f"missing {missing}, unexpected {present} in {got[:120]!r}"
+                )
+            return "pass", ""
         want = case["expected"].strip()
         got = got.strip()
         if case["ignore_node_keys"]:
