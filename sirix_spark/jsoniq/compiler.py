@@ -848,6 +848,11 @@ class Compiler:
             df = df.filter(self._scalar(f.where, scope))
 
         if f.group_by:
+            if f.post_group:
+                raise JsoniqCompileError(
+                    "let/for after group by unsupported in the "
+                    "relational compiler — use the document-mode engine"
+                )
             return self._grouped_return(df, scope, f)
 
         if f.order_by:

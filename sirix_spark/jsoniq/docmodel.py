@@ -49,6 +49,33 @@ def _iso_epoch(s: str) -> float:
     return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
 
 
+_DEC_T = "decimal(38,12)"
+
+
+def _emit_dbl(c: Column) -> Column:
+    """xs:double → serialized text: Spark's double→string cast follows
+    Java Double.toString (1.25E7, not 1.25e+07); XQuery spells the
+    specials INF/-INF/NaN and integral doubles without '.0'. The
+    specials are emitted as JSON strings ("INF") — variants cannot
+    hold non-finite numbers; XQuery's own atomic serialization prints
+    them bare either way."""
+    s = c.cast("string")
+    return (
+        F.when(s == "Infinity", F.lit('"INF"'))
+        .when(s == "-Infinity", F.lit('"-INF"'))
+        .when(s == "NaN", F.lit('"NaN"'))
+        .otherwise(F.regexp_replace(s, r"\.0$", ""))
+    )
+
+
+def _emit_dec(c: Column) -> Column:
+    """xs:decimal → canonical text: fixed-scale cast, trailing zeros
+    and bare point trimmed (sum of 1.5+2.5+0.25+0.75 prints 5)."""
+    s = c.cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    return F.regexp_replace(s, r"\.$", "")
+
+
 def _duration_seconds(s: str) -> float:
     """ISO-8601 dayTimeDuration (PnDTnHnMnS) → total seconds."""
     import re as _re
@@ -208,13 +235,26 @@ class DocEvaluator:
         if f.where is not None:
             stream = stream.filter(self._ebv(f.where, scope))
         if f.group_by:
-            raise JsoniqCompileError("group by unsupported in document mode")
+            stream = self._group_by(stream, scope, f.group_by)
+            for c in f.post_group:
+                if isinstance(c, P.LetClause):
+                    stream = self._let(stream, scope, c)
+                else:
+                    stream = self._for(stream, scope, c)
         if f.order_by:
             sort_cols = []
             for i, k in enumerate(f.order_by):
                 arr = self._scalar(k.value, scope)
                 first = F.try_element_at(arr, F.lit(1))
-                d = F.try_variant_get(first, "$", "double")
+                # type-aware keys: variant_get coerces STRING "10" to
+                # 10.0, which would sort strings numerically — XQuery
+                # sorts strings lexicographically (the sweep's
+                # order-by-lexicographic-string-numbers pins it)
+                sch = F.schema_of_variant(first)
+                d = F.when(
+                    sch != F.lit("STRING"),
+                    F.try_variant_get(first, "$", "double"),
+                )
                 s = F.try_variant_get(first, "$", "string")
                 direction = (lambda col: col.desc()) if k.descending else (lambda col: col)
                 sort_cols.append(direction(d))
@@ -228,6 +268,72 @@ class DocEvaluator:
                 "__ord", F.array(F.row_number().over(w).cast("bigint"))
             )
         return self._project_return(stream, scope, f.ret)
+
+    def _group_by(
+        self, stream: DataFrame, scope: dict, group_by: list
+    ) -> DataFrame:
+        """JSONiq group by: tuples partition on the key variables'
+        values; every other bound variable becomes the SEQUENCE of its
+        per-tuple values inside the group (count($i), sum($e.sal) then
+        aggregate it). Groups surface in first-appearance order (the
+        reference corpus pins it) — one hash aggregation, no window."""
+        for gk in group_by:
+            if gk.value is not None:
+                stream = self._let(stream, scope, P.LetClause(gk.var, gk.value))
+        key_vars = [gk.var for gk in group_by]
+        for kv in key_vars:
+            info = scope.get(kv)
+            if not isinstance(info, dict) or info.get("kind") not in (
+                "item", "scalar", "seq",
+            ):
+                raise JsoniqCompileError(
+                    "group by key must be a for/let-bound variable"
+                )
+            if info.get("kind") == "seq":
+                # single-item path let (`let $k := $i.c`): atomize to
+                # its serialized value for the grouping key
+                stream = stream.withColumn(
+                    f"j_{kv}",
+                    F.try_element_at(F.col(f"a_{kv}"), F.lit(1))["j"],
+                )
+                scope[kv] = {"kind": "scalar"}
+        cols = set(stream.columns)
+        key_cols = [f"j_{kv}" for kv in key_vars]
+        aggs = [F.min("__ord").alias("__ord")]
+        for v, info in list(scope.items()):
+            if not isinstance(info, dict) or v.startswith("__"):
+                continue
+            kind = info.get("kind")
+            if v in key_vars or kind == "handle":
+                # constant within a group (or globally): carry through
+                for c in cols:
+                    if c.endswith(f"_{v}") and c not in key_cols:
+                        aggs.append(F.first(F.col(c)).alias(c))
+            elif kind in ("item", "scalar"):
+                aggs.append(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__ord").alias("o"),
+                                F.col(f"k_{v}").alias("k"),
+                                F.col(f"h_{v}").alias("h"),
+                                F.col(f"r_{v}").alias("r"),
+                                F.col(f"s_{v}").alias("s"),
+                                F.col(f"j_{v}").alias("j"),
+                            )
+                        )
+                    ).alias(f"a_{v}")
+                )
+                scope[v] = {
+                    "kind": "seq",
+                    "stored": bool(info.get("stored")),
+                    "handles": tuple(info.get("handles") or ()),
+                }
+            elif kind == "seq":
+                raise JsoniqCompileError(
+                    "group by over an already-grouped sequence variable"
+                )
+        return stream.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
     def _for(self, stream: DataFrame, scope: dict, c: P.ForClause) -> DataFrame:
         seq = self._expr_seq(c.source, stream, scope, iterate=True)
@@ -1732,7 +1838,7 @@ class DocEvaluator:
         if isinstance(node, P.Call):
             return self._scalar_call(node, scope)
         if isinstance(node, P.Flwor):
-            raise JsoniqCompileError("FLWOR in scalar position unsupported")
+            return self._scalar_flwor(node, scope)
         raise JsoniqCompileError(
             f"unsupported scalar expression {type(node).__name__}"
         )
@@ -1842,6 +1948,81 @@ class DocEvaluator:
         inner = F.concat_ws(",", *[F.nullif(p, F.lit("")) for p in parts]) if parts else F.lit("")
         return F.concat(F.lit("{"), inner, F.lit("}"))
 
+    def _scalar_flwor(self, node: P.Flwor, scope: dict) -> Column:
+        """A restricted inline FLWOR in scalar position — one `for`
+        over a scalar-representable sequence, optional `where`,
+        arbitrary scalar `return` — compiles to filter/transform
+        lambdas over the array<variant> (exists(for $i in $d.items[]
+        where $i.k gt 5 return $i) and the like)."""
+        if (
+            len(node.clauses) != 1
+            or not isinstance(node.clauses[0], P.ForClause)
+            or node.group_by
+            or node.order_by
+        ):
+            raise JsoniqCompileError("FLWOR in scalar position unsupported")
+        c = node.clauses[0]
+        src = self._scalar(c.source, scope)
+
+        def bind(x):
+            qs = dict(scope)
+            qs[c.var] = {"kind": "lambda", "col": x}
+            return qs
+
+        if node.where is not None:
+            src = F.filter(src, lambda x: self._ebv(node.where, bind(x)))
+        if isinstance(node.ret, P.Var) and node.ret.name == c.var:
+            return src
+        return F.flatten(
+            F.transform(src, lambda x: self._scalar(node.ret, bind(x)))
+        )
+
+    def _scalar_agg(self, short: str, arr: Column) -> Column:
+        """fn:sum/avg/min/max over an array<variant> sequence with the
+        XQuery numeric-tower rules the sweep pins: decimal inputs
+        aggregate EXACTLY (sum of 1.5+2.5+0.25+0.75 = 5; avg of ints
+        can be an exact decimal), any double in the input promotes the
+        whole aggregate to double (sum of two 1e308 doubles overflows
+        to INF, not a BigDecimal)."""
+        has_dbl = F.exists(
+            arr, lambda x: F.schema_of_variant(x) == F.lit("DOUBLE")
+        )
+        dbls = F.transform(
+            arr, lambda x: F.try_variant_get(x, "$", "double")
+        )
+        decs = F.transform(
+            arr, lambda x: F.try_variant_get(x, "$", _DEC_T)
+        )
+        n = F.size(arr)
+        if short == "sum":
+            ddl = F.aggregate(dbls, F.lit(0.0), lambda a, x: a + x)
+            dec = F.aggregate(
+                decs,
+                F.lit(0).cast(_DEC_T),
+                lambda a, x: (a + x).cast(_DEC_T),
+            )
+            txt = F.when(has_dbl, _emit_dbl(ddl)).otherwise(_emit_dec(dec))
+            txt = F.when(n == 0, F.lit("0")).otherwise(txt)
+        elif short == "avg":
+            ddl = F.aggregate(dbls, F.lit(0.0), lambda a, x: a + x) / n
+            dec = (
+                F.aggregate(
+                    decs,
+                    F.lit(0).cast(_DEC_T),
+                    lambda a, x: (a + x).cast(_DEC_T),
+                )
+                / n
+            ).cast(_DEC_T)
+            txt = F.when(has_dbl, _emit_dbl(ddl)).otherwise(_emit_dec(dec))
+        else:
+            pick = F.array_min if short == "min" else F.array_max
+            txt = F.when(has_dbl, _emit_dbl(pick(dbls))).otherwise(
+                _emit_dec(pick(decs))
+            )
+        return F.when(
+            (n == 0) & F.lit(short != "sum"), F.array().cast("array<variant>")
+        ).otherwise(F.array(F.parse_json(txt)))
+
     def _scalar_binop(self, node: P.Binop, scope: dict) -> Column:
         op = node.op
         if op in ("and", "or"):
@@ -1859,6 +2040,24 @@ class DocEvaluator:
         rb = F.try_variant_get(r, "$", "bigint")
         ld = F.try_variant_get(l, "$", "double")
         rd = F.try_variant_get(r, "$", "double")
+        if op == "to":
+            # range expression 1 to $n → integer sequence
+            return F.transform(
+                F.sequence(lb, rb),
+                lambda x: F.parse_json(x.cast("string")),
+            )
+        # xs:decimal operands stay exact (0.1 + 0.2 + 0.3 = 0.6, not
+        # the binary-float 0.6000000000000001); any DOUBLE operand
+        # demotes to double arithmetic
+        lsch = F.schema_of_variant(l)
+        rsch = F.schema_of_variant(r)
+        both_dec = (
+            lsch.startswith("DECIMAL") | (lsch == F.lit("BIGINT"))
+        ) & (
+            rsch.startswith("DECIMAL") | (rsch == F.lit("BIGINT"))
+        )
+        ldec = F.try_variant_get(l, "$", _DEC_T)
+        rdec = F.try_variant_get(r, "$", _DEC_T)
         both_int = lb.isNotNull() & rb.isNotNull() & (lb.cast("double") == ld) & (rb.cast("double") == rd)
         ops = {
             "+": (lb + rb, ld + rd),
@@ -1872,9 +2071,15 @@ class DocEvaluator:
         if op not in ops:
             raise JsoniqCompileError(f"unsupported operator {op!r}")
         iexpr, dexpr = ops[op]
-        txt = F.when(both_int, iexpr.cast("string")).otherwise(
-            dexpr.cast("string")
-        )
+        dec_ops = {
+            "+": (ldec + rdec).cast(_DEC_T),
+            "-": (ldec - rdec).cast(_DEC_T),
+            "*": (ldec * rdec).cast(_DEC_T),
+        }
+        txt = F.when(both_int, iexpr.cast("string"))
+        if op in dec_ops:
+            txt = txt.when(both_dec, _emit_dec(dec_ops[op]))
+        txt = txt.otherwise(_emit_dbl(dexpr.cast("double")))
         return F.array(F.parse_json(txt))
 
     def _compare(self, node: P.Binop, scope: dict) -> Column:
@@ -1979,6 +2184,175 @@ class DocEvaluator:
         if name in ("count", "fn:count"):
             return F.array(
                 F.parse_json(F.size(arg(0)).cast("string"))
+            )
+        if short in ("sum", "avg", "min", "max") and name in (
+            short, "fn:" + short,
+        ):
+            return self._scalar_agg(short, arg(0))
+        if name in ("empty", "fn:empty"):
+            return F.array(
+                F.parse_json((F.size(arg(0)) == 0).cast("string"))
+            )
+        if name in ("concat", "fn:concat"):
+            parts = []
+            for i in range(len(node.args)):
+                item = F.try_element_at(arg(i), F.lit(1))
+                parts.append(
+                    F.coalesce(
+                        F.try_variant_get(item, "$", "string"),
+                        F.to_json(item),
+                        F.lit(""),
+                    )
+                )
+            return wrap_string(F.concat(*parts))
+        if name == "fn:range":
+            lo = F.try_variant_get(
+                F.try_element_at(arg(0), F.lit(1)), "$", "bigint"
+            )
+            hi = F.try_variant_get(
+                F.try_element_at(arg(1), F.lit(1)), "$", "bigint"
+            )
+            return F.transform(
+                F.sequence(lo, hi),
+                lambda x: F.parse_json(x.cast("string")),
+            )
+        if name in ("jn:doc", "doc"):
+            # stored document in scalar position (substring(jn:doc(
+            # ...).meta, ...) and friends): the handle's root text is
+            # compile-time static
+            hid = self._open_handle(node)
+            return wrap_text(F.lit(self.handles.get(hid).rows()[0][9]))
+        if name in ("jn:all-times", "jn:past", "jn:future", "jn:first", "jn:last"):
+            # temporal axis in scalar position (count(jn:all-times($d))
+            # …) over a static handle: the per-revision root texts are
+            # catalog-resolvable at compile time
+            hid = self._static_handle_of(node.args[0], scope)
+            if hid is None:
+                raise JsoniqCompileError(f"{name} needs a document handle")
+            h0 = self.handles.get(hid)
+            revs = self.store.revisions(h0.db, h0.res)
+            anchor = h0.revision
+            variant = name[3:]
+            if variant == "past":
+                revs = sorted([r for r in revs if r < anchor], reverse=True)
+            elif variant == "future":
+                revs = [r for r in revs if r > anchor]
+            elif variant == "first":
+                revs = revs[:1]
+            elif variant == "last":
+                revs = revs[-1:]
+            texts = [
+                self.store.doc(h0.db, h0.res, r).rows()[0][9] for r in revs
+            ]
+            return F.array(*[F.parse_json(F.lit(t)) for t in texts])
+        if name in ("tokenize", "fn:tokenize"):
+            if not isinstance(node.args[1], P.Lit):
+                raise JsoniqCompileError("tokenize needs a literal pattern")
+
+            def _str_variant(t: Column) -> Column:
+                return F.parse_json(
+                    F.concat(
+                        F.lit('"'),
+                        F.regexp_replace(
+                            F.regexp_replace(t, r"\\", r"\\\\"), '"', '\\\\"'
+                        ),
+                        F.lit('"'),
+                    )
+                )
+
+            return F.transform(
+                F.split(s1(0), str(node.args[1].value), -1), _str_variant
+            )
+        if name in ("substring", "fn:substring"):
+            # XQuery 1-based substring with rounding + clamping:
+            # positions p with round(start) <= p < round(start)+round(len)
+            st = F.round(
+                F.try_variant_get(
+                    F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                )
+            ).cast("int")
+            s = s1(0)
+            if len(node.args) > 2:
+                ln = F.round(
+                    F.try_variant_get(
+                        F.try_element_at(arg(2), F.lit(1)), "$", "double"
+                    )
+                ).cast("int")
+                end = st + ln
+            else:
+                end = F.length(s) + F.lit(1)
+            begin = F.greatest(st, F.lit(1))
+            take = F.greatest(end - begin, F.lit(0))
+            return wrap_string(F.substring(s, begin, take))
+        if short in ("round", "floor", "ceiling", "abs", "round-half-to-even"):
+            v = F.try_variant_get(
+                F.try_element_at(arg(0), F.lit(1)), "$", _DEC_T
+            )
+            fn = {
+                # fn:round rounds half toward positive infinity:
+                # round(2.5)=3, round(-2.5)=-2
+                "round": lambda c: F.floor(c + F.lit(0.5).cast(_DEC_T)),
+                "floor": F.floor,
+                "ceiling": F.ceil,
+                "abs": F.abs,
+                "round-half-to-even": lambda c: F.bround(c, 0),
+            }[short]
+            return F.array(F.parse_json(_emit_dec(fn(v))))
+        if name in ("distinct-values", "fn:distinct-values"):
+            # first-occurrence order; scalar values compare by their
+            # serialized form
+            texts = F.transform(arg(0), lambda x: F.to_json(x))
+            return F.transform(
+                F.array_distinct(texts), lambda t: F.parse_json(t)
+            )
+        if name in ("index-of", "fn:index-of"):
+            needle = F.to_json(F.try_element_at(arg(1), F.lit(1)))
+            hits = F.filter(
+                F.transform(
+                    arg(0),
+                    lambda x, i: F.when(F.to_json(x) == needle, i + 1),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            return F.transform(
+                hits, lambda i: F.parse_json(i.cast("string"))
+            )
+        if name in ("subsequence", "fn:subsequence"):
+            st = F.round(
+                F.try_variant_get(
+                    F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                )
+            ).cast("int")
+            if len(node.args) > 2:
+                ln = F.round(
+                    F.try_variant_get(
+                        F.try_element_at(arg(2), F.lit(1)), "$", "double"
+                    )
+                ).cast("int")
+            else:
+                ln = F.size(arg(0))
+            begin = F.greatest(st, F.lit(1))
+            take = F.greatest(st + ln - begin, F.lit(0))
+            return F.slice(arg(0), begin, take)
+        if name in ("reverse", "fn:reverse"):
+            return F.reverse(arg(0))
+        if name in ("insert-before", "fn:insert-before"):
+            seq = arg(0)
+            pos = F.greatest(
+                F.round(
+                    F.try_variant_get(
+                        F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                    )
+                ).cast("int"),
+                F.lit(1),
+            )
+            ins = arg(2)
+            return F.concat(
+                F.slice(seq, F.lit(1), pos - 1),
+                ins,
+                F.slice(
+                    seq, pos, F.greatest(F.size(seq) - pos + 1, F.lit(0))
+                ),
             )
         if name in ("exists", "fn:exists", "not", "fn:not", "deep-equal",
                     "fn:deep-equal", "instance-of"):

@@ -464,7 +464,9 @@ class _PyInterp:
             op for op in self.txn.ops if hid is None or op[1] == hid
         ]
         self.txn.ops = [op for op in self.txn.ops if op not in mine]
-        value = json.loads(h.text())
+        from sirix_spark.store.docnodes import dumps_doc, loads_doc
+
+        value = loads_doc(h.text())
         keys = self.ev.store.read_keys(h.db, h.res, h.revision)
         if keys is None:
             keys = list(range(1, enum_count(value) + 1))
@@ -545,7 +547,7 @@ class _PyInterp:
                     raise JsoniqCompileError("rename json needs an object field")
                 parent["fields"][slot[1]][1] = new_name
         return self.ev.store.commit(
-            h.db, h.res, _compact(tree_value(root)), keys=tree_keys(root)
+            h.db, h.res, dumps_doc(tree_value(root)), keys=tree_keys(root)
         )
 
 

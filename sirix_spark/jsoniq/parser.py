@@ -164,6 +164,10 @@ class Flwor:
     clauses: list = field(default_factory=list)  # For/Let interleaved
     where: object | None = None
     group_by: list = field(default_factory=list)
+    # let/for clauses written AFTER `group by` — they see the grouped
+    # tuple stream (non-key variables as sequences): `group by $d let
+    # $t := sum($e.sal) order by $t`
+    post_group: list = field(default_factory=list)
     order_by: list = field(default_factory=list)
     ret: object = None
 
@@ -300,16 +304,26 @@ class _Parser:
         f = Flwor()
         while True:
             if self.opt("kw", "for"):
-                var = self.eat("var").text[1:]
-                pos_var = None
-                if self.opt("kw", "at"):
-                    pos_var = self.eat("var").text[1:]
-                self.eat("kw", "in")
-                f.clauses.append(ForClause(var, pos_var, self.expr_single()))
+                # comma-separated bindings desugar to consecutive for
+                # clauses: `for $a in X, $b in Y` ≡ `for $a in X for
+                # $b in Y` (XQuery ForClause grammar)
+                while True:
+                    var = self.eat("var").text[1:]
+                    pos_var = None
+                    if self.opt("kw", "at"):
+                        pos_var = self.eat("var").text[1:]
+                    self.eat("kw", "in")
+                    (f.post_group if f.group_by else f.clauses).append(
+                        ForClause(var, pos_var, self.expr_single())
+                    )
+                    if not self.opt("op", ","):
+                        break
             elif self.opt("kw", "let"):
                 var = self.eat("var").text[1:]
                 self.eat("op", ":=")
-                f.clauses.append(LetClause(var, self.expr_single()))
+                (f.post_group if f.group_by else f.clauses).append(
+                    LetClause(var, self.expr_single())
+                )
             elif self.opt("kw", "where"):
                 # quantified expr allowed bare in where (ExprSingle);
                 # inside a conjunction, parenthesize: `$a eq 1 and (some …)`

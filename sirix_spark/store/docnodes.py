@@ -67,8 +67,127 @@ NODE_SCHEMA = StructType(
 )
 
 
+class JNum:
+    """A JSON number carrying its serialization text — the BigDecimal-
+    parity number model (reference: plain decimals round-trip exactly,
+    exponent forms normalize through Java Double.toString, doubles
+    that overflow fall back to exact plain expansion; zeros of any
+    spelling normalize to 0)."""
+
+    __slots__ = ("text", "num")
+
+    def __init__(self, text: str, num):
+        self.text = text
+        self.num = num
+
+    def __eq__(self, other):
+        if isinstance(other, JNum):
+            return float(self.num) == float(other.num)
+        if isinstance(other, (int, float)):
+            return float(self.num) == float(other)
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(float(self.num))
+
+    def __repr__(self):
+        return f"JNum({self.text})"
+
+
+def _java_double_text(v: float) -> str:
+    """Java Double.toString layout from Python's shortest-round-trip
+    repr: plain decimal for 1e-3 <= |v| < 1e7 (at least one digit each
+    side of the point), else d.dddEn computerized scientific."""
+    r = repr(v)
+    neg = r.startswith("-")
+    if neg:
+        r = r[1:]
+    if "e" in r:
+        mant, exp = r.split("e")
+        exp = int(exp)
+    else:
+        mant, exp = r, 0
+    if "." in mant:
+        ip, fp = mant.split(".")
+    else:
+        ip, fp = mant, ""
+    digits = ip + fp
+    lead = len(digits) - len(digits.lstrip("0"))
+    sig = digits.lstrip("0").rstrip("0") or "0"
+    if sig == "0":
+        return "-0.0" if neg else "0.0"
+    e10 = (len(ip) - 1 - lead) + exp
+    if -3 <= e10 < 7:
+        if e10 >= 0:
+            ipart = sig[: e10 + 1].ljust(e10 + 1, "0")
+            fpart = sig[e10 + 1:] or "0"
+        else:
+            ipart = "0"
+            fpart = "0" * (-e10 - 1) + sig
+        out = f"{ipart}.{fpart}"
+    else:
+        out = sig[0] + "." + (sig[1:] or "0") + "E" + str(e10)
+    return "-" + out if neg else out
+
+
+def _parse_float(lit: str):
+    import math
+    from decimal import Decimal
+
+    d = Decimal(lit)
+    if d == 0:
+        return 0
+    if "e" in lit or "E" in lit:
+        f = float(lit)
+        if math.isinf(f):
+            # beyond double range: exact plain expansion (the
+            # 2e308-round-trips-as-BigDecimal behavior)
+            return JNum(format(d, "f"), d)
+        return JNum(_java_double_text(f), f)
+    return JNum(lit, d)
+
+
+def loads_doc(text: str):
+    """Parse document text with number fidelity (every number keeps a
+    faithful serialization; ints are exact Python ints)."""
+    return json.loads(text, parse_float=_parse_float)
+
+
 def _compact(value) -> str:
-    return json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+    return dumps_doc(value)
+
+
+def dumps_doc(value) -> str:
+    """Compact serialization honoring JNum texts (json.dumps cannot
+    emit raw number text)."""
+    out: list[str] = []
+
+    def emit(v) -> None:
+        if isinstance(v, JNum):
+            out.append(v.text)
+        elif v is None or isinstance(v, (bool, int, float, str)):
+            out.append(json.dumps(v, ensure_ascii=False))
+        elif isinstance(v, dict):
+            out.append("{")
+            for i, (k, x) in enumerate(v.items()):
+                if i:
+                    out.append(",")
+                out.append(json.dumps(str(k), ensure_ascii=False))
+                out.append(":")
+                emit(x)
+            out.append("}")
+        elif isinstance(v, list):
+            out.append("[")
+            for i, x in enumerate(v):
+                if i:
+                    out.append(",")
+                emit(x)
+            out.append("]")
+        else:
+            raise TypeError(f"not JSON-serializable: {type(v)}")
+
+    emit(value)
+    return "".join(out)
 
 
 def _kind_of(value) -> str:
@@ -78,7 +197,7 @@ def _kind_of(value) -> str:
         return "array"
     if isinstance(value, bool):
         return "boolean"
-    if isinstance(value, (int, float)):
+    if isinstance(value, (int, float, JNum)):
         return "number"
     if value is None:
         return "null"
@@ -176,7 +295,7 @@ def shred_value(
 def shred_text(
     text: str, doc_id: str = "", keys: list[int] | None = None
 ) -> list[tuple]:
-    return shred_value(json.loads(text), doc_id=doc_id, keys=keys)
+    return shred_value(loads_doc(text), doc_id=doc_id, keys=keys)
 
 
 def enum_count(value) -> int:

@@ -114,15 +114,15 @@ class DocumentStore:
     ) -> int:
         """jn:store — create the resource at revision 1 (the text is
         validated/canonicalized through one parse)."""
-        canon = json.dumps(
-            json.loads(text), separators=(",", ":"), ensure_ascii=False
-        )
+        from sirix_spark.store.docnodes import dumps_doc, loads_doc
+
+        canon = dumps_doc(loads_doc(text))
         os.makedirs(self._res_dir(db, res), exist_ok=True)
         if self.exists(db, res):
             raise DocStoreError(f"resource {db}/{res} already exists")
         from sirix_spark.store.docnodes import enum_count
 
-        n_slots = enum_count(json.loads(canon))
+        n_slots = enum_count(loads_doc(canon))
         self._write_revision(db, res, 1, canon, keys=list(range(1, n_slots + 1)))
         self._write_manifest(
             db,
@@ -192,11 +192,11 @@ class DocumentStore:
         if nk is None:
             keys = self.read_keys(db, res, self.latest_revision(db, res))
             if keys is None:
-                from sirix_spark.store.docnodes import enum_count
+                from sirix_spark.store.docnodes import enum_count, loads_doc
 
                 nk = (
                     enum_count(
-                        json.loads(
+                        loads_doc(
                             self.read_text(db, res, self.latest_revision(db, res))
                         )
                     )
@@ -216,9 +216,9 @@ class DocumentStore:
         for r in self.revisions(db, res):
             keys = self.read_keys(db, res, r)
             if keys is None:
-                from sirix_spark.store.docnodes import enum_count
+                from sirix_spark.store.docnodes import enum_count, loads_doc
 
-                n = enum_count(json.loads(self.read_text(db, res, r)))
+                n = enum_count(loads_doc(self.read_text(db, res, r)))
                 if 1 <= key <= n:
                     out.append(r)
             elif key in keys:

@@ -29,21 +29,8 @@ from __future__ import annotations
 
 import json
 
+from sirix_spark.store.docnodes import _kind_of, dumps_doc, loads_doc
 from sirix_spark.store.docstore import DocStoreError, DocumentStore
-
-
-def _kind_of(v) -> str:
-    if isinstance(v, dict):
-        return "object"
-    if isinstance(v, list):
-        return "array"
-    if isinstance(v, bool):
-        return "boolean"
-    if isinstance(v, (int, float)):
-        return "number"
-    if v is None:
-        return "null"
-    return "string"
 
 
 def tree_from(value, keyiter) -> dict:
@@ -140,7 +127,7 @@ class DocWtx:
             rev = store.latest_revision(db, res)
             text = store.read_text(db, res, rev)
             keys = store.read_keys(db, res, rev)
-            value = json.loads(text)
+            value = loads_doc(text)
             if keys is None:
                 from sirix_spark.store.docnodes import enum_count
 
@@ -180,7 +167,7 @@ class DocWtx:
         """Insert a parsed subtree as the first child of the cursor
         container — or as the document root when the resource is
         empty. Auto-commits (the reference's default)."""
-        value = json.loads(text)
+        value = loads_doc(text)
         if self.root is None:
             self.root = self._fresh_tree(value)
             self.cursor = self.root["key"]
@@ -204,7 +191,7 @@ class DocWtx:
         return self
 
     def insert_subtree_as_right_sibling(self, text: str, commit: bool = True):
-        value = json.loads(text)
+        value = loads_doc(text)
         node, parent, slot = self._cursor_node()
         if parent is None or slot[0] != "item":
             raise DocStoreError("right-sibling insert needs an array member")
@@ -263,9 +250,7 @@ class DocWtx:
     def commit(self) -> int:
         if self.root is None:
             raise DocStoreError("nothing to commit")
-        text = json.dumps(
-            tree_value(self.root), separators=(",", ":"), ensure_ascii=False
-        )
+        text = dumps_doc(tree_value(self.root))
         keys = tree_keys(self.root)
         if not self.store.exists(self.db, self.res):
             rev = self.store.store(

@@ -184,6 +184,10 @@ class _Evaluator:
         if expr.startswith(('"""', '"')):
             val, end = _scan_string(expr, 0)
             rest = expr[end:].strip()
+            rep = re.match(r"^\.repeat\(\s*(\d+)\s*\)", rest)
+            if rep:
+                val = val * int(rep.group(1))
+                rest = rest[rep.end():].strip()
             if rest.startswith("+"):
                 return val + self.value(rest[1:])
             if rest:

@@ -78,6 +78,14 @@ def run_case(spark, case) -> tuple[str, str]:
                 from tools.ref_corpus_manual import SETUPS
 
                 SETUPS[case["setup_py"]](spark, store)
+            if case.get("sweep_data") is not None:
+                from tools.ref_corpus_sweep import DB, RES
+
+                store.store(DB, RES, case["sweep_data"])
+            if case.get("sweep_revisions"):
+                from tools.ref_corpus_sweep import build_revisions
+
+                build_revisions(spark, store, case["sweep_revisions"])
             for q in case["setup"]:
                 DocEvaluator(spark, store).execute(q)
             got = DocEvaluator(spark, store).execute(case["query"])
@@ -126,6 +134,12 @@ def run_case(spark, case) -> tuple[str, str]:
             return "pass", ""
         want = case["expected"].strip()
         got = got.strip()
+        if case.get("compare") == "sweep-json":
+            from tools.ref_corpus_sweep import results_equal
+
+            return ("pass", "") if results_equal(want, got) else (
+                "fail", f"want={want[:160]!r}\n         got={got[:160]!r}"
+            )
         if case["ignore_node_keys"]:
             want, got = strip_nk(want), strip_nk(got)
         if got == want:
@@ -155,9 +169,10 @@ def main() -> int:
 
     spark = get_spark()
     from tools.ref_corpus_manual import CASES as MANUAL_CASES
+    from tools.ref_corpus_sweep import extract_sweep_cases
 
     corpus = extract_corpus()
-    cases = corpus["cases"] + MANUAL_CASES
+    cases = corpus["cases"] + MANUAL_CASES + extract_sweep_cases()
     if args.only:
         cases = [c for c in cases if args.only.lower() in c["name"].lower()]
 
