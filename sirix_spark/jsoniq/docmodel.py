@@ -1772,6 +1772,8 @@ class DocEvaluator:
                 raise JsoniqCompileError(f"unbound variable ${node.name}")
             if info["kind"] == "lambda":
                 return F.array(info["col"])
+            if info["kind"] == "lambda_struct":
+                return F.array(F.parse_json(info["col"]["j"]))
             if info["kind"] == "seq":
                 return F.transform(
                     F.col(f"a_{node.name}"),
@@ -1893,16 +1895,31 @@ class DocEvaluator:
         if isinstance(node, P.ObjectCtor):
             return self._object_text(node, scope)
         if isinstance(node, P.ArrayCtor):
-            items = [
-                F.coalesce(self._value_text(it, scope), F.lit("null"))
-                for it in node.items
-            ]
-            inner = F.concat_ws(",", *items) if items else F.lit("")
+            items = []
+            for it in node.items:
+                if isinstance(it, (P.Flwor, P.SeqCtor)):
+                    # JSONiq array constructor SPLICES sequences:
+                    # [for $x in … return …] holds every item, not
+                    # just the first (paths/vars keep the order-
+                    # preserving single-item text path)
+                    arr = self._scalar(it, scope)
+                    items.append(
+                        F.concat_ws(
+                            ",", F.transform(arr, lambda x: F.to_json(x))
+                        )
+                    )
+                else:
+                    items.append(
+                        F.coalesce(self._value_text(it, scope), F.lit("null"))
+                    )
+            inner = F.concat_ws(",", *[F.nullif(i, F.lit("")) for i in items]) if items else F.lit("")
             return F.concat(F.lit("["), inner, F.lit("]"))
         if isinstance(node, P.Lit):
             return F.lit(_compact(node.value))
         if isinstance(node, P.Var) and node.name != "$$":
             info = scope.get(node.name)
+            if info and info["kind"] == "lambda_struct":
+                return info["col"]["j"]
             if info and info["kind"] in ("item", "scalar"):
                 return F.col(f"j_{node.name}")
             if info and info["kind"] == "handle":
@@ -1962,17 +1979,36 @@ class DocEvaluator:
         ):
             raise JsoniqCompileError("FLWOR in scalar position unsupported")
         c = node.clauses[0]
-        src = self._scalar(c.source, scope)
+        src_info = (
+            scope.get(c.source.name)
+            if isinstance(c.source, P.Var)
+            else None
+        )
+        if isinstance(src_info, dict) and src_info.get("kind") == "seq":
+            # sequence-let source: iterate the packed structs so node
+            # IDENTITY survives into the body (sdb:revision($n) inside
+            # `[for $n in $result return …]` — the changed-node-
+            # detection corpus shape)
+            src = F.col(f"a_{c.source.name}")
+            kind = "lambda_struct"
+        else:
+            src = self._scalar(c.source, scope)
+            kind = "lambda"
 
         def bind(x):
             qs = dict(scope)
-            qs[c.var] = {"kind": "lambda", "col": x}
+            qs[c.var] = {"kind": kind, "col": x}
             return qs
+
+        def as_variant(x):
+            if kind == "lambda_struct":
+                return F.parse_json(x["j"])
+            return x
 
         if node.where is not None:
             src = F.filter(src, lambda x: self._ebv(node.where, bind(x)))
         if isinstance(node.ret, P.Var) and node.ret.name == c.var:
-            return src
+            return F.transform(src, as_variant) if kind == "lambda_struct" else src
         return F.flatten(
             F.transform(src, lambda x: self._scalar(node.ret, bind(x)))
         )
@@ -2015,10 +2051,28 @@ class DocEvaluator:
             ).cast(_DEC_T)
             txt = F.when(has_dbl, _emit_dbl(ddl)).otherwise(_emit_dec(dec))
         else:
-            pick = F.array_min if short == "min" else F.array_max
-            txt = F.when(has_dbl, _emit_dbl(pick(dbls))).otherwise(
-                _emit_dec(pick(decs))
+            # fn:min/fn:max return the ORIGINAL item (a bigint stays a
+            # bigint — max(5000000000, 3.7e0) serializes 5000000000,
+            # not 5.0E9; NumericComparisonRegressionTest pins it):
+            # sort by numeric value, emit the end's own serialization
+            by_val = F.array_sort(
+                arr,
+                lambda x, y: F.when(
+                    F.try_variant_get(x, "$", "double")
+                    < F.try_variant_get(y, "$", "double"),
+                    F.lit(-1),
+                )
+                .when(
+                    F.try_variant_get(x, "$", "double")
+                    > F.try_variant_get(y, "$", "double"),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0)),
             )
+            chosen = F.try_element_at(
+                by_val, F.lit(1) if short == "min" else F.lit(-1)
+            )
+            txt = F.to_json(chosen)
         return F.when(
             (n == 0) & F.lit(short != "sum"), F.array().cast("array<variant>")
         ).otherwise(F.array(F.parse_json(txt)))
@@ -2189,6 +2243,26 @@ class DocEvaluator:
             short, "fn:" + short,
         ):
             return self._scalar_agg(short, arg(0))
+        if name == "jn:find-projection-index":
+            # catalogue lookup (FindProjectionIndex.java): index number
+            # or -1 — resolved at compile time from the manifest
+            hid = self._static_handle_of(node.args[0], scope)
+            if hid is None and isinstance(node.args[0], P.Call):
+                hid = self._open_handle(node.args[0])
+            if hid is None:
+                raise JsoniqCompileError(
+                    "jn:find-projection-index needs a document handle"
+                )
+            h = self.handles.get(hid)
+            record_set = str(node.args[1].value)
+            paths = tuple(
+                str(a.value)
+                for a in getattr(node.args[2], "items", [node.args[2]])
+            )
+            n = self.store.find_index(h.db, h.res, "projection", record_set, paths)
+            return F.array(
+                F.parse_json(F.lit(str(n if n is not None else -1)))
+            )
         if name in ("empty", "fn:empty"):
             return F.array(
                 F.parse_json((F.size(arg(0)) == 0).cast("string"))
@@ -2541,6 +2615,9 @@ class DocEvaluator:
                 # identity of a sequence-valued let: its first item
                 field = {"k": "k", "h": "h", "r": "r", "s": "s", "j": "j"}[which]
                 return F.try_element_at(F.col(f"a_{node.name}"), F.lit(1))[field]
+            if info and info["kind"] == "lambda_struct":
+                field = {"k": "k", "h": "h", "r": "r", "s": "s", "j": "j"}[which]
+                return info["col"][field]
             return F.col(f"{which}_{node.name}")
         raise JsoniqCompileError("node identity of a non-variable expression")
 
@@ -2618,6 +2695,24 @@ class DocEvaluator:
 
     # ------------------------------------------------------- projection
     def _project_return(self, stream: DataFrame, scope: dict, ret) -> Seq:
+        if isinstance(ret, P.IfExpr):
+            # `if (C) then E else ()` in return position acts as a
+            # per-tuple filter and must keep E's node identity (the
+            # changed-node-detection corpus shape compares
+            # sdb:hash/jn:previous then returns the item or nothing)
+            def _is_empty(e):
+                return isinstance(e, P.SeqCtor) and not e.items
+
+            if _is_empty(ret.orelse):
+                return self._project_return(
+                    stream.filter(self._ebv(ret.cond, scope)), scope, ret.then
+                )
+            if _is_empty(ret.then):
+                return self._project_return(
+                    stream.filter(~self._ebv(ret.cond, scope)),
+                    scope,
+                    ret.orelse,
+                )
         if isinstance(ret, P.Var) and ret.name in scope and scope[ret.name].get("kind") == "seq":
             # sequence-valued let in return position: explode its
             # packed items, keeping original texts and node identity

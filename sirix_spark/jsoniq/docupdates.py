@@ -31,6 +31,8 @@ _SIDE_EFFECT_FNS = {
     "jn:create-name-index",
     "jn:drop-database",
     "jn:drop-resource",
+    "jn:create-projection-index",
+    "jn:drop-projection-index",
     "sdb:commit",
 }
 
@@ -234,6 +236,39 @@ class _PyInterp:
                 streams = new
         if f.where is not None:
             streams = [t for t in streams if self._ebv(f.where, t)]
+        if f.group_by:
+            # JSONiq group by, python-side: tuples partition on the key
+            # variables' values; other variables pack into sequences
+            # (first-appearance group order)
+            key_vars = []
+            for gk in f.group_by:
+                if gk.value is not None:
+                    for t in streams:
+                        t[gk.var] = self.eval(gk.value, t)
+                key_vars.append(gk.var)
+            groups: dict[str, dict] = {}
+            for t in streams:
+                gkey = json.dumps(
+                    [self._one(t.get(kv, [])) for kv in key_vars]
+                )
+                if gkey not in groups:
+                    groups[gkey] = dict(t)
+                else:
+                    g = groups[gkey]
+                    for var, items in t.items():
+                        if var in key_vars or not isinstance(items, list):
+                            continue
+                        g[var] = list(g.get(var, [])) + list(items)
+            streams = list(groups.values())
+            for c in f.post_group:
+                if isinstance(c, P.LetClause):
+                    for t in streams:
+                        t[c.var] = self.eval(c.value, t)
+                else:
+                    raise JsoniqCompileError(
+                        "for after group by unsupported in the "
+                        "transactional interpreter"
+                    )
         if f.order_by:
             def sk(t):
                 keys = []
@@ -371,6 +406,39 @@ class _PyInterp:
             a = self._one(self.eval(node.args[0], env))
             b = self._one(self.eval(node.args[1], env))
             return [PyItem(b in a)]
+        if name == "jn:drop-projection-index":
+            it = self.eval(node.args[0], env)[0]
+            h = self._handle(it.hid)
+            number = None
+            if len(node.args) > 1:
+                number = int(self._one(self.eval(node.args[1], env)))
+            self.ev.store.drop_index(h.db, h.res, "projection", number)
+            return [PyItem(True)]
+        if name == "jn:find-projection-index":
+            it = self.eval(node.args[0], env)[0]
+            h = self._handle(it.hid)
+            record_set = self._one(self.eval(node.args[1], env))
+            paths = tuple(
+                str(v.value) for v in self.eval(node.args[2], env)
+            )
+            n = self.ev.store.find_index(
+                h.db, h.res, "projection", record_set, paths
+            )
+            return [PyItem(n if n is not None else -1)]
+        if name in ("sum", "fn:sum", "avg", "fn:avg", "min", "fn:min", "max", "fn:max"):
+            vals = [
+                it.value for it in self.eval(node.args[0], env)
+                if isinstance(it.value, (int, float)) and not isinstance(it.value, bool)
+            ]
+            short = name.split(":", 1)[-1]
+            if not vals:
+                return [PyItem(0)] if short == "sum" else []
+            if short == "sum":
+                return [PyItem(sum(vals))]
+            if short == "avg":
+                a = sum(vals) / len(vals)
+                return [PyItem(int(a) if float(a).is_integer() else a)]
+            return [PyItem(min(vals) if short == "min" else max(vals))]
         if name.startswith("jn:create-") and name.endswith("-index"):
             return self._create_index(node, env)
         if name == "sdb:commit":
@@ -396,6 +464,13 @@ class _PyInterp:
         if kind == "cas":
             content_type = self._one(self.eval(rest[0], env))
             rest = rest[1:]
+        elif kind == "projection":
+            # jn:create-projection-index($doc, recordSetPath,
+            # (columnPaths), (columnTypes)?) — the record-set path
+            # rides in content_type; the registry IS the projection
+            # (the parquet/columnar layout serves the scans)
+            content_type = self._one(self.eval(rest[0], env))
+            rest = rest[1:2]
         if rest:
             vals = self.eval(rest[0], env)
             paths = tuple(str(v.value) for v in vals)

@@ -119,7 +119,10 @@ class DocumentStore:
         canon = dumps_doc(loads_doc(text))
         os.makedirs(self._res_dir(db, res), exist_ok=True)
         if self.exists(db, res):
-            raise DocStoreError(f"resource {db}/{res} already exists")
+            # jn:store replaces an existing resource (Brackit store
+            # createNew semantics — the reference drops and recreates)
+            self.drop_resource(db, res)
+            os.makedirs(self._res_dir(db, res), exist_ok=True)
         from sirix_spark.store.docnodes import enum_count
 
         n_slots = enum_count(loads_doc(canon))
@@ -292,7 +295,16 @@ class DocumentStore:
         layout IS the index — SURVEY.md §7 'Do NOT port'); the
         registry preserves find-index numbering/commit semantics."""
         m = self._read_manifest(db, res)
-        number = len(m["indexes"])
+        for e in m["indexes"]:
+            if (
+                e["kind"] == kind
+                and e["content_type"] == content_type
+                and tuple(e["paths"]) == tuple(paths)
+            ):
+                return e["number"]  # catalogues once (idempotent create)
+        number = (
+            max((e["number"] for e in m["indexes"]), default=-1) + 1
+        )
         m["indexes"].append(
             {
                 "number": number,
@@ -303,6 +315,26 @@ class DocumentStore:
         )
         self._write_manifest(db, res, m)
         return number
+
+    def drop_index(
+        self,
+        db: str,
+        res: str,
+        kind: str,
+        number: int | None = None,
+    ) -> int:
+        """jn:drop-*-index — remove matching definitions (all of the
+        kind when no number is given); returns how many dropped."""
+        m = self._read_manifest(db, res)
+        keep, dropped = [], 0
+        for e in m["indexes"]:
+            if e["kind"] == kind and (number is None or e["number"] == number):
+                dropped += 1
+            else:
+                keep.append(e)
+        m["indexes"] = keep
+        self._write_manifest(db, res, m)
+        return dropped
 
     def find_index(
         self,
@@ -323,7 +355,7 @@ class DocumentStore:
         for e in self._read_manifest(db, res)["indexes"]:
             if e["kind"] != kind:
                 continue
-            if kind == "cas" and e["content_type"] != content_type:
+            if kind in ("cas", "projection") and e["content_type"] != content_type:
                 continue
             def covered(p: str) -> bool:
                 if p in e["paths"]:

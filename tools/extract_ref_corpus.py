@@ -305,50 +305,72 @@ def _collect_assigns(body: str) -> dict[str, str]:
 
 
 def extract_file(path: Path) -> tuple[list[dict], list[dict]]:
-    """Return (cases, skipped) for one Java test source."""
+    """Return (cases, skipped) for one Java test source.
+
+    Walks each @Test method POSITIONALLY: standalone ``query(...)``
+    calls accumulate as setup; every ``test(query, expected)`` /
+    ``testIgnoreNodeKeys(...)`` call emits one case whose setup is
+    everything executed before it in source order (earlier test()
+    queries re-run as setup — reads are idempotent). Methods with
+    several assertions (e.g. ProjectionIndexFunctionTest's
+    find→drop→find) therefore extract in execution order instead of
+    collapsing to the first assertion."""
     src = path.read_text()
     cases, skipped = [], []
     class_assigns = _collect_assigns(src)  # class-level constants
+    call_pat = re.compile(r"\b(testIgnoreNodeKeys|test|query)\s*\(")
     for name, body in _method_bodies(src):
         ev = _Evaluator({**class_assigns, **_collect_assigns(body)})
-        call = None
-        for fn, ignore_nk in (("testIgnoreNodeKeys", True), ("test", False)):
-            found = _find_call(body, fn)
-            if found:
-                call = (fn, found[0], ignore_nk)
-                break
-        if call is None:
-            skipped.append({"name": name, "reason": "no test(...) call"})
-            continue
-        try:
-            args = [ev.value(a) for a in _split_args(call[1])]
-        except Unsupported as e:
-            skipped.append({"name": name, "reason": str(e)})
-            continue
-        if len(args) < 2:
-            skipped.append({"name": name, "reason": f"{len(args)} args"})
-            continue
-        # extra standalone query(...) setup calls before the test call
-        extra_setup = []
+        setup: list[str] = []
+        n_emitted = 0
+        failed = None
         idx = 0
         while True:
-            found = _find_call(body, "query", idx)
+            m = call_pat.search(body, idx)
+            if not m:
+                break
+            fn = m.group(1)
+            found = _find_call(body, fn, m.start())
             if not found:
                 break
+            args_src, idx = found
             try:
-                extra_setup.append(ev.value(_split_args(found[0])[0]))
-            except Unsupported:
-                pass
-            idx = found[1]
-        cases.append(
-            {
-                "name": name,
-                "setup": extra_setup + args[:-2],
-                "query": args[-2],
-                "expected": args[-1],
-                "ignore_node_keys": call[2],
-            }
-        )
+                args = [ev.value(a) for a in _split_args(args_src)]
+            except Unsupported as e:
+                if fn == "query":
+                    continue  # un-evaluable setup: skip it
+                failed = str(e)
+                break
+            if fn == "query":
+                if args:
+                    setup.append(args[0])
+                continue
+            if len(args) < 2:
+                failed = f"{len(args)} args"
+                break
+            live = "\n".join(
+                ln for ln in args[-2].splitlines()
+                if not ln.lstrip().startswith("//")
+            ).strip()
+            if not live:
+                continue  # fully commented-out assertion
+            n_emitted += 1
+            case_name = name if n_emitted == 1 else f"{name}#{n_emitted}"
+            cases.append(
+                {
+                    "name": case_name,
+                    "setup": setup + args[:-2],
+                    "query": args[-2],
+                    "expected": args[-1],
+                    "ignore_node_keys": fn == "testIgnoreNodeKeys",
+                }
+            )
+            # later assertions in the same method see this state
+            setup = setup + args[:-2] + [args[-2]]
+        if failed is not None:
+            skipped.append({"name": name, "reason": failed})
+        elif n_emitted == 0:
+            skipped.append({"name": name, "reason": "no test(...) call"})
     return cases, skipped
 
 
@@ -363,6 +385,9 @@ def extract_corpus(paths: list[Path] | None = None) -> dict:
             / "function/jn/index/ArrayIndexAccessOptimizerTest.java",
             REF_QUERY_TEST_DIR
             / "function/jn/index/IndexVersioningIntegrationTest.java",
+            REF_QUERY_TEST_DIR / "ProjectionIndexFunctionTest.java",
+            REF_QUERY_TEST_DIR / "ProjectionDoubleAggregateServingTest.java",
+            REF_QUERY_TEST_DIR / "VectorizedSourceRefServingTest.java",
         ]
     all_cases, all_skipped = [], []
     for p in paths:

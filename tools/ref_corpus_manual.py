@@ -696,6 +696,37 @@ CASES += [
        **{"assert": "nonempty"}),
 ]
 
+# ---------------------------- json/NumericComparisonRegressionTest
+_NUM_STORE = "jn:store('json-path1','mydoc.jn','{}')"
+
+
+def _numcase(name, data, query, expected):
+    return _c(
+        f"NumericComparison#{name}", "NumericComparisonRegressionTest.java",
+        query, expected,
+        setup=[f"jn:store('json-path1','mydoc.jn','{data}')"],
+    )
+
+
+_ND = "jn:doc('json-path1','mydoc.jn')"
+CASES += [
+    _numcase("orderByInt64AndDouble", '{"vals":[5000000000, 3.7e0]}',
+             f"for $v in {_ND}.vals[] order by $v return $v",
+             "3.7 5000000000"),
+    _numcase("minInt64AndDouble", '{"vals":[5000000000, 3.7e0]}',
+             f"min({_ND}.vals[])", "3.7"),
+    _numcase("maxInt64AndDouble", '{"vals":[5000000000, 3.7e0]}',
+             f"max({_ND}.vals[])", "5000000000"),
+    _numcase("compareInt64VsDoubleLt", '{"a":5000000000,"b":3.7e0}',
+             f"{_ND}.a lt {_ND}.b", "false"),
+    _numcase("compareInt64VsDoubleGt", '{"a":5000000000,"b":3.7e0}',
+             f"{_ND}.a gt {_ND}.b", "true"),
+    _numcase("compareInt64VsDecimal", '{"a":5000000000,"b":3.7}',
+             f"{_ND}.a gt {_ND}.b", "true"),
+    _numcase("arithmeticInt64AndDouble", '{"a":5000000000,"b":1.5e0}',
+             f"({_ND}.a + {_ND}.b) gt 4.9e9", "true"),
+]
+
 # GetPath#arrayMember: the reference emits /tada/[]/[4] — position on
 # the MEMBER step, [] on the array — via GetPath.java's kind-special-
 # cased ancestor walk (the same walk whose array-node attribution is
