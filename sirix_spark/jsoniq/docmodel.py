@@ -599,6 +599,9 @@ class DocEvaluator:
             "jn:valid-at",
             "jn:open-bitemporal",
             "jn:open",
+            "xml:doc",
+            "xml:open",
+            "xml:open-revisions",
         ):
             return True
         return False
@@ -813,6 +816,8 @@ class DocEvaluator:
             return self._level_order_seq(node, stream, scope)
         if name in ("jn:valid-at", "jn:open-bitemporal"):
             return self._valid_at_seq(node, stream, scope)
+        if name in ("xml:doc", "xml:open", "xml:open-revisions"):
+            return self._xml_temporal_seq(node, stream, scope)
         if name in ("jn:exists-database", "jn:exists-resource"):
             args = [a.value for a in node.args if isinstance(a, P.Lit)]
             if name == "jn:exists-database":
@@ -1080,6 +1085,73 @@ class DocEvaluator:
         for p in parts[1:]:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
+
+    def _xml_temporal_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """Versioned-XML temporal sources (function/xml/io tests):
+        xml:doc(db,res[,rev]) / xml:open(db,res,$t) /
+        xml:open-revisions(db,res,$t1,$t2) over the XmlStore sidecar.
+        Items carry the revision's serialized XML as their text and
+        the revision number as identity (so sdb:revision composes)."""
+        from datetime import datetime as _dt
+
+        from sirix_spark.store.xmlstore import XmlStore
+
+        xs = XmlStore(self.store.root)
+
+        def _dt_arg(a):
+            if (
+                isinstance(a, P.Call)
+                and a.name == "xs:dateTime"
+                and a.args
+                and isinstance(a.args[0], P.Lit)
+            ):
+                s = str(a.args[0].value).replace("Z", "+00:00")
+                d = _dt.fromisoformat(s)
+                if d.tzinfo is None:
+                    from datetime import timezone as _tz
+
+                    d = d.replace(tzinfo=_tz.utc)
+                return d
+            raise JsoniqCompileError(f"{node.name} needs xs:dateTime literals")
+
+        lits = [a.value for a in node.args[:2] if isinstance(a, P.Lit)]
+        if len(lits) != 2:
+            raise JsoniqCompileError(f"{node.name} needs (db, res, …)")
+        db, res = lits
+        if node.name == "xml:open-revisions":
+            revs = xs.open_revisions(
+                db, res, _dt_arg(node.args[2]), _dt_arg(node.args[3])
+            )
+        elif node.name == "xml:open":
+            r = xs.open_at(db, res, _dt_arg(node.args[2]))
+            revs = [] if r is None else [r]
+        else:
+            if len(node.args) > 2:
+                revs = [self._static_int(node.args[2], scope)]
+            else:
+                revs = [xs.latest_revision(db, res)]
+        rows = [
+            (i, r, xs.read_text(db, res, r)) for i, r in enumerate(revs)
+        ]
+        if not rows:
+            df = stream.limit(0)
+            for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
+                df = df.withColumn(c, F.lit(None).cast(t))
+            return Seq(df, False, (), "many")
+        rev_df = self.spark.createDataFrame(rows, "i bigint, r int, x string")
+        joined = stream.join(F.broadcast(rev_df), F.lit(True), "inner")
+        df = (
+            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
+            .withColumn("__k", F.lit(None).cast("bigint"))
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__r", F.col("r"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.col("x"))
+            .drop("i", "r", "x")
+        )
+        return Seq(df, False, (), "many" if len(rows) != 1 else "one")
 
     def _valid_at_seq(
         self, node: P.Call, stream: DataFrame, scope: dict

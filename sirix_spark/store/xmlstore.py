@@ -1,0 +1,110 @@
+"""Versioned XML resources — the BasicXmlDBStore analog (reference:
+bundles/sirix-query/src/main/java/io/sirix/query/node/BasicXmlDBStore
+plus XmlResourceSession revisions). Same transactional layout as the
+JSON document store (manifest + one text file per revision); reads
+shred through sources/xml_source.py into the relational node table,
+so axis navigation over any revision is a Spark plan.
+
+Temporal functions served from the manifest: xml:doc(db,res[,rev]),
+xml:open(db,res,pointInTime), xml:open-revisions(db,res,t1,t2)
+(function/xml/io/{DocByPointInTime,OpenRevisions}Test)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+
+class XmlStoreError(ValueError):
+    pass
+
+
+class XmlStore:
+    def __init__(self, root: str):
+        self.root = os.path.join(root, "__xml__")
+        os.makedirs(self.root, exist_ok=True)
+
+    def _res_dir(self, db: str, res: str) -> str:
+        return os.path.join(self.root, db, res)
+
+    def _manifest_path(self, db: str, res: str) -> str:
+        return os.path.join(self._res_dir(db, res), "manifest.json")
+
+    def _read_manifest(self, db: str, res: str) -> dict:
+        p = self._manifest_path(db, res)
+        if not os.path.exists(p):
+            raise XmlStoreError(f"unknown XML resource {db}/{res}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, db: str, res: str, m: dict) -> None:
+        with open(self._manifest_path(db, res), "w") as f:
+            json.dump(m, f, indent=1)
+
+    def exists(self, db: str, res: str) -> bool:
+        return os.path.exists(self._manifest_path(db, res))
+
+    @staticmethod
+    def _entry(n: int) -> dict:
+        return {
+            "revision": n,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+
+    def store(self, db: str, res: str, xml: str) -> int:
+        os.makedirs(self._res_dir(db, res), exist_ok=True)
+        self._write_text(db, res, 1, xml)
+        self._write_manifest(db, res, {"revisions": [self._entry(1)]})
+        return 1
+
+    def commit(self, db: str, res: str, xml: str) -> int:
+        m = self._read_manifest(db, res)
+        n = m["revisions"][-1]["revision"] + 1
+        self._write_text(db, res, n, xml)
+        m["revisions"].append(self._entry(n))
+        self._write_manifest(db, res, m)
+        return n
+
+    def _write_text(self, db: str, res: str, n: int, xml: str) -> None:
+        with open(os.path.join(self._res_dir(db, res), f"r{n}.xml"), "w") as f:
+            f.write(xml)
+
+    def read_text(self, db: str, res: str, revision: int) -> str:
+        p = os.path.join(self._res_dir(db, res), f"r{revision}.xml")
+        if not os.path.exists(p):
+            raise XmlStoreError(f"no revision {revision} of {db}/{res}")
+        with open(p) as f:
+            return f.read()
+
+    def revisions(self, db: str, res: str) -> list[int]:
+        return [e["revision"] for e in self._read_manifest(db, res)["revisions"]]
+
+    def latest_revision(self, db: str, res: str) -> int:
+        return self.revisions(db, res)[-1]
+
+    def open_at(self, db: str, res: str, instant: datetime) -> int | None:
+        """Latest revision committed at-or-before the instant (None
+        before the first revision — DocByPointInTime semantics)."""
+        chosen = None
+        for e in self._read_manifest(db, res)["revisions"]:
+            if datetime.fromisoformat(e["committed_at"]) <= instant:
+                chosen = e["revision"]
+        return chosen
+
+    def open_revisions(
+        self, db: str, res: str, start: datetime, end: datetime
+    ) -> list[int]:
+        out = []
+        for e in self._read_manifest(db, res)["revisions"]:
+            t = datetime.fromisoformat(e["committed_at"])
+            if start <= t <= end:
+                out.append(e["revision"])
+        return out
+
+    def nodes_rows(self, db: str, res: str, revision: int) -> list[dict]:
+        """Shred a revision into the relational XML node-table rows
+        (sources/xml_source.py schema) — axis queries build on it."""
+        from sirix_spark.sources.xml_source import _shred_one
+
+        return _shred_one(f"{db}/{res}@r{revision}", self.read_text(db, res, revision))

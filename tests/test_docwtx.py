@@ -248,3 +248,23 @@ def test_open_bitemporal(spark, docstore):
         "xs:dateTime('2020-07-01T12:00:00Z'))",
     )
     assert got == ""
+
+
+def test_versioned_xml_store(spark, docstore):
+    """XmlStore + xml:doc/xml:open/xml:open-revisions (the
+    function/xml/io temporal tests' 5-revision timeline)."""
+    from sirix_spark.store.xmlstore import XmlStore
+
+    xs = XmlStore(docstore.root)
+    xs.store("x", "r", "<a>one</a>")
+    xs.commit("x", "r", "<a>two</a>")
+    xs.commit("x", "r", "<a>three</a>")
+    assert xs.revisions("x", "r") == [1, 2, 3]
+    q = "sdb:revision(xml:open('x','r', xs:dateTime('2200-01-01T00:00:00Z')))"
+    assert run(spark, docstore, q) == "3"
+    q = ("count(xml:open-revisions('x','r', xs:dateTime('1900-01-01T00:00:00Z'), "
+         "xs:dateTime('2200-01-01T00:00:00Z')))")
+    assert run(spark, docstore, q) == "3"
+    assert run(spark, docstore, "xml:doc('x','r', 2)") == "<a>two</a>"
+    # before the first revision → empty
+    assert run(spark, docstore, "xml:open('x','r', xs:dateTime('1900-01-01T00:00:00Z'))") == ""

@@ -242,8 +242,32 @@ def _setup_usecases_ledger(spark, store):
     store.set_valid_time_paths("ledger", "transactions", "validFrom", "validTo")
 
 
+def _setup_xml_versioned(spark, store):
+    """XmlDocumentCreator.createVersionedWithUpdatesAndDeletes: the
+    standard XML fixture then 4 committed mutations = 5 revisions
+    (r2/r3 insert <a att="attval">OOPS4!</a> as first child, r4
+    removes the trailing text, r5 setValue on node 4 — the first
+    text node, stable across the inserts)."""
+    from sirix_spark.store.xmlstore import XmlStore
+
+    xs = XmlStore(store.root)
+    base = (
+        '<p:a xmlns:p="ns" i="j">oops1<b>foo<c/></b>oops2'
+        '<b p:x="y"><c/>bar</b>oops3</p:a>'
+    )
+    ins = '<a att="attval">OOPS4!</a>'
+    r2 = base.replace(">oops1", ">" + ins + "oops1", 1)
+    r3 = r2.replace(">" + ins, ">" + ins + ins, 1)
+    r4 = r3.replace("oops3</p:a>", "</p:a>")
+    r5 = r4.replace("oops1", "fooooooo", 1)
+    xs.store("xml-db", "resource", base)
+    for t in (r2, r3, r4, r5):
+        xs.commit("xml-db", "resource", t)
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
+    "xml_versioned": _setup_xml_versioned,
     "usecases_exposures": _setup_usecases_exposures,
     "usecases_ledger": _setup_usecases_ledger,
     "temporal5": _setup_temporal5,
@@ -694,6 +718,25 @@ CASES += [
        "jn:diff('json-path1','products', 1, 2)", None,
        setup=[_SHELL_STORE, _SHELL_UPDATE, _SHELL_APPEND, _SHELL_DELETE],
        **{"assert": "nonempty"}),
+]
+
+# -------------------------------- function/xml/io temporal tests
+CASES += [
+    # reference starts the range at revision 1's own commit instant;
+    # a far-past start bounds the same 5-revision count
+    _c("XmlOpenRevisions#fiveRevisionsInRange", "OpenRevisionsTest.java",
+       "count(xml:open-revisions('xml-db','resource', "
+       "xs:dateTime('1900-01-01T00:00:00Z'), xs:dateTime('2200-05-01T00:00:00Z')))",
+       "5", setup_py="xml_versioned"),
+    _c("XmlDocByPointInTime#farFutureOpensLatest", "DocByPointInTimeTest.java",
+       "sdb:revision(xml:open('xml-db','resource', xs:dateTime('2219-05-01T00:00:00')))",
+       "5", setup_py="xml_versioned"),
+    _c("XmlDoc#latestSerializes", "OpenRevisionsTest.java",
+       "xml:doc('xml-db','resource')", None, setup_py="xml_versioned",
+       **{"assert": ["fooooooo", "OOPS4!", "att=\"attval\""]}),
+    _c("XmlDoc#revisionOneIsOriginal", "OpenRevisionsTest.java",
+       "xml:doc('xml-db','resource', 1)", None, setup_py="xml_versioned",
+       **{"assert": {"contains": ["oops1", "oops3"], "not_contains": ["OOPS4!"]}}),
 ]
 
 # ---------------------------- json/NumericComparisonRegressionTest
