@@ -202,6 +202,20 @@ class DocWtx:
             self.commit()
         return self
 
+    def insert_object_record_as_first_child(self, name: str, value):
+        """Insert a single object record (field) at the FRONT of the
+        cursor object (JsonNodeTrx.insertObjectRecordAsFirstChild);
+        no auto-commit. Cursor moves to the new field's value node."""
+        node, _, _ = self._cursor_node()
+        if node["kind"] != "object":
+            raise DocStoreError("object-record insert needs an object")
+        fkey = self._next
+        self._next += 1
+        sub = self._fresh_tree(value)
+        node["fields"].insert(0, [fkey, name, sub])
+        self.cursor = sub["key"]
+        return self
+
     def insert_array_as_right_sibling(self):
         node, parent, slot = self._cursor_node()
         if parent is None or slot[0] != "item":

@@ -720,6 +720,40 @@ CASES += [
        **{"assert": "nonempty"}),
 ]
 
+def _setup_diff_insert_record(spark, store):
+    """jn/diff/DiffTest fallback+serializer tests: the standard
+    fixture at 'shredded' plus insertObjectRecordAsFirstChild
+    ("newKey": "newValue") committed as revision 2."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    store.store("json-path1", "shredded", JSON)
+    w = DocWtx(store, "json-path1", "shredded")
+    w.move_to(1)
+    w.insert_object_record_as_first_child("newKey", "newValue")
+    w.commit()
+
+
+SETUPS["diff_insert_record"] = _setup_diff_insert_record
+
+# ------------------------------------------- jn/diff/DiffTest
+CASES += [
+    # the reference asserts the parsed diff: database/resource/
+    # revision metadata plus EXACTLY one operation, an insert
+    _c("DiffTest#computedDiffSingleInsert", "DiffTest.java",
+       "jn:diff('json-path1','shredded',1,2)", None,
+       setup_py="diff_insert_record",
+       **{"assert": {
+           "contains": ['"database":"json-path1"', '"resource":"shredded"',
+                        '"old-revision":1', '"new-revision":2',
+                        '"insert"', "newKey", "newValue"],
+           "not_contains": ['"update"', '"delete"', '"replace"'],
+       }}),
+    _c("DiffTest#diffIsJsonNotQuotedString", "DiffTest.java",
+       "jn:diff('json-path1','shredded',1,2)", None,
+       setup_py="diff_insert_record",
+       **{"assert": {"contains": ['{"database"'], "not_contains": ['\\"database\\"']}}),
+]
+
 # -------------------------------- function/xml/io temporal tests
 CASES += [
     # reference starts the range at revision 1's own commit instant;
