@@ -388,6 +388,10 @@ def extract_corpus(paths: list[Path] | None = None) -> dict:
             REF_QUERY_TEST_DIR / "ProjectionIndexFunctionTest.java",
             REF_QUERY_TEST_DIR / "ProjectionDoubleAggregateServingTest.java",
             REF_QUERY_TEST_DIR / "VectorizedSourceRefServingTest.java",
+            # ProjectionIndexWtxServingTest deliberately excluded: its
+            # assertions interleave raw JsonNodeTrx mutations between
+            # the query() calls, which string extraction cannot see —
+            # an extracted case would replay an incomplete setup
         ]
     all_cases, all_skipped = [], []
     for p in paths:
