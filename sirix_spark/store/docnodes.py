@@ -80,15 +80,27 @@ class JNum:
         self.text = text
         self.num = num
 
+    @staticmethod
+    def _dec(x):
+        # Exact Decimal view: Decimal(int) and Decimal(float) are
+        # exact conversions, so comparisons never collapse distinct
+        # out-of-double-range or >17-significant-digit values the way
+        # a float() round-trip would, and hash() stays consistent
+        # with numerically-equal int/float (Python's unified numeric
+        # hash covers Decimal).
+        import decimal
+
+        return x if isinstance(x, decimal.Decimal) else decimal.Decimal(x)
+
     def __eq__(self, other):
         if isinstance(other, JNum):
-            return float(self.num) == float(other.num)
+            return self._dec(self.num) == self._dec(other.num)
         if isinstance(other, (int, float)):
-            return float(self.num) == float(other)
+            return self._dec(self.num) == self._dec(other)
         return NotImplemented
 
     def __hash__(self):
-        return hash(float(self.num))
+        return hash(self._dec(self.num))
 
     def __repr__(self):
         return f"JNum({self.text})"

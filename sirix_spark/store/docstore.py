@@ -193,20 +193,23 @@ class DocumentStore:
         m = self._read_manifest(db, res)
         nk = m.get("next_key")
         if nk is None:
-            keys = self.read_keys(db, res, self.latest_revision(db, res))
-            if keys is None:
-                from sirix_spark.store.docnodes import enum_count, loads_doc
+            # Legacy fallback must scan ALL revisions, not just the
+            # latest: a key issued in an earlier revision and since
+            # deleted must never be reissued, or node_revisions /
+            # sdb:item-history would conflate two distinct nodes.
+            high = 0
+            for r in self.revisions(db, res):
+                keys = self.read_keys(db, res, r)
+                if keys is None:
+                    from sirix_spark.store.docnodes import enum_count, loads_doc
 
-                nk = (
-                    enum_count(
-                        loads_doc(
-                            self.read_text(db, res, self.latest_revision(db, res))
-                        )
+                    high = max(
+                        high,
+                        enum_count(loads_doc(self.read_text(db, res, r))),
                     )
-                    + 1
-                )
-            else:
-                nk = max(keys) + 1
+                else:
+                    high = max(high, max(keys, default=0))
+            nk = high + 1
         return nk
 
     def node_revisions(self, db: str, res: str, key: int) -> list[int]:

@@ -173,19 +173,34 @@ class DocWtx:
             self.cursor = self.root["key"]
         else:
             node, _, _ = self._cursor_node()
-            sub = self._fresh_tree(value)
             if node["kind"] == "array":
+                sub = self._fresh_tree(value)
                 node["items"].insert(0, sub)
+                self.cursor = sub["key"]
             elif node["kind"] == "object":
-                if sub["kind"] != "object":
+                if not isinstance(value, dict):
                     raise DocStoreError("object insert needs an object subtree")
+                # Merge fields without materializing (or keying) the
+                # wrapper object — the reference's skipRootToken path
+                # (JsonNodeTrxImpl.insertSubtreeInternal) never
+                # allocates a key for the discarded wrapper, and the
+                # cursor lands on the first inserted field.
+                seen = {n for _, n, _ in node["fields"]}
                 merged = []
-                for fkey, name, child in sub["fields"]:
-                    merged.append([fkey, name, child])
+                for name, v in value.items():
+                    if name in seen:
+                        raise DocStoreError(
+                            f"duplicate object key {name!r} in "
+                            f"{self.db}/{self.res}"
+                        )
+                    seen.add(name)
+                    fkey = self._next
+                    self._next += 1
+                    merged.append([fkey, name, self._fresh_tree(v)])
                 node["fields"][0:0] = merged
+                self.cursor = merged[0][2]["key"] if merged else node["key"]
             else:
                 raise DocStoreError("cursor is not a container")
-            self.cursor = sub["key"]
         if commit:
             self.commit()
         return self
@@ -209,6 +224,14 @@ class DocWtx:
         node, _, _ = self._cursor_node()
         if node["kind"] != "object":
             raise DocStoreError("object-record insert needs an object")
+        if any(name == n for _, n, _ in node["fields"]):
+            # The keyed tree is the single source of truth: a silent
+            # duplicate would collapse in tree_value() while
+            # tree_keys() still emits both records, misaligning the
+            # keys sidecar for every node after the duplicate.
+            raise DocStoreError(
+                f"duplicate object key {name!r} in {self.db}/{self.res}"
+            )
         fkey = self._next
         self._next += 1
         sub = self._fresh_tree(value)

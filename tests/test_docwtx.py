@@ -268,3 +268,88 @@ def test_versioned_xml_store(spark, docstore):
     assert run(spark, docstore, "xml:doc('x','r', 2)") == "<a>two</a>"
     # before the first revision → empty
     assert run(spark, docstore, "xml:open('x','r', xs:dateTime('1900-01-01T00:00:00Z'))") == ""
+
+
+def test_duplicate_object_record_insert_raises(spark, docstore):
+    """ADVICE r3 (high): inserting an object record whose name already
+    exists in the target object must fail closed — a silent duplicate
+    would collapse in tree_value() while tree_keys() still emits both
+    records, misaligning the keys sidecar for every later node."""
+    from sirix_spark.store.docstore import DocStoreError
+    from sirix_spark.store.docwtx import DocWtx, tree_keys, tree_value
+
+    w = DocWtx(docstore, "db", "dup.jn")
+    w.insert_subtree_as_first_child('{"a":1,"b":2}')
+    with pytest.raises(DocStoreError, match="duplicate object key"):
+        w.move_to(1).insert_object_record_as_first_child("a", 99)
+    # tree untouched: value/keys sidecar still aligned
+    assert tree_value(w.root) == {"a": 1, "b": 2}
+    assert len(tree_keys(w.root)) == 5
+    w.commit()
+    assert run(spark, docstore, "jn:doc('db','dup.jn').b") == "2"
+    # history of 'b' stays a single clean chain
+    q = "sdb:item-history(sdb:select-item(jn:doc('db','dup.jn'), 5))"
+    assert run(spark, docstore, q) == "2 2"
+
+
+def test_object_merge_cursor_and_keys(spark, docstore):
+    """ADVICE r3 (medium): object-into-object subtree insert merges
+    fields without keying the discarded wrapper (the reference's
+    skipRootToken path) and lands the cursor on the first merged
+    field's value so subsequent cursor ops work."""
+    from sirix_spark.store.docstore import DocStoreError
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(docstore, "db", "om.jn")
+    w.insert_subtree_as_first_child('{"x":1}')  # keys 1,2,3
+    w.move_to(1).insert_subtree_as_first_child('{"p":7,"q":8}', commit=False)
+    # wrapper slot NOT allocated: p-record 4, p-value 5, q-record 6, q-value 7
+    assert docstore.next_key("db", "om.jn") == 4  # nothing committed yet
+    assert w.cursor == 5
+    w.set_string_value("seven").commit()
+    assert run(spark, docstore, "jn:doc('db','om.jn')") == (
+        '{"p":"seven","q":8,"x":1}'
+    )
+    assert docstore.read_keys("db", "om.jn", 2) == [1, 4, 5, 6, 7, 2, 3]
+    # duplicate field in the merged object fails closed too
+    with pytest.raises(DocStoreError, match="duplicate object key"):
+        w.move_to(1).insert_subtree_as_first_child('{"x":0}', commit=False)
+    # empty-object merge is a no-op that leaves the cursor on the target
+    w.move_to(1).insert_subtree_as_first_child("{}", commit=False)
+    assert w.cursor == 1
+
+
+def test_next_key_legacy_fallback_scans_all_revisions(spark, docstore):
+    """ADVICE r3 (low): a manifest without next_key must derive the
+    counter from ALL revisions' key sets — a key deleted in the latest
+    revision must never be reissued."""
+    from sirix_spark.store.docwtx import DocWtx
+
+    w = DocWtx(docstore, "db", "nk.jn")
+    w.insert_subtree_as_first_child('["a","b","c"]')  # keys 1..4
+    w.move_to(4).remove().commit()  # r2 keys 1,2,3
+    m = docstore._read_manifest("db", "nk.jn")
+    del m["next_key"]
+    docstore._write_manifest("db", "nk.jn", m)
+    assert docstore.next_key("db", "nk.jn") == 5
+
+
+def test_jnum_exact_equality():
+    """ADVICE r3 (low): JNum equality/hash must not collapse to float —
+    distinct out-of-double-range and >17-significant-digit decimals
+    stay distinct, while in-range values still compare and hash
+    consistently with int/float."""
+    from sirix_spark.store.docnodes import loads_doc
+
+    big2, big3 = loads_doc("2e308"), loads_doc("3e308")
+    assert big2 != big3
+    assert hash(big2) != hash(big3)
+    a = loads_doc("1.23456789012345678901")
+    b = loads_doc("1.23456789012345678902")
+    assert a != b
+    two = loads_doc("2.5")
+    assert two == 2.5
+    assert hash(two) == hash(2.5)
+    assert loads_doc("7") == 7
+    assert hash(loads_doc("7")) == hash(7)
+    assert loads_doc("2e308") == loads_doc("2e308")

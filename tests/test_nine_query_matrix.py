@@ -84,3 +84,32 @@ def test_matrix_query(records, name, fn, sql):
     srows = {tuple(r) for r in fn(df).collect()}
     drows = {tuple(r) for r in con.execute(sql).fetchall()}
     assert srows == drows, name
+
+
+@pytest.fixture(scope="module")
+def coded_records(spark, tmp_path_factory):
+    from sirix_spark.fixtures import generated_records_coded
+
+    path = str(tmp_path_factory.mktemp("records_coded") / "records.parquet")
+    generated_records_coded(spark, N).write.parquet(path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+def test_dict_coded_matrix_identical(spark, records, coded_records):
+    """The dict-coded ingest layout (bench.py's matrix path) must
+    produce byte-identical results to the string layout for all nine
+    shapes: group on tinyint codes, decode at emit (the reference's
+    dictionary-id kernel strategy, SirixVectorizedExecutor.java:1247)."""
+    from sirix_spark.fixtures import matrix_queries, records_vocab
+
+    df, _ = records
+    string_q = matrix_queries()
+    coded_q = matrix_queries(decode=records_vocab())
+    assert set(string_q) == set(coded_q)
+    for name in string_q:
+        s = string_q[name](df)
+        c = coded_q[name](coded_records)
+        assert s.columns == c.columns, name
+        srows = {tuple(r) for r in s.collect()}
+        crows = {tuple(r) for r in c.collect()}
+        assert srows == crows, name
