@@ -656,6 +656,8 @@ class DocEvaluator:
             stored = info.get("stored", False)
             return Seq(df, stored, info.get("handles", ()), "one")
         if isinstance(node, P.Path):
+            if any(s and s[0] == "xstep" for s in node.steps):
+                return self._xpath_seq(node, stream, scope)
             seq = self._seq_core(node.base, stream, scope)
             for step in node.steps:
                 seq = self._apply_step(seq, step, scope)
@@ -1085,6 +1087,48 @@ class DocEvaluator:
         for p in parts[1:]:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
+
+    def _xpath_seq(self, node: P.Path, stream: DataFrame, scope: dict) -> Seq:
+        """XPath path-expression steps applied to XML items (the
+        reference's Brackit path expressions over the node store,
+        SirixCompileChain.java; axis cursors axis/*.java). The base
+        sequence's XML text shreds into ONE multi-doc node table
+        (each item = one 'doc'), the steps run as relational axis
+        joins (jsoniq/xpath.py), and the results serialize back to
+        items — subtree XML for elements, values for attributes and
+        text — with the node's document-order key appended to the
+        order vector and exposed as node identity (__k matches the
+        reference's XML nodeKeys: the shredder numbers nodes in the
+        same pre-order)."""
+        from pyspark.sql import Window
+
+        from sirix_spark.jsoniq.xpath import eval_steps, serialize_result
+        from sirix_spark.sources.xml_source import shred_xml
+
+        if not all(s and s[0] == "xstep" for s in node.steps):
+            raise JsoniqCompileError(
+                "cannot mix XPath steps and JSONiq steps in one path"
+            )
+        base = self._seq_core(node.base, stream, scope)
+        w = Window.orderBy(F.col("__ord"))
+        bdf = base.df.withColumn(
+            "__xid", F.row_number().over(w).cast("string")
+        )
+        nodes = shred_xml(
+            bdf.select(F.col("__xid").alias("doc"), F.col("__j").alias("xml"))
+        )
+        fr = eval_steps(nodes, node.steps)
+        ser = serialize_result(nodes, fr).withColumnRenamed("doc", "__xdoc")
+        out = (
+            bdf.join(ser, F.col("__xid") == F.col("__xdoc"), "inner")
+            .withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
+            .withColumn("__k", F.col("node_key"))
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.col("text"))
+            .drop("__xid", "__xdoc", "node_key", "text")
+        )
+        return Seq(out, False, (), "many")
 
     def _xml_temporal_seq(
         self, node: P.Call, stream: DataFrame, scope: dict

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<var>\$\$|\$[A-Za-z_][\w-]*)
   | (?P<qname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<name>[A-Za-z_][\w-]*)
-  | (?P<op>:=|\[\?|=>>|!=|<=|>=|\[\]|[.,:;(){}\[\]=<>+*/-])
+  | (?P<op>:=|::|\[\?|=>>|!=|<=|>=|\[\]|//|[.,:;(){}\[\]=<>@+*/-])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -90,6 +90,15 @@ class Path:
     # step forms: ("field", name) ("unbox",) ("index", Expr)
     #             ("slice", Expr|None, Expr|None) ("pred", Expr)
     #             ("descend", name)   # =>> recursive field lookup
+    #             ("xstep", axis, test, preds)  # XPath step over XML
+    #               axis ∈ child descendant descendant-or-self self
+    #                      parent ancestor ancestor-or-self attribute
+    #                      following-sibling preceding-sibling
+    #                      following preceding
+    #               test ∈ ("name", n) ("wildcard",) ("text",)
+    #                      ("node",) ("comment",)
+    #               preds: ("pos", int) ("poslast",)
+    #                      ("exists", [xsteps]) ("cmp", [xsteps], op, v)
 
 
 @dataclass
@@ -519,6 +528,10 @@ class _Parser:
             elif self.at("op", "[]"):
                 self.i += 1
                 steps.append(("unbox",))
+            elif self.at("op", "/") or self.at("op", "//"):
+                dbl = self.cur.text == "//"
+                self.i += 1
+                steps.extend(self._xpath_step(dbl))
             elif self.at("op", "[?"):
                 self.i += 1
                 pred = self.or_expr()
@@ -539,6 +552,100 @@ class _Parser:
             else:
                 break
         return Path(node, steps) if steps else node
+
+    _AXES = {
+        "child", "descendant", "descendant-or-self", "self", "parent",
+        "ancestor", "ancestor-or-self", "attribute",
+        "following-sibling", "preceding-sibling", "following", "preceding",
+    }
+
+    def _xpath_step(self, dbl: bool) -> list:
+        """One XPath step after '/' or '//' → list of xstep tuples.
+        '//' lowers to the spec's expansion
+        /descendant-or-self::node()/ so positional predicates keep
+        per-parent semantics (//b[2] = the 2nd b child of EACH
+        parent, not the 2nd b overall)."""
+        out = []
+        if dbl:
+            out.append(("xstep", "descendant-or-self", ("node",), []))
+        axis = "child"
+        if (
+            self.cur.kind in ("name", "kw")
+            and self.cur.text in self._AXES
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == "::"
+        ):
+            axis = self.eat(self.cur.kind).text
+            self.eat("op", "::")
+        test = self._xpath_nodetest(axis)
+        if test[0] == "attr":
+            axis = "attribute"
+            test = ("name", test[1]) if test[1] != "*" else ("wildcard",)
+        preds = []
+        while self.at("op", "["):
+            self.i += 1
+            preds.append(self._xpath_pred())
+            self.eat("op", "]")
+        out.append(("xstep", axis, test, preds))
+        return out
+
+    def _xpath_nodetest(self, axis: str) -> tuple:
+        if self.opt("op", "@"):
+            if self.opt("op", "*"):
+                return ("attr", "*")
+            return ("attr", self.eat(self.cur.kind).text)
+        if self.opt("op", "*"):
+            return ("wildcard",)
+        if self.cur.kind in ("name", "kw", "qname"):
+            txt = self.eat(self.cur.kind).text
+            if txt in ("text", "node", "comment") and self.at("op", "("):
+                self.eat("op", "(")
+                self.eat("op", ")")
+                return (txt,)
+            return ("name", txt)
+        raise JsoniqSyntaxError(f"bad XPath node test at {self.cur.pos}")
+
+    def _xpath_pred(self) -> tuple:
+        """Predicate subset: integer position, last(), a relative
+        path (optionally compared to a literal)."""
+        if self.cur.kind == "number":
+            n = self.eat("number").text
+            if "." in n or "e" in n or "E" in n:
+                raise JsoniqSyntaxError(f"non-integer position at {self.cur.pos}")
+            return ("pos", int(n))
+        if (
+            self.cur.kind in ("name", "kw")
+            and self.cur.text == "last"
+            and self.toks[self.i + 1].text == "("
+        ):
+            self.i += 1
+            self.eat("op", "(")
+            self.eat("op", ")")
+            return ("poslast",)
+        rel = self._xpath_relpath()
+        if self.cur.kind == "op" and self.cur.text in ("=", "!=", "<", "<=", ">", ">="):
+            op = self.eat("op").text
+            t = self.cur
+            if t.kind == "string":
+                self.i += 1
+                return ("cmp", rel, op, _unquote(t.text))
+            if t.kind == "number":
+                self.i += 1
+                return ("cmp", rel, op, float(t.text))
+            if t.kind == "op" and t.text == "-" and self.toks[self.i + 1].kind == "number":
+                self.i += 1
+                return ("cmp", rel, op, -float(self.eat("number").text))
+            raise JsoniqSyntaxError(f"bad predicate literal at {t.pos}")
+        return ("exists", rel)
+
+    def _xpath_relpath(self) -> list:
+        """Relative path inside a predicate: step ('/' step)*."""
+        steps = self._xpath_step(False)
+        while self.at("op", "/") or self.at("op", "//"):
+            dbl = self.cur.text == "//"
+            self.i += 1
+            steps.extend(self._xpath_step(dbl))
+        return steps
 
     def primary(self):
         t = self.cur

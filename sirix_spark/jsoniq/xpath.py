@@ -1,0 +1,362 @@
+"""XPath path-expression steps over the shredded XML node table.
+
+The reference compiles XQuery path expressions through Brackit over
+its node store (SirixCompileChain.java; the axis cursors live in
+bundles/sirix-core/src/main/java/io/sirix/axis/*.java —
+DescendantAxis, FollowingAxis, PrecedingSiblingAxis, …). Here every
+axis is a relational operation over the node table
+(sirix_spark/sources/xml_source.py NODE_SCHEMA):
+
+- child / attribute       → (doc, parent_key) equi-join
+- descendant(-or-self)    → (node_key, descendant_count) interval join
+- parent / ancestor       → parent_key / ancestors-array join
+- sibling / following /
+  preceding               → (parent_key, pos) / interval predicates
+
+After every step the frontier is deduped on (doc, node_key) — XPath
+set semantics — and document order IS node_key order, so no sorting
+state is carried between steps. Predicates:
+
+- positional ``[n]`` / ``[last()]`` → row_number over a window
+  partitioned by (doc, context node), ordered by node_key (reverse
+  axes count in reverse document order, per spec);
+- ``[relpath]`` existence and ``[relpath = literal]`` comparisons →
+  evaluate the relative path carrying the origin key, compute the
+  XPath string-value (attribute/text value, or the concatenation of
+  an element's descendant text in document order), filter, and
+  semi-join back to origins — existential semantics.
+
+Everything is a DataFrame plan: a corpus of N documents shreds into
+one table and each step is one join across all documents at once, so
+the same code path serves one 10-node test document and a 100 TB
+document collection partitioned by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sirix_spark.sources.xml_source import (
+    ATTRIBUTE,
+    COMMENT,
+    DOCUMENT,
+    ELEMENT,
+    TEXT,
+)
+
+NODE_COLS = (
+    "doc", "node_key", "parent_key", "kind", "name", "value",
+    "pos", "level", "path", "descendant_count", "ancestors",
+)
+
+REVERSE_AXES = {"preceding", "preceding-sibling", "ancestor", "ancestor-or-self"}
+
+
+class XPathError(ValueError):
+    pass
+
+
+def initial_frontier(nodes: DataFrame) -> DataFrame:
+    """The document node of every doc — the absolute-path context."""
+    return nodes.filter(F.col("kind") == DOCUMENT)
+
+
+def _test_filter(df: DataFrame, axis: str, test: tuple) -> DataFrame:
+    kind = F.col("kind")
+    if axis == "attribute":
+        # namespace declarations are NOT attributes in the XPath data
+        # model (the reference stores them as NamespaceNode, excluded
+        # from AttributeAxis — AttributeAxisTest.java:57-69)
+        df = df.filter(
+            (kind == ATTRIBUTE)
+            & (F.col("name") != "xmlns")
+            & ~F.col("name").startswith("xmlns:")
+        )
+        if test[0] == "name":
+            return df.filter(F.col("name") == test[1])
+        if test[0] in ("wildcard", "node"):
+            return df
+        raise XPathError(f"bad attribute test {test}")
+    t = test[0]
+    if t == "name":
+        return df.filter((kind == ELEMENT) & (F.col("name") == test[1]))
+    if t == "wildcard":
+        return df.filter(kind == ELEMENT)
+    if t == "text":
+        return df.filter(kind == TEXT)
+    if t == "comment":
+        return df.filter(kind == COMMENT)
+    if t == "node":
+        # node() excludes attributes on every non-attribute axis
+        return df.filter(kind != ATTRIBUTE)
+    raise XPathError(f"bad node test {test}")
+
+
+def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
+    """Join the frontier's context nodes to their axis results.
+    Output = node columns of the RESULT nodes + ``c_key`` (the
+    context key, for positional predicates) + any passthrough
+    columns (o_*) the frontier carries."""
+    extras = [c for c in frontier.columns if c.startswith("o_")]
+    ctx = frontier.select(
+        F.col("doc").alias("c_doc"),
+        F.col("node_key").alias("c_key"),
+        F.col("parent_key").alias("c_parent"),
+        F.col("pos").alias("c_pos"),
+        F.col("descendant_count").alias("c_dc"),
+        F.col("ancestors").alias("c_anc"),
+        F.col("kind").alias("c_kind"),
+        *extras,
+    )
+    n, c = F.col, lambda name: F.col(name)  # noqa: E731
+    same_doc = n("doc") == c("c_doc")
+    not_attr = n("kind") != ATTRIBUTE
+    if axis in ("child", "attribute"):
+        cond = same_doc & (n("parent_key") == c("c_key"))
+        if axis == "child":
+            cond = cond & not_attr
+    elif axis == "descendant":
+        cond = (
+            same_doc
+            & (n("node_key") > c("c_key"))
+            & (n("node_key") <= c("c_key") + c("c_dc"))
+            & not_attr
+        )
+    elif axis == "descendant-or-self":
+        cond = (
+            same_doc
+            & (n("node_key") >= c("c_key"))
+            & (n("node_key") <= c("c_key") + c("c_dc"))
+            & not_attr
+        )
+    elif axis == "self":
+        cond = same_doc & (n("node_key") == c("c_key"))
+    elif axis == "parent":
+        cond = same_doc & (n("node_key") == c("c_parent"))
+    elif axis == "ancestor":
+        cond = same_doc & F.array_contains(c("c_anc"), n("node_key"))
+    elif axis == "ancestor-or-self":
+        cond = same_doc & (
+            F.array_contains(c("c_anc"), n("node_key"))
+            | (n("node_key") == c("c_key"))
+        )
+    elif axis == "following-sibling":
+        cond = (
+            same_doc
+            & (n("parent_key") == c("c_parent"))
+            & (n("pos") > c("c_pos"))
+            & not_attr
+        )
+    elif axis == "preceding-sibling":
+        cond = (
+            same_doc
+            & (n("parent_key") == c("c_parent"))
+            & (n("pos") < c("c_pos"))
+            & not_attr
+        )
+    elif axis == "following":
+        cond = same_doc & (n("node_key") > c("c_key") + c("c_dc")) & not_attr
+    elif axis == "preceding":
+        cond = (
+            same_doc
+            & (n("node_key") < c("c_key"))
+            & ~F.array_contains(c("c_anc"), n("node_key"))
+            & not_attr
+        )
+    else:
+        raise XPathError(f"unsupported axis {axis!r}")
+    # small-frontier broadcast: the context side of a step is tiny
+    # relative to the node table; Catalyst/AQE will still pick
+    # shuffle-hash if the frontier is large.
+    out = nodes.join(ctx, cond, "inner")
+    keep = list(NODE_COLS) + ["c_key"] + extras
+    return out.select(*keep)
+
+
+def _positional(df: DataFrame, axis: str, idx, last: bool) -> DataFrame:
+    order = F.col("node_key").desc() if axis in REVERSE_AXES else F.col("node_key").asc()
+    w = Window.partitionBy("doc", "c_key").orderBy(order)
+    if last:
+        wl = Window.partitionBy("doc", "c_key")
+        df = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(wl)
+        )
+        return df.filter(F.col("__rn") == F.col("__cnt")).drop("__rn", "__cnt")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == int(idx))
+        .drop("__rn")
+    )
+
+
+def string_value(nodes: DataFrame, frontier: DataFrame) -> DataFrame:
+    """frontier + ``sval``: XPath string-value. Attributes/text/
+    comments carry their value; an element's string-value is the
+    concatenation of its descendant text nodes in document order
+    (computed with one interval join + sorted aggregate)."""
+    direct = frontier.filter(F.col("kind") != ELEMENT).withColumn(
+        "sval", F.coalesce(F.col("value"), F.lit(""))
+    )
+    elems = frontier.filter(F.col("kind") == ELEMENT)
+    texts = nodes.filter(F.col("kind") == TEXT).select(
+        F.col("doc").alias("t_doc"),
+        F.col("node_key").alias("t_key"),
+        F.col("value").alias("t_val"),
+    )
+    joined = elems.join(
+        texts,
+        (F.col("t_doc") == F.col("doc"))
+        & (F.col("t_key") > F.col("node_key"))
+        & (F.col("t_key") <= F.col("node_key") + F.col("descendant_count")),
+        "left",
+    )
+    group_cols = [c for c in elems.columns]
+    agg = joined.groupBy(*group_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("t_key").alias("k"), F.col("t_val").alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            "",
+        ).alias("sval")
+    )
+    return direct.unionByName(agg)
+
+
+def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> DataFrame:
+    kind = pred[0]
+    if kind == "pos":
+        return _positional(df, axis, pred[1], last=False)
+    if kind == "poslast":
+        return _positional(df, axis, None, last=True)
+    # relpath predicates: evaluate from each candidate, carrying its
+    # identity; keep candidates with >= 1 (matching) result.
+    rel = pred[1]
+    origin = df.withColumn("o_doc", F.col("doc")).withColumn("o_key", F.col("node_key"))
+    sub = origin.select(*NODE_COLS, "o_doc", "o_key")
+    for step in rel:
+        _, ax, test, preds = step
+        sub = _test_filter(_axis_join(nodes, sub, ax), ax, test)
+        for p in preds:
+            sub = _apply_pred(nodes, sub, ax, p)
+        sub = sub.dropDuplicates(["doc", "node_key", "o_doc", "o_key"])
+    if kind == "cmp":
+        _, _, op, lit = pred
+        sub = string_value(nodes, sub)
+        col = F.col("sval")
+        if isinstance(lit, (int, float)):
+            col = col.cast("double")
+        cmpmap = {
+            "=": col == F.lit(lit),
+            "!=": col != F.lit(lit),
+            "<": col < F.lit(lit),
+            "<=": col <= F.lit(lit),
+            ">": col > F.lit(lit),
+            ">=": col >= F.lit(lit),
+        }
+        sub = sub.filter(cmpmap[op])
+    matched = sub.select(
+        F.col("o_doc").alias("m_doc"), F.col("o_key").alias("m_key")
+    ).dropDuplicates()
+    return df.join(
+        matched,
+        (F.col("doc") == F.col("m_doc")) & (F.col("node_key") == F.col("m_key")),
+        "left_semi",
+    )
+
+
+def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None) -> DataFrame:
+    """Apply a parsed xstep list to the node table. Returns the final
+    frontier (node rows, deduped, any order — document order is
+    node_key order within each doc)."""
+    if frontier is None:
+        frontier = initial_frontier(nodes)
+    frontier = frontier.select(*[c for c in frontier.columns if c in NODE_COLS or c.startswith("o_")])
+    for step in steps:
+        _, axis, test, preds = step
+        frontier = _test_filter(_axis_join(nodes, frontier, axis), axis, test)
+        for p in preds:
+            frontier = _apply_pred(nodes, frontier, axis, p)
+        dedup_keys = ["doc", "node_key"] + [
+            c for c in frontier.columns if c.startswith("o_")
+        ]
+        frontier = frontier.dropDuplicates(dedup_keys).select(
+            *NODE_COLS, *[c for c in frontier.columns if c.startswith("o_")]
+        )
+    return frontier
+
+
+# ------------------------------------------------------- serialization
+def serialize_result(nodes: DataFrame, frontier: DataFrame) -> DataFrame:
+    """frontier → (doc, node_key, text): the reference's XML
+    serialization of each result item — subtree XML for elements,
+    the value for attribute/text/comment results. Subtrees rebuild
+    per result via one interval join + applyInPandas grouped on the
+    result node (same unit of parallelism as the shredder)."""
+    import pandas as pd
+
+    direct = frontier.filter(F.col("kind") != ELEMENT).select(
+        "doc",
+        "node_key",
+        F.when(F.col("kind") == COMMENT, F.concat(F.lit("<!--"), F.col("value"), F.lit("-->")))
+        .otherwise(F.coalesce(F.col("value"), F.lit("")))
+        .alias("text"),
+    )
+    roots = frontier.filter(F.col("kind") == ELEMENT).select(
+        F.col("doc").alias("r_doc"),
+        F.col("node_key").alias("r_key"),
+        F.col("descendant_count").alias("r_dc"),
+    )
+    span = nodes.join(
+        roots,
+        (F.col("doc") == F.col("r_doc"))
+        & (F.col("node_key") >= F.col("r_key"))
+        & (F.col("node_key") <= F.col("r_key") + F.col("r_dc")),
+        "inner",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from sirix_spark.sources.xml_source import _esc
+
+        pdf = pdf.sort_values("node_key")
+        rows = pdf.to_dict("records")
+        by_parent: dict[int, list] = {}
+        for r in rows:
+            if r["parent_key"] is not None and not pd.isna(r["parent_key"]):
+                by_parent.setdefault(int(r["parent_key"]), []).append(r)
+        for v in by_parent.values():
+            v.sort(key=lambda r: r["pos"])
+
+        def render(r) -> str:
+            kind = r["kind"]
+            if kind == TEXT:
+                return _esc(r["value"])
+            if kind == COMMENT:
+                return f"<!--{r['value']}-->"
+            if kind == "PROCESSING_INSTRUCTION":
+                return f"<?{r['value']}?>"
+            if kind == ELEMENT:
+                kids = by_parent.get(int(r["node_key"]), [])
+                attrs = "".join(
+                    f' {k["name"]}="{_esc(k["value"], attr=True)}"'
+                    for k in kids
+                    if k["kind"] == ATTRIBUTE
+                )
+                inner = "".join(render(k) for k in kids if k["kind"] != ATTRIBUTE)
+                if not inner:
+                    return f"<{r['name']}{attrs}/>"
+                return f"<{r['name']}{attrs}>{inner}</{r['name']}>"
+            return ""
+
+        root = rows[0]
+        return pd.DataFrame(
+            {"doc": [root["doc"]], "node_key": [root["node_key"]], "text": [render(root)]}
+        )
+
+    rebuilt = span.groupBy("doc", "r_key").applyInPandas(
+        build, schema="doc string, node_key long, text string"
+    )
+    return direct.unionByName(rebuilt)

@@ -30,77 +30,78 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-3 rotation (round-2 verdict #6): near-duplicate variants of
-# already-green families (sum_qty, min_max_qty, filter_group_by,
-# multi_key_sort, json_construct, array_index_slice,
-# semi_join_customers, first_last_event) moved out of the window —
-# still oracle-checked locally by tools/check_oracle.py — to give
-# rollup/grouping-sets, the windows family, null semantics, the
-# JSONiq join/quantified/temporal entries, and the index-routed
-# vector search each a driver-green row.
+# Round-4 rotation (round-3 verdict #6, third rotation): multi-round-
+# green near-duplicates rotate OUT (filter_count, group_by_count,
+# json_field_filter, minhash_signatures, cosine_topk,
+# dense_rank_orders, customers_per_region, all_times, token_count —
+# every family keeps at least one in-window representative and all
+# stay oracle-checked by tools/check_oracle.py) so the newest
+# never-driver-green operators get rows: dedup_clusters,
+# multimodal_frame_sample, jsoniq_udf_pricing, xml_path_filter (new
+# XPath entry), rollup_counts, median_price, string_agg_nations,
+# moving_avg_per_user, anti_join_customers. Cross-round coverage is
+# tracked in PARITY.md §driver-window-coverage.
 PRIORITY: tuple[str, ...] = (
     # §2.4 aggregations + §2.2 scans/filters
     "pricing_summary",
-    "filter_count",
-    "group_by_count",
     "group_by_2keys",
     "count_distinct",
     "computed_agg",
     "grouping_sets_counts",
+    "rollup_counts",
     # JSONiq string entry point (the reference's query language)
     "jsoniq_filter_project",
     "jsoniq_group_count",
     "jsoniq_join_orders_customers",
     "jsoniq_quantified_embeddings",
     "jsoniq_all_times_store",
-    # §2.6 sorts / top-k / covered projection
+    "jsoniq_udf_pricing",
+    # §2.6 sorts / top-k / covered projection / §2.10 aggregates
     "top_k_orders",
     "covered_projection",
+    "median_price",
+    "string_agg_nations",
     # §2.3 joins
-    "customers_per_region",
     "shipping_priority",
     "national_revenue",
     "revenue_by_priority",
     "range_join_price_bands",
     "full_outer_summary",
     "asof_join_orders_events",
+    "anti_join_customers",
     # §2.7 temporal family
     "previous_next_event",
-    "all_times",
     "item_history",
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
     # §2.5 windows
-    "dense_rank_orders",
     "running_sum_per_user",
     "ntile_value_quartiles",
+    "moving_avg_per_user",
     # §2.2/§2.9/§2.10 JSON navigation + construction
     "json_deref_sum",
-    "json_field_filter",
     "array_posexplode",
     # §2.8 set ops (dense: union+intersect+except in one row)
     "set_ops",
-    # LLM-pipeline: text analysis (+ the distributed document-mode
-    # node-table path — round-3: ngram_freq rotates out to keep the
-    # window at 50; still oracle-checked locally)
-    "token_count",
+    # LLM-pipeline: text analysis + document-mode node tables + XPath
     "text_profile",
     "doc_collection_cas_scan",
-    # LLM-pipeline: dedup family
+    "xml_path_filter",
+    # LLM-pipeline: dedup family (incl. near-dup clustering)
     "exact_dedup",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "jaccard_near_dup",
     "simhash",
     "embedding_near_dup",
+    "dedup_clusters",
     # LLM-pipeline: similarity search (brute-force + index-routed)
-    "cosine_topk",
     "knn_join",
     "vector_search_routed",
     # LLM-pipeline: multimodal
     "multimodal_features",
+    "multimodal_frame_sample",
     # §2.10 semantics corners
     "scalar_functions",
     "null_semantics",
@@ -122,6 +123,7 @@ def build_registry() -> dict[str, Query]:
         similarity,
         temporal,
         text,
+        xmlqueries,
     )
 
     merged: dict[str, Query] = {}
@@ -139,6 +141,7 @@ def build_registry() -> dict[str, Query]:
         semantics,
         multimodal,
         doccollection,
+        xmlqueries,
     ):
         for name, q in mod.QUERIES.items():
             if name in merged:

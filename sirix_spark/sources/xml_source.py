@@ -27,7 +27,6 @@ service/json/shredder/ParallelJsonShredder.java:72).
 
 from __future__ import annotations
 
-import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,9 +52,15 @@ def _shred_one(doc: str, xml: str) -> list[dict]:
     """Pre-order walk of one document → node rows. node_key is the
     document-order index; descendant_count closes over the subtree
     (the reference stores exactly these two to answer the descendant
-    axis without traversal)."""
-    parser = ET.XMLParser(target=ET.TreeBuilder(insert_comments=True, insert_pis=True))
-    root = ET.fromstring(xml, parser=parser)
+    axis without traversal).
+
+    Parses with expat WITHOUT namespace processing so qnames survive
+    verbatim (``p:a`` stays ``p:a``, ``xmlns:p`` is an ordinary
+    attribute) — the reference likewise stores/serializes prefixes
+    as written (NamespaceNode / XmlSerializer), which is what makes
+    shred→serialize byte-faithful on namespaced documents."""
+    from xml.parsers import expat
+
     rows: list[dict] = []
     counter = [0]
 
@@ -79,36 +84,64 @@ def _shred_one(doc: str, xml: str) -> list[dict]:
         )
         return key
 
-    def walk(el, parent_key, pos, level, parent_path, ancestors):
-        if el.tag is ET.Comment:
-            emit(parent_key, COMMENT, None, el.text, pos, level, parent_path, ancestors)
-            return
-        if el.tag is ET.ProcessingInstruction:
-            emit(parent_key, PI, None, el.text, pos, level, parent_path, ancestors)
-            return
-        path = f"{parent_path}/{el.tag}"
-        key = emit(parent_key, ELEMENT, el.tag, None, pos, level, path, ancestors)
-        idx = len(rows) - 1
-        child_ancestors = ancestors + [key]
-        child_pos = 0
-        for aname, avalue in el.attrib.items():
-            emit(key, ATTRIBUTE, aname, avalue, child_pos, level + 1,
-                 f"{path}/@{aname}", child_ancestors)
-            child_pos += 1
-        if el.text is not None and el.text.strip():
-            emit(key, TEXT, None, el.text, child_pos, level + 1, path, child_ancestors)
-            child_pos += 1
-        for child in el:
-            walk(child, key, child_pos, level + 1, path, child_ancestors)
-            child_pos += 1
-            if child.tail is not None and child.tail.strip():
-                emit(key, TEXT, None, child.tail, child_pos, level + 1, path,
-                     child_ancestors)
-                child_pos += 1
-        rows[idx]["descendant_count"] = counter[0] - key - 1
-
     doc_key = emit(None, DOCUMENT, None, None, 0, 0, "", [])
-    walk(root, doc_key, 0, 1, "", [doc_key])
+    # frame: [key, row_idx, path, ancestors, next_child_pos, level]
+    stack = [[doc_key, 0, "", [doc_key], 0, 1]]
+    textbuf: list[str] = []
+
+    def flush_text():
+        if not textbuf:
+            return
+        s = "".join(textbuf)
+        textbuf.clear()
+        if not s.strip():
+            return
+        fr = stack[-1]
+        emit(fr[0], TEXT, None, s, fr[4], fr[5], fr[2], fr[3])
+        fr[4] += 1
+
+    def start(name, attrs):
+        flush_text()
+        fr = stack[-1]
+        path = f"{fr[2]}/{name}"
+        key = emit(fr[0], ELEMENT, name, None, fr[4], fr[5], path, fr[3])
+        fr[4] += 1
+        idx = len(rows) - 1
+        anc = fr[3] + [key]
+        frame = [key, idx, path, anc, 0, fr[5] + 1]
+        for i in range(0, len(attrs), 2):
+            emit(key, ATTRIBUTE, attrs[i], attrs[i + 1], frame[4],
+                 frame[5], f"{path}/@{attrs[i]}", anc)
+            frame[4] += 1
+        stack.append(frame)
+
+    def end(name):
+        flush_text()
+        fr = stack.pop()
+        rows[fr[1]]["descendant_count"] = counter[0] - fr[0] - 1
+
+    def comment(data):
+        flush_text()
+        fr = stack[-1]
+        emit(fr[0], COMMENT, None, data, fr[4], fr[5], fr[2], fr[3])
+        fr[4] += 1
+
+    def pi(target, data):
+        flush_text()
+        fr = stack[-1]
+        emit(fr[0], PI, None, f"{target} {data}" if data else target,
+             fr[4], fr[5], fr[2], fr[3])
+        fr[4] += 1
+
+    p = expat.ParserCreate()
+    p.ordered_attributes = True
+    p.buffer_text = True
+    p.StartElementHandler = start
+    p.EndElementHandler = end
+    p.CharacterDataHandler = lambda data: textbuf.append(data)
+    p.CommentHandler = comment
+    p.ProcessingInstructionHandler = pi
+    p.Parse(xml, True)
     rows[0]["descendant_count"] = counter[0] - 1
     return rows
 

@@ -1,0 +1,117 @@
+"""XPath path-expression steps over the shredded XML node table
+(jsoniq/xpath.py + parser xsteps + docmodel routing). Semantics
+mirror the reference's Brackit path compilation over its node store
+(SirixCompileChain.java) and the axis cursors in
+bundles/sirix-core/src/main/java/io/sirix/axis/*.java; the corpus
+replay (tools/ref_corpus_manual.py XPath* cases) pins the
+reference's own axis-test nodeKey arrays — this file covers the
+evaluator shapes directly plus multi-document distribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sirix_spark.jsoniq import parser as P
+from sirix_spark.jsoniq.xpath import eval_steps, serialize_result, string_value
+from sirix_spark.sources.xml_source import shred_xml
+
+XML = (
+    '<p:a xmlns:p="ns" i="j">oops1<b>foo<c/></b>oops2'
+    '<b p:x="y"><c/>bar</b>oops3</p:a>'
+)
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    df = spark.createDataFrame([("d", XML)], "doc string, xml string")
+    return shred_xml(df).cache()
+
+
+def run(nodes, path: str) -> str:
+    ast = P.parse("xml:doc('d','r')" + path)
+    fr = eval_steps(nodes, ast.steps)
+    rows = serialize_result(nodes, fr).orderBy("doc", "node_key").collect()
+    return " ".join(r.text for r in rows)
+
+
+CASES = [
+    ("/p:a/b", '<b>foo<c/></b> <b p:x="y"><c/>bar</b>'),
+    ("//c", "<c/> <c/>"),
+    ("/p:a/b[2]", '<b p:x="y"><c/>bar</b>'),
+    ("/p:a/b[@p:x='y']", '<b p:x="y"><c/>bar</b>'),
+    ("/p:a/b[last()]", '<b p:x="y"><c/>bar</b>'),
+    ("/p:a/b/text()", "foo bar"),
+    ("/p:a/@i", "j"),
+    ("//c/parent::b", '<b>foo<c/></b> <b p:x="y"><c/>bar</b>'),
+    ("/p:a/b[text()='foo']", "<b>foo<c/></b>"),
+    ("//b[c]", '<b>foo<c/></b> <b p:x="y"><c/>bar</b>'),
+    ("/p:a/node()[1]", "oops1"),
+    ("/p:a/b[1]/following-sibling::b", '<b p:x="y"><c/>bar</b>'),
+    ("/p:a/b[2]/preceding-sibling::b", "<b>foo<c/></b>"),
+    # // expands to descendant-or-self::node()/child so positional
+    # predicates stay per-parent: each b has exactly ONE c child
+    ("//c[2]", ""),
+    ("/p:a/descendant::c[1]", "<c/>"),
+    ("//b[1]/following::text()", "oops2 bar oops3"),
+    ("//b[2]/preceding::b", "<b>foo<c/></b>"),
+    ("/p:a/*", '<b>foo<c/></b> <b p:x="y"><c/>bar</b>'),
+    # xmlns declarations are namespace nodes, not attributes
+    ("//b/@*", "y"),
+    ("/p:a/b/c/ancestor::p:a", XML.replace("x", "x", 1)),
+]
+
+
+@pytest.mark.parametrize("path,want", CASES, ids=[c[0] for c in CASES])
+def test_xpath_shapes(nodes, path, want):
+    assert run(nodes, path) == want
+
+
+def test_subtree_serialization_roundtrips_namespaced_doc(nodes):
+    # expat shreds qnames verbatim, so the element subtree
+    # serialization is byte-identical to the input document
+    assert run(nodes, "/p:a") == XML
+
+
+def test_multi_document_steps_are_one_plan(spark):
+    """N documents shred into one node table and every step is one
+    join across all of them — the 100 TB collection shape."""
+    docs = [(f"d{i}", XML) for i in range(10)]
+    nodes = shred_xml(
+        spark.createDataFrame(docs, "doc string, xml string").repartition(4)
+    ).cache()
+    ast = P.parse("xml:doc('d','r')//b[@p:x='y']/c")
+    fr = eval_steps(nodes, ast.steps)
+    assert fr.count() == 10
+    assert fr.select("doc").distinct().count() == 10
+    # no driver-side loops: the frontier is a single DataFrame plan
+    plan = fr._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
+def test_string_value_of_elements(nodes):
+    ast = P.parse("xml:doc('d','r')/p:a/b")
+    fr = eval_steps(nodes, ast.steps)
+    sv = {r.node_key: r.sval for r in string_value(nodes, fr).collect()}
+    assert sv == {5: "foo", 9: "bar"}
+    # element string-value concatenates ALL descendant text in order
+    ast = P.parse("xml:doc('d','r')/p:a")
+    root_sv = string_value(nodes, eval_steps(nodes, ast.steps)).first().sval
+    assert root_sv == "oops1foooops2baroops3"
+
+
+def test_docmodel_string_entry_routes_xpath(spark, tmp_path):
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+    from sirix_spark.store.xmlstore import XmlStore
+
+    store = DocumentStore(spark, str(tmp_path))
+    XmlStore(str(tmp_path)).store("xml-db", "r", XML)
+    ev = DocEvaluator(spark, store)
+    assert ev.execute("count(xml:doc('xml-db','r')//b)") == "2"
+    assert (
+        ev.execute("for $b in xml:doc('xml-db','r')//b return sdb:nodekey($b)")
+        == "5 9"
+    )
+    with pytest.raises(Exception, match="mix"):
+        ev.execute("xml:doc('xml-db','r')//b.foo")

@@ -773,6 +773,120 @@ CASES += [
        **{"assert": {"contains": ["oops1", "oops3"], "not_contains": ["OOPS4!"]}}),
 ]
 
+# ----------------------- XPath path expressions over the XML store
+# The reference compiles XQuery/XPath path syntax through Brackit over
+# its node store (SirixCompileChain.java); the axis semantics and the
+# expected nodeKey sets below are the reference's own cursor-level
+# axis tests (bundles/sirix-core/src/test/java/io/sirix/axis/
+# {Child,Descendant,Following,Preceding,FollowingSibling,
+# PrecedingSibling,Ancestor,Parent,Self,Attribute}AxisTest.java) over
+# XmlDocumentCreator's standard document, whose nodeKeys this repo's
+# shredder reproduces (1=p:a 3=@i 4=oops1 5=b 6=foo 7=c 8=oops2 9=b
+# 10=@p:x 11=c 12=bar 13=oops3). Path-expression results are in
+# document order per the XQuery spec (the reference's reverse-axis
+# cursors iterate reverse-document-order at the API level; Brackit
+# path results re-sort to document order).
+_XD1 = "xml:doc('xml-db','resource',1)"
+
+
+def _xkeys(name, source, path, expected):
+    return _c(
+        f"XPath{name}", source,
+        f"for $n in {_XD1}{path} return sdb:nodekey($n)",
+        expected, setup_py="xml_versioned",
+    )
+
+
+CASES += [
+    _xkeys("ChildAxis#atRootElement", "axis/ChildAxisTest.java",
+           "/p:a/child::node()", "4 5 8 9 13"),
+    _xkeys("ChildAxis#atFirstB", "axis/ChildAxisTest.java",
+           "/p:a/b[1]/child::node()", "6 7"),
+    _xkeys("ChildAxis#atTextIsEmpty", "axis/ChildAxisTest.java",
+           "/p:a/text()[3]/child::node()", ""),
+    _xkeys("DescendantAxis#fromDocRoot", "axis/DescendantAxisTest.java",
+           "/descendant::node()", "1 4 5 6 7 8 9 11 12 13"),
+    _xkeys("DescendantAxis#fromRootElement", "axis/DescendantAxisTest.java",
+           "/p:a/descendant::node()", "4 5 6 7 8 9 11 12 13"),
+    _xkeys("DescendantAxis#fromSecondB", "axis/DescendantAxisTest.java",
+           "/p:a/b[2]/descendant::node()", "11 12"),
+    _xkeys("DescendantOrSelf#includeSelf", "axis/DescendantAxisTest.java",
+           "/p:a/descendant-or-self::node()", "1 4 5 6 7 8 9 11 12 13"),
+    _xkeys("FollowingAxis#fromSecondC", "axis/FollowingAxisTest.java",
+           "/p:a/b[2]/c/following::node()", "12 13"),
+    _xkeys("FollowingAxis#fromFirstB", "axis/FollowingAxisTest.java",
+           "/p:a/b[1]/following::node()", "8 9 11 12 13"),
+    _xkeys("FollowingAxis#fromLastTextIsEmpty", "axis/FollowingAxisTest.java",
+           "/p:a/text()[3]/following::node()", ""),
+    _xkeys("PrecedingAxis#fromBarText", "axis/PrecedingAxisTest.java",
+           "/p:a/b[2]/text()/preceding::node()", "4 5 6 7 8 11"),
+    _xkeys("PrecedingAxis#fromFirstB", "axis/PrecedingAxisTest.java",
+           "/p:a/b[1]/preceding::node()", "4"),
+    _xkeys("PrecedingAxis#fromLastText", "axis/PrecedingAxisTest.java",
+           "/p:a/text()[3]/preceding::node()", "4 5 6 7 8 9 11 12"),
+    _xkeys("FollowingSibling#fromSecondB", "axis/FollowingSiblingAxisTest.java",
+           "/p:a/b[2]/following-sibling::node()", "13"),
+    _xkeys("FollowingSibling#fromFirstB", "axis/FollowingSiblingAxisTest.java",
+           "/p:a/b[1]/following-sibling::node()", "8 9 13"),
+    _xkeys("FollowingSibling#fromFirstText", "axis/FollowingSiblingAxisTest.java",
+           "/p:a/text()[1]/following-sibling::node()", "5 8 9 13"),
+    _xkeys("PrecedingSibling#fromBarText", "axis/PrecedingSiblingAxisTest.java",
+           "/p:a/b[2]/text()/preceding-sibling::node()", "11"),
+    _xkeys("PrecedingSibling#fromLastText", "axis/PrecedingSiblingAxisTest.java",
+           "/p:a/text()[3]/preceding-sibling::node()", "4 5 8 9"),
+    _xkeys("AncestorAxis#fromBarText", "axis/AncestorAxisTest.java",
+           "/p:a/b[2]/text()/ancestor::*", "1 9"),
+    _xkeys("AncestorAxis#fromFirstText", "axis/AncestorAxisTest.java",
+           "/p:a/text()[1]/ancestor::*", "1"),
+    _xkeys("AncestorOrSelf#fromSecondC", "axis/AncestorAxisTest.java",
+           "/p:a/b[2]/c/ancestor-or-self::*", "1 9 11"),
+    _xkeys("ParentAxis#fromFirstB", "axis/ParentAxisTest.java",
+           "/p:a/b[1]/parent::node()", "1"),
+    _xkeys("ParentAxis#fromAttribute", "axis/ParentAxisTest.java",
+           "/p:a/b[2]/@p:x/parent::node()", "9"),
+    # namespace declarations are NamespaceNodes in the reference,
+    # excluded from AttributeAxis (AttributeAxisTest.java:57-69) —
+    # the xmlns:p declaration on p:a therefore does NOT appear
+    _xkeys("AttributeAxis#atRootElement", "axis/AttributeAxisTest.java",
+           "/p:a/attribute::node()", "3"),
+    _xkeys("AttributeAxis#atSecondB", "axis/AttributeAxisTest.java",
+           "/p:a/b[2]/attribute::node()", "10"),
+    _xkeys("SelfAxis#text", "axis/SelfAxisTest.java",
+           "/p:a/text()[1]/self::node()", "4"),
+    # ---- path predicates + serialization over the same document
+    _c("XPathSerialize#subtreeWithNamespace", "node/SirixXMarkTest.java",
+       f"{_XD1}/p:a/b[2]", '<b p:x="y"><c/>bar</b>',
+       setup_py="xml_versioned"),
+    _c("XPathPredicate#attributeEquals", "node/NodeAxisTest.java",
+       f"{_XD1}//b[@p:x='y']/c", "<c/>", setup_py="xml_versioned"),
+    _c("XPathPredicate#textEquals", "node/NodeAxisTest.java",
+       f"{_XD1}//b[text()='foo']", "<b>foo<c/></b>", setup_py="xml_versioned"),
+    _c("XPathPredicate#childElementExists", "node/NodeAxisTest.java",
+       f"count({_XD1}//b[c])", "2", setup_py="xml_versioned"),
+    _c("XPathPositional#lastB", "node/NodeAxisTest.java",
+       f"{_XD1}/p:a/b[last()]/text()", "bar", setup_py="xml_versioned"),
+    _c("XPathPositional#doubleSlashKeepsPerParentCounts", "node/NodeAxisTest.java",
+       f"count({_XD1}//c[1])", "2", setup_py="xml_versioned"),
+    _c("XPathAttribute#valueSerializes", "node/NodeAxisTest.java",
+       f"{_XD1}/p:a/@i", "j", setup_py="xml_versioned"),
+    # ---- path syntax over the versioned store (r5 has the two
+    # inserted <a> children, oops1 renamed, oops3 removed — see
+    # XmlDocumentCreator.createVersionedWithUpdatesAndDeletes)
+    _c("XPathVersioned#oldRevisionKeepsOops3", "io/OpenRevisionsTest.java",
+       f"{_XD1}/p:a/text()[3]", "oops3", setup_py="xml_versioned"),
+    _c("XPathVersioned#latestTextRenamed", "io/OpenRevisionsTest.java",
+       "xml:doc('xml-db','resource')/p:a/text()[1]", "fooooooo",
+       setup_py="xml_versioned"),
+    _c("XPathVersioned#insertedFirstChild", "io/OpenRevisionsTest.java",
+       "xml:doc('xml-db','resource')/p:a/a[1]",
+       '<a att="attval">OOPS4!</a>', setup_py="xml_versioned"),
+    _c("XPathVersioned#countAcrossAllRevisions", "io/OpenRevisionsTest.java",
+       "count(xml:open-revisions('xml-db','resource', "
+       "xs:dateTime('1900-01-01T00:00:00Z'), "
+       "xs:dateTime('2200-05-01T00:00:00Z'))//b)",
+       "10", setup_py="xml_versioned"),
+]
+
 # ---------------------------- json/NumericComparisonRegressionTest
 _NUM_STORE = "jn:store('json-path1','mydoc.jn','{}')"
 
