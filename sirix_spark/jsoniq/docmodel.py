@@ -245,7 +245,7 @@ class DocEvaluator:
             sort_cols = []
             for i, k in enumerate(f.order_by):
                 arr = self._scalar(k.value, scope)
-                first = F.try_element_at(arr, F.lit(1))
+                first = F.get(arr, 0)
                 # type-aware keys: variant_get coerces STRING "10" to
                 # 10.0, which would sort strings numerically — XQuery
                 # sorts strings lexicographically (the sweep's
@@ -294,7 +294,7 @@ class DocEvaluator:
                 # its serialized value for the grouping key
                 stream = stream.withColumn(
                     f"j_{kv}",
-                    F.try_element_at(F.col(f"a_{kv}"), F.lit(1))["j"],
+                    F.get(F.col(f"a_{kv}"), 0)["j"],
                 )
                 scope[kv] = {"kind": "scalar"}
         cols = set(stream.columns)
@@ -1911,7 +1911,7 @@ class DocEvaluator:
             return self._scalar_binop(node, scope)
         if isinstance(node, P.Unary):
             inner = self._scalar(node.operand, scope)
-            d = F.try_variant_get(F.try_element_at(inner, F.lit(1)), "$", "double")
+            d = F.try_variant_get(F.get(inner, 0), "$", "double")
             return F.array(F.parse_json((-d).cast("string")))
         if isinstance(node, P.IfExpr):
             return F.when(
@@ -2056,7 +2056,7 @@ class DocEvaluator:
         # computed scalar fallback (numbers/strings/bools are
         # order-insensitive through variant)
         arr = self._scalar(node, scope)
-        return F.to_json(F.try_element_at(arr, F.lit(1)))
+        return F.to_json(F.get(arr, 0))
 
     def _object_text(self, node: P.ObjectCtor, scope: dict) -> Column:
         parts: list[Column] = []
@@ -2073,7 +2073,7 @@ class DocEvaluator:
                     key_txt = F.lit(_compact(str(key.value)))
                 else:
                     karr = self._scalar(key, scope)
-                    key_txt = F.to_json(F.try_element_at(karr, F.lit(1)))
+                    key_txt = F.to_json(F.get(karr, 0))
                 val_txt = F.coalesce(
                     self._value_text(value, scope), F.lit("null")
                 )
@@ -2204,8 +2204,8 @@ class DocEvaluator:
                 F.parse_json(self._compare(node, scope).cast("string"))
             )
         # arithmetic
-        l = F.try_element_at(self._scalar(node.left, scope), F.lit(1))
-        r = F.try_element_at(self._scalar(node.right, scope), F.lit(1))
+        l = F.get(self._scalar(node.left, scope), 0)
+        r = F.get(self._scalar(node.right, scope), 0)
         lb = F.try_variant_get(l, "$", "bigint")
         rb = F.try_variant_get(r, "$", "bigint")
         ld = F.try_variant_get(l, "$", "double")
@@ -2299,24 +2299,24 @@ class DocEvaluator:
             return self._instance_of(node, scope)
         if isinstance(node, P.Quantified):
             arr = self._scalar(node, scope)
-            return F.try_variant_get(F.try_element_at(arr, F.lit(1)), "$", "boolean")
+            return F.try_variant_get(F.get(arr, 0), "$", "boolean")
         # general EBV: empty=false; boolean item = its value; else true
         arr = self._scalar(node, scope)
-        first = F.try_element_at(arr, F.lit(1))
+        first = F.get(arr, 0)
         b = F.try_variant_get(first, "$", "boolean")
         return F.when(F.size(arr) == 0, F.lit(False)).otherwise(
             F.coalesce(b, F.lit(True))
         )
 
     def _deep_equal(self, node: P.Call, scope: dict) -> Column:
-        l = F.to_json(F.try_element_at(self._scalar(node.args[0], scope), F.lit(1)))
-        r = F.to_json(F.try_element_at(self._scalar(node.args[1], scope), F.lit(1)))
+        l = F.to_json(F.get(self._scalar(node.args[0], scope), 0))
+        r = F.to_json(F.get(self._scalar(node.args[1], scope), 0))
         return F.coalesce(l == r, F.lit(False))
 
     def _instance_of(self, node: P.Call, scope: dict) -> Column:
         arr = self._scalar(node.args[0], scope)
         ty = node.args[1].value
-        sch = F.schema_of_variant(F.try_element_at(arr, F.lit(1)))
+        sch = F.schema_of_variant(F.get(arr, 0))
         if ty == "object":
             return (F.size(arr) > 0) & sch.startswith("OBJECT")
         if ty == "array":
@@ -2334,7 +2334,7 @@ class DocEvaluator:
             return self._scalar(node.args[i], scope)
 
         def s1(i=0) -> Column:
-            return F.try_variant_get(F.try_element_at(arg(i), F.lit(1)), "$", "string")
+            return F.try_variant_get(F.get(arg(i), 0), "$", "string")
 
         def wrap_text(txt: Column) -> Column:
             return F.array(F.parse_json(txt))
@@ -2386,7 +2386,7 @@ class DocEvaluator:
         if name in ("concat", "fn:concat"):
             parts = []
             for i in range(len(node.args)):
-                item = F.try_element_at(arg(i), F.lit(1))
+                item = F.get(arg(i), 0)
                 parts.append(
                     F.coalesce(
                         F.try_variant_get(item, "$", "string"),
@@ -2397,10 +2397,10 @@ class DocEvaluator:
             return wrap_string(F.concat(*parts))
         if name == "fn:range":
             lo = F.try_variant_get(
-                F.try_element_at(arg(0), F.lit(1)), "$", "bigint"
+                F.get(arg(0), 0), "$", "bigint"
             )
             hi = F.try_variant_get(
-                F.try_element_at(arg(1), F.lit(1)), "$", "bigint"
+                F.get(arg(1), 0), "$", "bigint"
             )
             return F.transform(
                 F.sequence(lo, hi),
@@ -2458,14 +2458,14 @@ class DocEvaluator:
             # positions p with round(start) <= p < round(start)+round(len)
             st = F.round(
                 F.try_variant_get(
-                    F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                    F.get(arg(1), 0), "$", "double"
                 )
             ).cast("int")
             s = s1(0)
             if len(node.args) > 2:
                 ln = F.round(
                     F.try_variant_get(
-                        F.try_element_at(arg(2), F.lit(1)), "$", "double"
+                        F.get(arg(2), 0), "$", "double"
                     )
                 ).cast("int")
                 end = st + ln
@@ -2476,7 +2476,7 @@ class DocEvaluator:
             return wrap_string(F.substring(s, begin, take))
         if short in ("round", "floor", "ceiling", "abs", "round-half-to-even"):
             v = F.try_variant_get(
-                F.try_element_at(arg(0), F.lit(1)), "$", _DEC_T
+                F.get(arg(0), 0), "$", _DEC_T
             )
             fn = {
                 # fn:round rounds half toward positive infinity:
@@ -2496,7 +2496,7 @@ class DocEvaluator:
                 F.array_distinct(texts), lambda t: F.parse_json(t)
             )
         if name in ("index-of", "fn:index-of"):
-            needle = F.to_json(F.try_element_at(arg(1), F.lit(1)))
+            needle = F.to_json(F.get(arg(1), 0))
             hits = F.filter(
                 F.transform(
                     arg(0),
@@ -2510,13 +2510,13 @@ class DocEvaluator:
         if name in ("subsequence", "fn:subsequence"):
             st = F.round(
                 F.try_variant_get(
-                    F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                    F.get(arg(1), 0), "$", "double"
                 )
             ).cast("int")
             if len(node.args) > 2:
                 ln = F.round(
                     F.try_variant_get(
-                        F.try_element_at(arg(2), F.lit(1)), "$", "double"
+                        F.get(arg(2), 0), "$", "double"
                     )
                 ).cast("int")
             else:
@@ -2531,7 +2531,7 @@ class DocEvaluator:
             pos = F.greatest(
                 F.round(
                     F.try_variant_get(
-                        F.try_element_at(arg(1), F.lit(1)), "$", "double"
+                        F.get(arg(1), 0), "$", "double"
                     )
                 ).cast("int"),
                 F.lit(1),
@@ -2730,7 +2730,7 @@ class DocEvaluator:
             if info and info["kind"] == "seq":
                 # identity of a sequence-valued let: its first item
                 field = {"k": "k", "h": "h", "r": "r", "s": "s", "j": "j"}[which]
-                return F.try_element_at(F.col(f"a_{node.name}"), F.lit(1))[field]
+                return F.get(F.col(f"a_{node.name}"), 0)[field]
             if info and info["kind"] == "lambda_struct":
                 field = {"k": "k", "h": "h", "r": "r", "s": "s", "j": "j"}[which]
                 return info["col"][field]
