@@ -94,3 +94,59 @@ def test_ivf_assign_deterministic(emb):
     a2 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(emb, cents).collect()}
     assert a1 == a2
     assert set(a1.values()) <= set(range(4))
+
+
+def test_default_route_recall_on_clustered_data(spark):
+    """Round-3 verdict #7: the IVF substitute for the reference's
+    HNSW (index/vector/hnsw/HnswGraph.java) must hold recall@10 >=
+    0.9 at the DEFAULT route settings (nprobe=2 of 16 cells) on data
+    with cluster structure — measured against the exact brute-force
+    oracle. (On i.i.d.-random vectors no pruning index can do this;
+    the full profile for both fixtures is in BENCH_NOTES.md.)"""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sirix_spark.operators.ann import ivf_search, train_centroids
+    from sirix_spark.queries.similarity import cosine
+    from tools.ann_recall import clustered_fixture
+
+    emb = clustered_fixture(spark, n=500, dim=64).cache()
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(30)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .cache()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    truth = (
+        exact.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("truth"))
+    )
+    centroids = train_centroids(emb, 16, emb_col="embedding")
+    got = (
+        ivf_search(emb, centroids, queries, k=10, nprobe=2, emb_col="embedding")
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("got"))
+    )
+    rec = (
+        truth.join(got, "query_id")
+        .select(
+            (F.size(F.array_intersect("truth", "got")) / F.size("truth")).alias("r")
+        )
+        .agg(F.avg("r"))
+        .first()[0]
+    )
+    assert rec >= 0.9, f"default-route recall@10 {rec:.3f} < 0.9"
