@@ -340,6 +340,11 @@ class DocEvaluator:
         df = seq.df
         for col, var_col in zip(ITEM_COLS, self._var_cols(c.var)):
             df = df.withColumnRenamed(col, var_col)
+        if "__kmap" in df.columns:
+            # the XML key-sidecar map is consumed only by _xpath_seq
+            # applied directly to the source; a second XML source in
+            # the same stream would otherwise collide on the name
+            df = df.drop("__kmap")
         if c.pos_var:
             raise JsoniqCompileError("`at $pos` unsupported in document mode")
         if seq.stored and seq.handles:
@@ -1119,14 +1124,27 @@ class DocEvaluator:
         )
         fr = eval_steps(nodes, node.steps)
         ser = serialize_result(nodes, fr).withColumnRenamed("doc", "__xdoc")
+        joined = bdf.join(ser, F.col("__xid") == F.col("__xdoc"), "inner")
+        # node identity: shredder enumeration index, translated
+        # through the revision's key sidecar when the source is a
+        # keyed XmlStore resource (XmlWtx commits) — sdb:nodekey then
+        # reports the reference's stable nodeKeys across revisions.
+        if "__kmap" in bdf.columns:
+            true_key = F.when(
+                F.col("__kmap").isNotNull(),
+                F.element_at("__kmap", (F.col("node_key") + 1).cast("int")),
+            ).otherwise(F.col("node_key"))
+        else:
+            true_key = F.col("node_key")
         out = (
-            bdf.join(ser, F.col("__xid") == F.col("__xdoc"), "inner")
-            .withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
-            .withColumn("__k", F.col("node_key"))
+            joined.withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
+            .withColumn("__k", true_key)
             .withColumn("__h", F.lit(None).cast("int"))
             .withColumn("__sz", F.lit(None).cast("bigint"))
             .withColumn("__j", F.col("text"))
-            .drop("__xid", "__xdoc", "node_key", "text")
+            .drop("__xid", "__xdoc", "node_key", "text", *(
+                ["__kmap"] if "__kmap" in bdf.columns else []
+            ))
         )
         return Seq(out, False, (), "many")
 
@@ -1176,15 +1194,21 @@ class DocEvaluator:
                 revs = [self._static_int(node.args[2], scope)]
             else:
                 revs = [xs.latest_revision(db, res)]
-        rows = [
-            (i, r, xs.read_text(db, res, r)) for i, r in enumerate(revs)
-        ]
+        rows = []
+        for i, r in enumerate(revs):
+            keys = xs.read_keys(db, res, r)
+            # enum-order nodeKey map incl. the document node at slot 0
+            # (None → legacy layout, keys ARE the enumeration indexes).
+            km = None if keys is None else [0] + [int(k) for k in keys]
+            rows.append((i, r, xs.read_text(db, res, r), km))
         if not rows:
             df = stream.limit(0)
             for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
                 df = df.withColumn(c, F.lit(None).cast(t))
             return Seq(df, False, (), "many")
-        rev_df = self.spark.createDataFrame(rows, "i bigint, r int, x string")
+        rev_df = self.spark.createDataFrame(
+            rows, "i bigint, r int, x string, km array<bigint>"
+        )
         joined = stream.join(F.broadcast(rev_df), F.lit(True), "inner")
         df = (
             joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
@@ -1193,7 +1217,8 @@ class DocEvaluator:
             .withColumn("__r", F.col("r"))
             .withColumn("__sz", F.lit(None).cast("bigint"))
             .withColumn("__j", F.col("x"))
-            .drop("i", "r", "x")
+            .withColumn("__kmap", F.col("km"))
+            .drop("i", "r", "x", "km")
         )
         return Seq(df, False, (), "many" if len(rows) != 1 else "one")
 

@@ -52,19 +52,75 @@ class XmlStore:
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
 
-    def store(self, db: str, res: str, xml: str) -> int:
+    def store(self, db: str, res: str, xml: str, keys: list[int] | None = None) -> int:
         os.makedirs(self._res_dir(db, res), exist_ok=True)
         self._write_text(db, res, 1, xml)
-        self._write_manifest(db, res, {"revisions": [self._entry(1)]})
+        m = {"revisions": [self._entry(1)]}
+        if keys is not None:
+            self._write_keys(db, res, 1, keys)
+            m["next_key"] = max(keys, default=0) + 1
+        self._write_manifest(db, res, m)
         return 1
 
-    def commit(self, db: str, res: str, xml: str) -> int:
+    def commit(self, db: str, res: str, xml: str, keys: list[int] | None = None) -> int:
         m = self._read_manifest(db, res)
         n = m["revisions"][-1]["revision"] + 1
         self._write_text(db, res, n, xml)
+        if keys is not None:
+            self._write_keys(db, res, n, keys)
+            m["next_key"] = max(
+                m.get("next_key", 1), max(keys, default=0) + 1
+            )
         m["revisions"].append(self._entry(n))
         self._write_manifest(db, res, m)
         return n
+
+    # ------------------------------------------- node-identity sidecars
+    # Same discipline as the JSON DocumentStore: one keys file per
+    # revision holding the nodeKey of every node in SHREDDER
+    # enumeration order, EXCLUDING the document node (always key 0,
+    # the reference's Fixed.DOCUMENT_NODE_KEY). A revision without a
+    # sidecar is the legacy layout: keys are the enumeration indexes
+    # 1..N themselves (exactly _shred_one's own numbering).
+    def _write_keys(self, db: str, res: str, n: int, keys: list[int]) -> None:
+        with open(os.path.join(self._res_dir(db, res), f"k{n}.json"), "w") as f:
+            json.dump(keys, f)
+
+    def read_keys(self, db: str, res: str, revision: int) -> list[int] | None:
+        p = os.path.join(self._res_dir(db, res), f"k{revision}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def next_key(self, db: str, res: str) -> int:
+        m = self._read_manifest(db, res)
+        nk = m.get("next_key")
+        if nk is None:
+            # scan ALL revisions (a key deleted later must never be
+            # reissued — same rule as DocumentStore.next_key)
+            high = 0
+            for r in self.revisions(db, res):
+                keys = self.read_keys(db, res, r)
+                if keys is None:
+                    keys = list(range(1, len(self.nodes_rows(db, res, r))))
+                high = max(high, max(keys, default=0))
+            nk = high + 1
+        return nk
+
+    def node_revisions(self, db: str, res: str, key: int) -> list[int]:
+        """Revisions whose tree contains nodeKey ``key`` — the probe
+        behind temporal identity functions; metadata-sized reads."""
+        out = []
+        for r in self.revisions(db, res):
+            keys = self.read_keys(db, res, r)
+            if keys is None:
+                n = len(self.nodes_rows(db, res, r)) - 1
+                if 1 <= key <= n:
+                    out.append(r)
+            elif key in keys:
+                out.append(r)
+        return out
 
     def _write_text(self, db: str, res: str, n: int, xml: str) -> None:
         with open(os.path.join(self._res_dir(db, res), f"r{n}.xml"), "w") as f:

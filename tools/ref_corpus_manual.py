@@ -249,20 +249,32 @@ def _setup_xml_versioned(spark, store):
     removes the trailing text, r5 setValue on node 4 — the first
     text node, stable across the inserts)."""
     from sirix_spark.store.xmlstore import XmlStore
+    from sirix_spark.store.xmlwtx import XmlWtx
 
     xs = XmlStore(store.root)
     base = (
         '<p:a xmlns:p="ns" i="j">oops1<b>foo<c/></b>oops2'
         '<b p:x="y"><c/>bar</b>oops3</p:a>'
     )
-    ins = '<a att="attval">OOPS4!</a>'
-    r2 = base.replace(">oops1", ">" + ins + "oops1", 1)
-    r3 = r2.replace(">" + ins, ">" + ins + ins, 1)
-    r4 = r3.replace("oops3</p:a>", "</p:a>")
-    r5 = r4.replace("oops1", "fooooooo", 1)
     xs.store("xml-db", "resource", base)
-    for t in (r2, r3, r4, r5):
-        xs.commit("xml-db", "resource", t)
+    # the reference's exact cursor-op sequence
+    # (XmlDocumentCreator.createVersionedWithUpdatesAndDeletes):
+    # r2/r3 insert <a att="attval">OOPS4!</a> as first child (fresh
+    # keys 14-16 / 17-19), r4 removes the last child (text key 13),
+    # r5 setValue on key 4 (key SURVIVES) — all through the keyed
+    # write transaction, so nodeKeys are stable across revisions.
+    w = XmlWtx(xs, "xml-db", "resource")
+    for _ in range(2):
+        w.move_to_document_root().move_to_first_child()
+        w.insert_element_as_first_child("a")
+        w.insert_attribute("att", "attval").move_to_parent()
+        w.insert_text_as_first_child("OOPS4!")
+        w.commit()
+    w.move_to_document_root().move_to_first_child().move_to_last_child()
+    w.remove()
+    w.commit()
+    w.move_to(4).set_value("fooooooo")
+    w.commit()
 
 
 SETUPS = {
@@ -885,6 +897,40 @@ CASES += [
        "xs:dateTime('1900-01-01T00:00:00Z'), "
        "xs:dateTime('2200-05-01T00:00:00Z'))//b)",
        "10", setup_py="xml_versioned"),
+]
+
+# ------------------- XmlWtx keyed write transactions (XmlNodeTrx)
+# The versioned fixture above is now BUILT through the keyed write
+# transaction (store/xmlwtx.py), replicating XmlNodeTrxImpl's key
+# allocation: inserted <a att>OOPS4!</a> subtrees draw 14-16 and
+# 17-19 in pre-order, removals never free keys, setValue keeps the
+# node's key. These cases assert the reference's key constants
+# through the query surface.
+CASES += [
+    _c("XmlWtx#insertedElementsDrawFreshKeys", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource')/p:a/a return sdb:nodekey($n)",
+       "17 14", setup_py="xml_versioned"),
+    _c("XmlWtx#attributeKeysFollowElement", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource')/p:a/a/@att return sdb:nodekey($n)",
+       "18 15", setup_py="xml_versioned"),
+    _c("XmlWtx#setValueKeepsNodeKey", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource')/p:a/text()[1] "
+       "return sdb:nodekey($n)",
+       "4", setup_py="xml_versioned"),
+    _c("XmlWtx#untouchedSubtreeKeysStable", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource')//b/descendant-or-self::node() "
+       "return sdb:nodekey($n)",
+       "5 6 7 9 11 12", setup_py="xml_versioned"),
+    _c("XmlWtx#removedTextGoneFromLatest", "XmlDocumentCreator.java",
+       "count(xml:doc('xml-db','resource')/p:a/text()[3])",
+       "0", setup_py="xml_versioned"),
+    _c("XmlWtx#revisionOneKeysAreOriginal", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource',1)/p:a/child::node() "
+       "return sdb:nodekey($n)",
+       "4 5 8 9 13", setup_py="xml_versioned"),
+    _c("XmlWtx#insertedTextSerializes", "XmlDocumentCreator.java",
+       "xml:doc('xml-db','resource')/p:a/a[1]/text()",
+       "OOPS4!", setup_py="xml_versioned"),
 ]
 
 # ---------------------------- json/NumericComparisonRegressionTest
