@@ -180,6 +180,55 @@ class DocEvaluator:
         rows = seq.df.orderBy("__ord").select("__j").collect()
         return " ".join(r["__j"] for r in rows if r["__j"] is not None)
 
+    def serialize_rest(self, seq: Seq) -> str:
+        """The REST API envelope — JsonDBSerializer.java: results wrap
+        in {"rest":[…]}; stored nodes serialize with revision metadata
+        ({"revisionNumber","revisionTimestamp","revision": X}), and a
+        NAMED object member serializes as the name:value RECORD
+        ({"id":"A"}, not the bare value — the OBJECT_NAMED_* shapes of
+        NamedProjectionSerializationTest); atomics print raw with
+        strings JSON-escaped."""
+        rows = seq.df.orderBy("__ord").select(*ITEM_COLS).collect()
+        parts = []
+        fname_cache: dict[int, dict] = {}
+        ts_cache: dict[tuple, str] = {}
+        for r in rows:
+            if r["__j"] is None:
+                continue
+            if r["__k"] is not None and r["__h"] is not None:
+                h = self.handles.get(r["__h"])
+                if r["__h"] not in fname_cache:
+                    fname_cache[r["__h"]] = {
+                        row[1]: row[4] for row in h.rows()
+                    }
+                fname = fname_cache[r["__h"]].get(r["__k"])
+                body = (
+                    "{" + json.dumps(fname) + ":" + r["__j"] + "}"
+                    if fname is not None
+                    else r["__j"]
+                )
+                key = (h.db, h.res, r["__r"] or h.revision)
+                if key not in ts_cache:
+                    m = self.store._read_manifest(h.db, h.res)
+                    ts_cache[key] = next(
+                        (
+                            e["committed_at"]
+                            for e in m["revisions"]
+                            if e["revision"] == key[2]
+                        ),
+                        "",
+                    )
+                parts.append(
+                    '{"revisionNumber":%d,"revisionTimestamp":%s,"revision":%s}'
+                    % (key[2], json.dumps(ts_cache[key]), body)
+                )
+            else:
+                parts.append(r["__j"])
+        return '{"rest":[' + ",".join(parts) + "]}"
+
+    def execute_rest(self, query: str) -> str:
+        return self.serialize_rest(self.compile(P.parse(query)))
+
     # ---------------------------------------------------------- streams
     def _unit(self) -> DataFrame:
         return self.spark.range(1).select(
@@ -336,6 +385,10 @@ class DocEvaluator:
         return stream.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
     def _for(self, stream: DataFrame, scope: dict, c: P.ForClause) -> DataFrame:
+        if c.pos_var:
+            # stash the OUTER tuple's order vector so the position
+            # restarts from 1 per outer tuple (XQuery `at $pos`)
+            stream = stream.withColumn("__oord", F.col("__ord"))
         seq = self._expr_seq(c.source, stream, scope, iterate=True)
         df = seq.df
         for col, var_col in zip(ITEM_COLS, self._var_cols(c.var)):
@@ -346,7 +399,19 @@ class DocEvaluator:
             # the same stream would otherwise collide on the name
             df = df.drop("__kmap")
         if c.pos_var:
-            raise JsoniqCompileError("`at $pos` unsupported in document mode")
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("__oord").orderBy(F.col("__ord"))
+            kcol, hcol, rcol, scol, jcol = self._var_cols(c.pos_var)
+            df = (
+                df.withColumn(jcol, F.row_number().over(w).cast("string"))
+                .withColumn(kcol, F.lit(None).cast("bigint"))
+                .withColumn(hcol, F.lit(None).cast("int"))
+                .withColumn(rcol, F.lit(None).cast("int"))
+                .withColumn(scol, F.lit(None).cast("bigint"))
+                .drop("__oord")
+            )
+            scope[c.pos_var] = {"kind": "item", "stored": False, "handles": ()}
         if seq.stored and seq.handles:
             # carry the node's instance path (and its structural
             # parent's) on the stream via ONE broadcast join, so

@@ -77,7 +77,30 @@ class DocHandle:
 
 
 class DocumentStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        path_summary: bool = True,
+        path_stats: bool | None = None,
+    ):
+        """``path_summary``/``path_stats`` mirror BasicJsonDBStore's
+        buildPathSummary/buildPathStatistics (PathSummaryOffTest):
+        statistics DEFAULT to the summary setting — turning the
+        summary off silently turns the defaulted statistics off with
+        it — but asking for stats WITHOUT a summary explicitly is
+        impossible and fails closed. In this engine the summary is a
+        derived DataFrame view, so 'off' disables the serving surface
+        (path_summary_stats raises), not resource creation."""
+        if path_stats is None:
+            path_stats = path_summary
+        if path_stats and not path_summary:
+            raise DocStoreError(
+                "path statistics require a path summary "
+                "(buildPathSummary(false) + buildPathStatistics(true))"
+            )
+        self.path_summary = path_summary
+        self.path_stats = path_stats
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)

@@ -231,3 +231,21 @@ def test_no_codegen_fallback_on_representative_plan(spark, docstore):
 
     bad = re.findall(r"try_element_at\([^\n]*F\.lit\(1\)\)", src)
     assert not bad, f"first-element access regressed to try_element_at: {bad}"
+
+
+def test_for_at_pos_read_path(spark, docstore):
+    """XQuery `for $i at $pos in …` on the READ path (the update
+    interpreter already supported it): 1-based, restarts per outer
+    tuple."""
+    run(spark, docstore, "jn:store('db','p.jn','[\"a\",\"b\",\"c\"]')")
+    q = "for $i at $p in jn:doc('db','p.jn')[] return $p"
+    assert run(spark, docstore, q) == "1 2 3"
+    q = (
+        "for $i at $p in jn:doc('db','p.jn')[] "
+        'return {"v":$i,"p":$p}'
+    )
+    assert run(spark, docstore, q) == (
+        '{"v":"a","p":1} {"v":"b","p":2} {"v":"c","p":3}'
+    )
+    q = "for $x in (10,20) for $i at $p in jn:doc('db','p.jn')[] return $p"
+    assert run(spark, docstore, q) == "1 2 3 1 2 3"

@@ -246,3 +246,22 @@ def test_lifecycle(store, spark):
     assert not store.exists_resource(db, "r")
     store.drop_database(db)
     assert not store.exists_database(db)
+
+
+def test_path_summary_off_combination(spark, tmp_path):
+    """PathSummaryOffTest: statistics default to the summary setting,
+    so summary-off alone works (resources still create and serve);
+    explicitly asking for statistics WITHOUT a summary is impossible
+    and fails closed at construction."""
+    import pytest as _pytest
+
+    from sirix_spark.store.docstore import DocStoreError, DocumentStore
+
+    s = DocumentStore(spark, str(tmp_path / "a"), path_summary=False)
+    assert s.path_stats is False  # defaulted off with the summary
+    s.store("json-path1", "a.jn", '[{"age":10},{"age":20}]')
+    assert s.exists("json-path1", "a.jn")
+    with _pytest.raises(DocStoreError, match="path statistics require"):
+        DocumentStore(
+            spark, str(tmp_path / "b"), path_summary=False, path_stats=True
+        )

@@ -277,9 +277,20 @@ def _setup_xml_versioned(spark, store):
     w.commit()
 
 
+def _setup_path_summary_off(spark, store):
+    """PathSummaryOffTest#aStoreWithoutAPathSummaryStillCreatesResources:
+    a store built with buildPathSummary(false) must still create
+    resources and answer queries (the defaulted statistics turn off
+    with the summary instead of making creation throw)."""
+    store.path_summary = False
+    store.path_stats = False
+    store.store("json-path1", "a.jn", '[{"age":10},{"age":20}]')
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
     "xml_versioned": _setup_xml_versioned,
+    "path_summary_off": _setup_path_summary_off,
     "usecases_exposures": _setup_usecases_exposures,
     "usecases_ledger": _setup_usecases_ledger,
     "temporal5": _setup_temporal5,
@@ -931,6 +942,70 @@ CASES += [
     _c("XmlWtx#insertedTextSerializes", "XmlDocumentCreator.java",
        "xml:doc('xml-db','resource')/p:a/a[1]/text()",
        "OOPS4!", setup_py="xml_versioned"),
+]
+
+# ------------------------------------ PathSummaryOffTest
+CASES += [
+    _c("PathSummaryOff#storeStillCreatesAndQueries",
+       "PathSummaryOffTest.java",
+       "sum(for $r in jn:doc('json-path1','a.jn')[] return $r.age)",
+       "30", setup_py="path_summary_off"),
+]
+
+# ------------------------- json/JsonDBObjectFieldLookupTest
+# Field-lookup semantics over one stored object: misses are the empty
+# sequence, never errors; a miss must not poison later lookups on the
+# same object (the reference's path-summary-guard cache bug class);
+# nested containers come back whole, not collapsed (the record-fusion
+# collapse bug class). DOC and every expected string are verbatim
+# from the reference test.
+_FL_DOC = ('{"title":"Saleslady","year":1938,"active":true,"score":1.5,'
+           '"href":null,"nested":{"a":1,"b":2},'
+           '"cast":["Anne Nagel","Weldon Heyburn"]}')
+
+
+def _flcase(name, expr, expected, doc=None):
+    d = doc if doc is not None else _FL_DOC
+    return _c(
+        f"JsonDBObjectFieldLookup#{name}", "json/JsonDBObjectFieldLookupTest.java",
+        f"let $d := jn:doc('json-path1','mydoc.jn') return {expr}", expected,
+        setup=[f"jn:store('json-path1','mydoc.jn','{d}')"],
+    )
+
+
+CASES += [
+    _flcase("emptyObjectHasNoFields", "$d.anything", "", doc="{}"),
+    _flcase("emptyObjectRepeatedMisses", "($d.a, $d.b)", "", doc="{}"),
+    _flcase("singleFieldResolves", "$d.a", '"only"', doc='{"a":"only"}'),
+    _flcase("singleFieldOtherNameMisses", "$d.b", "", doc='{"a":"only"}'),
+    _flcase("missBeforeSoleFieldDoesNotHideIt", "($d.b, $d.a)", '"only"',
+            doc='{"a":"only"}'),
+    _flcase("stringField", "$d.title", '"Saleslady"'),
+    _flcase("integerField", "$d.year", "1938"),
+    _flcase("booleanField", "$d.active", "true"),
+    _flcase("doubleField", "$d.score", "1.5"),
+    _flcase("nullFieldIsValueNotMiss", "$d.href", "null"),
+    _flcase("nestedObjectNotUnwrapped", "$d.nested", '{"a":1,"b":2}'),
+    _flcase("nestedFieldThroughPair", "$d.nested.a", "1"),
+    _flcase("nestedArrayNotUnwrapped", "$d.cast",
+            '["Anne Nagel","Weldon Heyburn"]'),
+    _flcase("missingFieldIsEmpty", "$d.nosuchfield", ""),
+    _flcase("leadingMissDoesNotHideHit", "($d.nosuchfield, $d.title)",
+            '"Saleslady"'),
+    _flcase("leadingMissDoesNotHideAnyLaterField",
+            "($d.nosuchfield, $d.title, $d.year)", '"Saleslady" 1938'),
+    _flcase("twoLeadingMisses", "($d.nope1, $d.nope2, $d.title)",
+            '"Saleslady"'),
+    _flcase("hitAfterMissStillResolves",
+            "($d.title, $d.nosuchfield, $d.year)", '"Saleslady" 1938'),
+    _flcase("hitsEitherSideOfMissAgree",
+            "($d.year, $d.mmmissing, $d.year)", "1938 1938"),
+    _flcase("hitMissSameHitAgree",
+            "($d.title, $d.nosuchfield, $d.title)", '"Saleslady" "Saleslady"'),
+    _flcase("neverStoredNameIsAMiss", "$d.zzzNeverStoredAnywhere", ""),
+    _flcase("missLeavesCursorUsable",
+            "($d.title, $d.zzzNeverStoredAnywhere, $d.year)",
+            '"Saleslady" 1938'),
 ]
 
 # ---------------------------- json/NumericComparisonRegressionTest
