@@ -279,6 +279,8 @@ class DocEvaluator:
         for c in f.clauses:
             if isinstance(c, P.ForClause):
                 stream = self._for(stream, scope, c)
+            elif isinstance(c, P.WindowClause):
+                stream = self._window(stream, scope, c)
             else:
                 stream = self._let(stream, scope, c)
         if f.where is not None:
@@ -439,6 +441,274 @@ class DocEvaluator:
             "handles": seq.handles,
         }
         return df
+
+    def _window(self, stream: DataFrame, scope: dict, c) -> DataFrame:
+        """XQuery 3.0 window clause (Brackit ships it; the reference
+        compiles it through SirixCompileChain). Evaluation is
+        Spark-shaped in three steps: (1) the start/end conditions —
+        which see only the current item and its position — compile to
+        boolean COLUMNS over the item stream; (2) window assembly
+        (tumbling's skip rule / sliding's overlap) is a linear scan
+        over just (pos, startFlag, endFlag) per outer tuple, run as an
+        Arrow-batched applyInPandas emitting (pos → windowId); (3)
+        membership joins back and one groupBy builds the window
+        sequence + start/end item bindings. Scales like sessionize:
+        the per-tuple scan is the irreducible order dependency, and
+        it runs over three skinny columns, not the payload."""
+        import pandas as pd
+        from pyspark.sql import Window as W
+
+        has_end = c.e_cond is not None
+        stream = stream.withColumn("__oord", F.col("__ord"))
+        seq = self._expr_seq(c.source, stream, scope, iterate=True)
+        df = seq.df
+        if "__kmap" in df.columns:
+            df = df.drop("__kmap")
+        w = W.partitionBy("__oord").orderBy(F.col("__ord"))
+        df = df.withColumn("__wpos", F.row_number().over(w))
+
+        def flag(cond, cur, pos):
+            if cond is None:
+                return F.lit(False)
+            s2 = dict(scope)
+            d = df
+            tmp = []
+            if cur:
+                for src, dst in zip(ITEM_COLS, self._var_cols(cur)):
+                    d = d.withColumn(dst, F.col(src))
+                    tmp.append(dst)
+                s2[cur] = {
+                    "kind": "item",
+                    "stored": seq.stored,
+                    "handles": seq.handles,
+                }
+            if pos:
+                kcol, hcol, rcol, scol, jcol = self._var_cols(pos)
+                d = (
+                    d.withColumn(jcol, F.col("__wpos").cast("string"))
+                    .withColumn(kcol, F.lit(None).cast("bigint"))
+                    .withColumn(hcol, F.lit(None).cast("int"))
+                    .withColumn(rcol, F.lit(None).cast("int"))
+                    .withColumn(scol, F.lit(None).cast("bigint"))
+                )
+                tmp.extend([jcol, kcol, hcol, rcol, scol])
+                s2[pos] = {"kind": "item", "stored": False, "handles": ()}
+            col = self._ebv(cond, s2)
+            # evaluate on d (which has the temp cols), keep flag only
+            return d.withColumn("__flag", F.coalesce(col, F.lit(False))), tmp
+
+        d1, tmp1 = flag(c.s_cond, c.s_cur, c.s_pos)
+        df = d1.withColumnRenamed("__flag", "__sf").drop(*tmp1)
+
+        skinny = df.select(
+            F.to_json("__oord").alias("oj"), "__wpos", "__sf"
+        )
+        if has_end:
+            # The end condition sees the START bindings too ($e - $s):
+            # evaluate it over (candidate start × item-at-or-after)
+            # pairs, keep the FIRST qualifying end per start. One join
+            # keyed by the tuple id; per-tuple cost O(starts × items)
+            # over skinny columns.
+            s2 = dict(scope)
+            sel = [
+                F.to_json("__oord").alias("__poj"),
+                F.col("__wpos").alias("__sp"),
+            ]
+            if c.s_cur:
+                sel += [
+                    F.col(src).alias(dst)
+                    for src, dst in zip(ITEM_COLS, self._var_cols(c.s_cur))
+                ]
+                s2[c.s_cur] = {
+                    "kind": "item", "stored": seq.stored, "handles": seq.handles,
+                }
+            s_side = df.filter(F.col("__sf")).select(*sel)
+            esel = [
+                F.to_json("__oord").alias("__eoj"),
+                F.col("__wpos").alias("__epos"),
+            ]
+            if c.e_cur:
+                esel += [
+                    F.col(src).alias(dst)
+                    for src, dst in zip(ITEM_COLS, self._var_cols(c.e_cur))
+                ]
+                s2[c.e_cur] = {
+                    "kind": "item", "stored": seq.stored, "handles": seq.handles,
+                }
+            e_side = df.select(*esel)
+            pairs = e_side.join(
+                s_side,
+                (F.col("__eoj") == F.col("__poj"))
+                & (F.col("__epos") >= F.col("__sp")),
+                "inner",
+            )
+            for pv, pcol in ((c.s_pos, "__sp"), (c.e_pos, "__epos")):
+                if pv:
+                    kcol, hcol, rcol, scol, jcol = self._var_cols(pv)
+                    pairs = (
+                        pairs.withColumn(jcol, F.col(pcol).cast("string"))
+                        .withColumn(kcol, F.lit(None).cast("bigint"))
+                        .withColumn(hcol, F.lit(None).cast("int"))
+                        .withColumn(rcol, F.lit(None).cast("int"))
+                        .withColumn(scol, F.lit(None).cast("bigint"))
+                    )
+                    s2[pv] = {"kind": "item", "stored": False, "handles": ()}
+            first_end = (
+                pairs.filter(F.coalesce(self._ebv(c.e_cond, s2), F.lit(False)))
+                .groupBy("__poj", "__sp")
+                .agg(F.min("__epos").alias("__we"))
+            )
+            skinny = skinny.join(
+                first_end,
+                (F.col("oj") == F.col("__poj"))
+                & (F.col("__wpos") == F.col("__sp")),
+                "left",
+            ).drop("__poj", "__sp")
+        else:
+            skinny = skinny.withColumn("__we", F.lit(None).cast("bigint"))
+        mode, only_end = c.mode, c.only_end
+
+        def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__wpos")
+            rows = [
+                (int(p), bool(sf), None if pd.isna(we) else int(we))
+                for p, sf, we in zip(pdf["__wpos"], pdf["__sf"], pdf["__we"])
+            ]
+            out: list[tuple[str, int, int]] = []
+            oj = pdf["oj"].iloc[0] if len(pdf) else ""
+            wid = 0
+            last_pos = rows[-1][0] if rows else 0
+            if mode == "tumbling":
+                if not has_end:
+                    # a new start closes the previous window
+                    cur = 0
+                    for pos, sf, _ in rows:
+                        if sf:
+                            wid += 1
+                            cur = wid
+                        if cur:
+                            out.append((oj, pos, cur))
+                else:
+                    bound = None  # close position of the open window
+                    open_ = False
+                    unterminated: int | None = None
+                    for pos, sf, we in rows:
+                        if open_:
+                            out.append((oj, pos, wid))
+                            if bound is not None and pos >= bound:
+                                open_ = False
+                            continue
+                        if sf:
+                            wid += 1
+                            out.append((oj, pos, wid))
+                            if we is None:
+                                # runs to the end of the sequence
+                                bound = None
+                                open_ = True
+                                if only_end:
+                                    unterminated = wid
+                            elif pos >= we:
+                                open_ = False  # single-item window
+                            else:
+                                bound = we
+                                open_ = True
+                    if unterminated is not None:
+                        out = [t for t in out if t[2] != unterminated]
+            else:  # sliding: every start opens a window; overlap allowed
+                for pos, sf, we in rows:
+                    if not sf:
+                        continue
+                    if we is None and has_end and only_end:
+                        continue
+                    wid += 1
+                    end = we if we is not None else last_pos
+                    out.extend(
+                        (oj, p, wid) for p, _, _ in rows if pos <= p <= end
+                    )
+            return pd.DataFrame(out, columns=["oj", "__wpos", "__wid"])
+
+        assembled = skinny.groupBy("oj").applyInPandas(
+            assemble, schema="oj string, __wpos long, __wid long"
+        )
+        joined = df.join(
+            assembled,
+            (F.to_json(F.col("__oord")) == F.col("oj"))
+            & (df["__wpos"] == assembled["__wpos"]),
+            "inner",
+        ).drop(assembled["__wpos"]).drop("oj", "__sf", "__ef")
+
+        item_struct = F.struct(
+            F.col("__ord").alias("o"),
+            F.col("__k").alias("k"),
+            F.col("__h").alias("h"),
+            F.col("__r").alias("r"),
+            F.col("__sz").alias("s"),
+            F.col("__j").alias("j"),
+        )
+        bound_struct = F.struct(
+            F.col("__wpos").alias("p"),
+            F.col("__k").alias("k"),
+            F.col("__h").alias("h"),
+            F.col("__r").alias("r"),
+            F.col("__sz").alias("s"),
+            F.col("__j").alias("j"),
+        )
+        carry = [
+            col
+            for col in stream.columns
+            if col not in ("__ord",) and col in df.columns
+        ]
+        aggs = [
+            F.min("__ord").alias("__ord"),
+            F.sort_array(F.collect_list(item_struct)).alias(f"a_{c.var}"),
+            F.min(bound_struct).alias("__wstart"),
+            F.max(bound_struct).alias("__wend"),
+        ]
+        aggs.extend(
+            F.first(F.col(col)).alias(col) for col in carry if col != "__oord"
+        )
+        grouped = joined.groupBy("__oord", "__wid").agg(*aggs)
+        out = grouped
+        scope[c.var] = {
+            "kind": "seq",
+            "stored": seq.stored,
+            "handles": seq.handles,
+        }
+
+        def bind_item(var, struct_col):
+            kcol, hcol, rcol, scol, jcol = self._var_cols(var)
+            return (
+                out.withColumn(kcol, struct_col["k"])
+                .withColumn(hcol, struct_col["h"])
+                .withColumn(rcol, struct_col["r"])
+                .withColumn(scol, struct_col["s"])
+                .withColumn(jcol, struct_col["j"])
+            )
+
+        def bind_pos(var, struct_col):
+            kcol, hcol, rcol, scol, jcol = self._var_cols(var)
+            return (
+                out.withColumn(jcol, struct_col["p"].cast("string"))
+                .withColumn(kcol, F.lit(None).cast("bigint"))
+                .withColumn(hcol, F.lit(None).cast("int"))
+                .withColumn(rcol, F.lit(None).cast("int"))
+                .withColumn(scol, F.lit(None).cast("bigint"))
+            )
+
+        for var, binder, src in (
+            (c.s_cur, bind_item, "__wstart"),
+            (c.s_pos, bind_pos, "__wstart"),
+            (c.e_cur, bind_item, "__wend"),
+            (c.e_pos, bind_pos, "__wend"),
+        ):
+            if var:
+                out = binder(var, F.col(src))
+                scope[var] = {
+                    "kind": "item",
+                    "stored": seq.stored and binder is bind_item,
+                    "handles": seq.handles if binder is bind_item else (),
+                }
+        return out.drop("__wid", "__wstart", "__wend", "__oord")
 
     def _path_lut(self, handles: tuple[int, ...]) -> DataFrame:
         """(handle, key) → (ipath, structural-parent ipath+key,

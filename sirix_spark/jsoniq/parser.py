@@ -169,6 +169,24 @@ class OrderKey:
 
 
 @dataclass
+class WindowClause:
+    """XQuery 3.0 window clause (tumbling/sliding) — subset: start/end
+    conditions may bind the current item ($var) and its position
+    (`at $pos`); previous/next bindings are not supported."""
+
+    var: str
+    mode: str  # tumbling | sliding
+    source: object
+    s_cur: str | None = None
+    s_pos: str | None = None
+    s_cond: object = None
+    e_cur: str | None = None
+    e_pos: str | None = None
+    e_cond: object = None
+    only_end: bool = False
+
+
+@dataclass
 class Flwor:
     clauses: list = field(default_factory=list)  # For/Let interleaved
     where: object | None = None
@@ -313,6 +331,16 @@ class _Parser:
         f = Flwor()
         while True:
             if self.opt("kw", "for"):
+                if (
+                    self.cur.kind == "name"
+                    and self.cur.text in ("tumbling", "sliding")
+                    and self.toks[self.i + 1].kind == "name"
+                    and self.toks[self.i + 1].text == "window"
+                ):
+                    (f.post_group if f.group_by else f.clauses).append(
+                        self._window_clause()
+                    )
+                    continue
                 # comma-separated bindings desugar to consecutive for
                 # clauses: `for $a in X, $b in Y` ≡ `for $a in X for
                 # $b in Y` (XQuery ForClause grammar)
@@ -369,6 +397,44 @@ class _Parser:
         self.eat("kw", "return")
         f.ret = self.expr_single()
         return f
+
+    def _window_clause(self) -> WindowClause:
+        """`for tumbling|sliding window $w in Expr start [$s] [at $sp]
+        when Expr [[only] end [$e] [at $ep] when Expr]`."""
+        mode = self.eat("name").text
+        self.eat("name", "window")
+        var = self.eat("var").text[1:]
+        self.eat("kw", "in")
+        source = self.expr_single()
+        self.eat("name", "start")
+        wc = WindowClause(var, mode, source)
+        wc.s_cur, wc.s_pos = self._window_vars()
+        self.eat("name", "when")
+        wc.s_cond = self.expr_single()
+        if self.cur.kind == "name" and self.cur.text in ("only", "end"):
+            if self.at("name", "only"):
+                self.i += 1
+                wc.only_end = True
+            self.eat("name", "end")
+            wc.e_cur, wc.e_pos = self._window_vars()
+            self.eat("name", "when")
+            wc.e_cond = self.expr_single()
+        elif wc.only_end:
+            raise JsoniqSyntaxError("`only` requires an end condition")
+        return wc
+
+    def _window_vars(self) -> tuple[str | None, str | None]:
+        cur = pos = None
+        if self.at("var"):
+            cur = self.eat("var").text[1:]
+        if self.at("kw", "at"):
+            self.i += 1
+            pos = self.eat("var").text[1:]
+        if self.cur.kind == "name" and self.cur.text in ("previous", "next"):
+            raise JsoniqSyntaxError(
+                "window previous/next bindings unsupported"
+            )
+        return cur, pos
 
     def quantified(self) -> Quantified:
         kind = self.eat("kw").text
