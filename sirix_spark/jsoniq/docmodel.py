@@ -2886,6 +2886,96 @@ class DocEvaluator:
             return F.slice(arg(0), begin, take)
         if name in ("reverse", "fn:reverse"):
             return F.reverse(arg(0))
+        if name in ("replace", "fn:replace"):
+            # XQuery regex replace (XPath regex ~ Java regex, which is
+            # what Spark's regexp_replace speaks, $N group refs incl.)
+            return wrap_string(F.regexp_replace(s1(0), s1(1), s1(2)))
+        if name in ("matches", "fn:matches"):
+            return F.array(
+                F.parse_json(F.regexp_like(s1(0), s1(1)).cast("string"))
+            )
+        if name in ("string-join", "fn:string-join"):
+            sep = s1(1) if len(node.args) > 1 else F.lit("")
+            texts = F.transform(
+                arg(0), lambda x: F.try_variant_get(x, "$", "string")
+            )
+            # PySpark's array_join wrapper wants a literal delimiter;
+            # the SQL function takes any expression
+            return wrap_string(F.call_function("array_join", texts, sep))
+        if name in ("upper-case", "fn:upper-case"):
+            return wrap_string(F.upper(s1(0)))
+        if name in ("lower-case", "fn:lower-case"):
+            return wrap_string(F.lower(s1(0)))
+        if name in ("translate", "fn:translate"):
+            if not (
+                isinstance(node.args[1], P.Lit)
+                and isinstance(node.args[2], P.Lit)
+            ):
+                raise JsoniqCompileError("translate needs literal maps")
+            return wrap_string(
+                F.translate(
+                    s1(0), str(node.args[1].value), str(node.args[2].value)
+                )
+            )
+        if name in ("normalize-space", "fn:normalize-space"):
+            return wrap_string(
+                F.regexp_replace(F.trim(s1(0)), r"\s+", " ")
+            )
+        if name in ("remove", "fn:remove"):
+            pos = F.round(
+                F.try_variant_get(F.get(arg(1), 0), "$", "double")
+            ).cast("int")
+            return F.filter(arg(0), lambda x, i: i + 1 != pos)
+        if name in ("head", "fn:head"):
+            return F.slice(arg(0), 1, 1)
+        if name in ("tail", "fn:tail"):
+            return F.slice(
+                arg(0), 2, F.greatest(F.size(arg(0)) - 1, F.lit(0))
+            )
+        if name in ("string-to-codepoints", "fn:string-to-codepoints"):
+            chars = F.filter(F.split(s1(0), ""), lambda ch: ch != "")
+            return F.transform(
+                chars, lambda ch: F.parse_json(F.ascii(ch).cast("string"))
+            )
+        if name in ("codepoints-to-string", "fn:codepoints-to-string"):
+            chars = F.transform(
+                arg(0),
+                lambda x: F.chr(F.try_variant_get(x, "$", "bigint")),
+            )
+            return wrap_string(F.array_join(chars, ""))
+        if name in ("substring-before", "fn:substring-before"):
+            s, sub = s1(0), s1(1)
+            pos = F.instr(s, sub)
+            return wrap_string(
+                F.when(pos == 0, F.lit("")).otherwise(
+                    F.substring(s, F.lit(1), pos - 1)
+                )
+            )
+        if name in ("substring-after", "fn:substring-after"):
+            s, sub = s1(0), s1(1)
+            pos = F.instr(s, sub)
+            return wrap_string(
+                F.when(pos == 0, F.lit("")).otherwise(
+                    F.substring(
+                        s, pos + F.length(sub), F.length(s)
+                    )
+                )
+            )
+        if name in ("number", "fn:number"):
+            d = F.try_variant_get(F.get(arg(0), 0), "$", "double")
+            return F.array(
+                F.parse_json(
+                    F.when(d.isNull(), F.lit('"NaN"')).otherwise(_emit_dbl(d))
+                )
+            )
+        if name in ("boolean", "fn:boolean"):
+            return F.array(
+                F.parse_json(
+                    F.coalesce(
+                        self._ebv(node.args[0], scope), F.lit(False)
+                    ).cast("string")
+                )
+            )
         if name in ("insert-before", "fn:insert-before"):
             seq = arg(0)
             pos = F.greatest(

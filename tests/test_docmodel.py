@@ -249,3 +249,40 @@ def test_for_at_pos_read_path(spark, docstore):
     )
     q = "for $x in (10,20) for $i at $p in jn:doc('db','p.jn')[] return $p"
     assert run(spark, docstore, q) == "1 2 3 1 2 3"
+
+
+FN_TAIL = [
+    ("replace('banana','a','o')", '"bonono"'),
+    ("replace('a1b2','([0-9])','[$1]')", '"a[1]b[2]"'),
+    ("string-join(('a','b','c'), '-')", '"a-b-c"'),
+    ("string-join(('a','b'))", '"ab"'),
+    ("upper-case('ab')", '"AB"'),
+    ("lower-case('AB')", '"ab"'),
+    ("translate('bar','abc','ABC')", '"BAr"'),
+    ("normalize-space('  a   b ')", '"a b"'),
+    ("remove((1,2,3), 2)", "1 3"),
+    ("head((1,2,3))", "1"),
+    ("tail((1,2,3))", "2 3"),
+    ("string-to-codepoints('ab')", "97 98"),
+    ("codepoints-to-string((97,98))", '"ab"'),
+    ("matches('abc','^a')", "true"),
+    ("matches('abc','^b')", "false"),
+    ("substring-before('a=b','=')", '"a"'),
+    ("substring-after('a=b','=')", '"b"'),
+    ("substring-before('ab','x')", '""'),
+    ("number('42')", "42"),
+    # non-finite doubles serialize as quoted strings engine-wide
+    # (variants cannot hold NaN; _emit_dbl documents the choice)
+    ("number('xx')", '"NaN"'),
+    ("boolean((1))", "true"),
+    ("boolean(())", "false"),
+]
+
+
+@pytest.mark.parametrize("q,want", FN_TAIL, ids=[q[:30] for q, _ in FN_TAIL])
+def test_fn_library_tail(spark, docstore, q, want):
+    """fn: string/sequence long tail (round-3 verdict 'what's missing'
+    #1): XQuery F&O semantics — regex replace with group refs, the
+    codepoint pair, first-occurrence substring-before/after with
+    empty-on-miss, EBV boolean(), NaN-on-unparsable number()."""
+    assert run(spark, docstore, q) == want
