@@ -1160,6 +1160,28 @@ class DocEvaluator:
             return self._valid_at_seq(node, stream, scope)
         if name in ("xml:doc", "xml:open", "xml:open-revisions"):
             return self._xml_temporal_seq(node, stream, scope)
+        if name == "xml:diff":
+            # emit the XQuery Update script transforming r1 into r2
+            # (function/xml/diff/Diff.java; store/xmldiff.py computes
+            # it exactly from the key sidecars)
+            from sirix_spark.store.xmldiff import xml_diff
+            from sirix_spark.store.xmlstore import XmlStore
+
+            lits = [a.value for a in node.args[:2] if isinstance(a, P.Lit)]
+            if len(lits) != 2:
+                raise JsoniqCompileError("xml:diff needs (db, res, r1, r2)")
+            r1 = self._static_int(node.args[2], scope)
+            r2 = self._static_int(node.args[3], scope)
+            script = xml_diff(XmlStore(self.store.root), lits[0], lits[1], r1, r2)
+            df = stream
+            if script is None:
+                df = df.limit(0)
+            for col, t in zip(
+                ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
+            ):
+                df = df.withColumn(col, F.lit(None).cast(t))
+            df = df.withColumn("__j", F.lit(script))
+            return Seq(df, False, (), "one")
         if name in ("jn:exists-database", "jn:exists-resource"):
             args = [a.value for a in node.args if isinstance(a, P.Lit)]
             if name == "jn:exists-database":

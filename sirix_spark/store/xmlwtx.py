@@ -267,6 +267,51 @@ class XmlWtx:
         self.cursor = akey
         return self
 
+    # ------------------------------------------- fragment grafts
+    # (the xml:diff apply path — store/xmldiff.py — inserts whole
+    # serialized fragments; fresh keys are drawn in pre-order)
+    def _fragment_tree(self, frag: str) -> dict:
+        frag = frag.strip()
+        if frag.startswith('"') and frag.endswith('"'):
+            value = frag[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            return {"key": self._fresh(), "kind": "TEXT", "value": value}
+        from sirix_spark.sources.xml_source import _shred_one
+
+        t = tree_from_rows(_shred_one("f", frag), None)
+        self._renumber(t)
+        return t
+
+    def _renumber(self, node: dict) -> None:
+        node["key"] = self._fresh()
+        if node["kind"] == "ELEMENT":
+            for a in node["attrs"]:
+                a[0] = self._fresh()
+            for c in node["children"]:
+                self._renumber(c)
+
+    def insert_fragment_as_first_child(self, frag: str) -> "XmlWtx":
+        t = self._fragment_tree(frag)
+        self._cursor_element()["children"].insert(0, t)
+        self.cursor = t["key"]
+        return self
+
+    def insert_fragment_before(self, anchor: int, frag: str) -> "XmlWtx":
+        node, parent, slot = find_node(self.root, anchor)
+        if node is None or parent is None or slot[0] != "child":
+            raise XmlStoreError(f"no child node {anchor} to anchor on")
+        t = self._fragment_tree(frag)
+        parent["children"].insert(slot[1], t)
+        self.cursor = t["key"]
+        return self
+
+    def insert_fragment_as_last_child(self, parent_key: int, frag: str) -> "XmlWtx":
+        self.move_to(parent_key)
+        el = self._cursor_element()
+        t = self._fragment_tree(frag)
+        el["children"].append(t)
+        self.cursor = t["key"]
+        return self
+
     # --------------------------------------------------------- mutation
     def set_value(self, value: str) -> "XmlWtx":
         node, _, slot = self._cursor_node()

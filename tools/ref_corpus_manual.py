@@ -944,6 +944,31 @@ CASES += [
        "OOPS4!", setup_py="xml_versioned"),
 ]
 
+# ------------------------------------ function/xml/diff (DiffTest)
+# xml:diff emits an XQuery Update script transforming r1 into r2;
+# tests/test_xmldiff.py closes the reference's round-trip invariant
+# (apply script at r1 == r2) for every revision pair of this fixture.
+CASES += [
+    _c("XmlDiff#insertedSubtreeStatement", "diff/DiffTest.java",
+       "xml:diff('xml-db','resource', 1, 2)", None,
+       setup_py="xml_versioned",
+       **{"assert": ["let $doc := xml:doc('xml-db','resource', 1)",
+                     "insert nodes <a att=\"attval\">OOPS4!</a> "
+                     "before sdb:select-item($doc, 4)"]}),
+    _c("XmlDiff#deleteStatement", "diff/DiffTest.java",
+       "xml:diff('xml-db','resource', 3, 4)", None,
+       setup_py="xml_versioned",
+       **{"assert": ["delete nodes sdb:select-item($doc, 13)"]}),
+    _c("XmlDiff#replaceValueStatement", "diff/DiffTest.java",
+       "xml:diff('xml-db','resource', 4, 5)", None,
+       setup_py="xml_versioned",
+       **{"assert": ["replace value of node sdb:select-item($doc, 4) "
+                     "with \"fooooooo\""]}),
+    _c("XmlDiff#sameRevisionIsEmpty", "diff/DiffTest.java",
+       "xml:diff('xml-db','resource', 3, 3)", "",
+       setup_py="xml_versioned"),
+]
+
 # ------------------------------------ PathSummaryOffTest
 CASES += [
     _c("PathSummaryOff#storeStillCreatesAndQueries",
