@@ -1160,6 +1160,48 @@ class DocEvaluator:
             return self._valid_at_seq(node, stream, scope)
         if name in ("xml:doc", "xml:open", "xml:open-revisions"):
             return self._xml_temporal_seq(node, stream, scope)
+        if name in ("xml:attribute-count", "xml:namespace-count"):
+            # trx/GetAttributeCount.java / GetNamespaceCount.java:
+            # count of attributes (resp. namespace declarations) of
+            # the argument node — lowered to the attribute axis over
+            # the shredded node table and one count
+            test = (
+                ("wildcard",)
+                if name == "xml:attribute-count"
+                else ("namespace",)
+            )
+            # each argument item re-shreds as its own fragment whose
+            # context is the fragment's document node; hop to the item
+            # root (its only child) before the attribute axis
+            sub = self._xpath_seq(
+                P.Path(
+                    node.args[0],
+                    [
+                        ("xstep", "child", ("node",), []),
+                        ("xstep", "attribute", test, []),
+                    ],
+                ),
+                stream,
+                scope,
+            )
+            cnt = sub.df.agg(F.count(F.lit(1)).alias("__c"))
+            df = (
+                cnt.withColumn("__ord", F.array().cast("array<bigint>"))
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.col("__c").cast("string"))
+                .drop("__c")
+            )
+            return Seq(df.select("__ord", *ITEM_COLS), False, (), "one")
+        if name in ("xml:sort", "xml:serialize"):
+            # index/SortByDocOrder.java: re-sort a node sequence into
+            # document order — path results here are ALWAYS in
+            # document order (__ord is the document-order vector), so
+            # both are the identity on the sequence; serialization is
+            # the engine's normal item emission.
+            return self._expr_seq(node.args[0], stream, scope)
         if name == "xml:diff":
             # emit the XQuery Update script transforming r1 into r2
             # (function/xml/diff/Diff.java; store/xmldiff.py computes

@@ -26,6 +26,8 @@ from sirix_spark.jsoniq.compiler import JsoniqCompileError
 _SIDE_EFFECT_FNS = {
     "jn:store",
     "jn:load",
+    "xml:store",
+    "xml:load",
     "jn:create-cas-index",
     "jn:create-path-index",
     "jn:create-name-index",
@@ -363,6 +365,39 @@ class _PyInterp:
             else:
                 for t in texts:
                     put(db, res, t)
+            return []
+        if name in ("xml:store", "xml:load"):
+            # io/Store.java (xml:store): store serialized XML as a new
+            # versioned resource (createNew default) or commit onto an
+            # existing one; keys assigned through the write trx so
+            # node identity is stable from revision 1. xml:load reads
+            # the document from a local file path/URI (io/Load.java).
+            from sirix_spark.store.xmlstore import XmlStore
+            from sirix_spark.store.xmlwtx import tree_from_rows, tree_keys
+
+            db = self._one(self.eval(node.args[0], env))
+            res = self._one(self.eval(node.args[1], env))
+            src = self._one(self.eval(node.args[2], env))
+            if name == "xml:load":
+                path = str(src)
+                if path.startswith("file:"):
+                    path = path[len("file:"):]
+                    while path.startswith("//"):
+                        path = path[1:]
+                with open(path) as f:
+                    src = f.read()
+            import shutil
+
+            from sirix_spark.sources.xml_source import _shred_one
+
+            xs = XmlStore(self.ev.store.root)
+            if xs.exists(db, res):
+                # jn:store createNew semantics: drop and recreate
+                shutil.rmtree(xs._res_dir(db, res))
+            t = tree_from_rows(_shred_one("f", str(src)), None)
+            from sirix_spark.store.xmlwtx import serialize_tree
+
+            xs.store(db, res, serialize_tree(t), keys=tree_keys(t))
             return []
         if name == "jn:drop-database":
             self.ev.store.drop_database(self._one(self.eval(node.args[0], env)))

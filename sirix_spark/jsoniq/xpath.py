@@ -68,6 +68,17 @@ def _test_filter(df: DataFrame, axis: str, test: tuple) -> DataFrame:
         # namespace declarations are NOT attributes in the XPath data
         # model (the reference stores them as NamespaceNode, excluded
         # from AttributeAxis — AttributeAxisTest.java:57-69)
+        if test[0] == "namespace":
+            # the internal namespace-axis test (xml:namespace-count):
+            # ONLY the xmlns declarations, which the ordinary
+            # attribute axis excludes
+            return df.filter(
+                (kind == ATTRIBUTE)
+                & (
+                    (F.col("name") == "xmlns")
+                    | F.col("name").startswith("xmlns:")
+                )
+            )
         df = df.filter(
             (kind == ATTRIBUTE)
             & (F.col("name") != "xmlns")

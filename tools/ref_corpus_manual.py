@@ -944,6 +944,36 @@ CASES += [
        "OOPS4!", setup_py="xml_versioned"),
 ]
 
+# -------------------- xml: io/trx function surface (XMLFun.java)
+# xml:store / xml:load (io/Store.java, io/Load.java) create versioned
+# resources through the keyed write trx; attribute-count /
+# namespace-count (trx/Get{Attribute,Namespace}Count.java) lower to
+# the attribute axis; xml:sort (index/SortByDocOrder.java) is the
+# identity on path results (always document-ordered here). The
+# reference ships no query-level tests for these — assertions mirror
+# the function javadocs over the standard document.
+CASES += [
+    _c("XmlStore#roundTrips", "io/Store.java",
+       "xml:doc('xml-db2','stored')", '<r a="1">t<s/></r>',
+       setup=["xml:store('xml-db2','stored','<r a=\"1\">t<s/></r>')"]),
+    _c("XmlStore#replacesExisting", "io/Store.java",
+       "xml:doc('xml-db2','stored')", "<q/>",
+       setup=["xml:store('xml-db2','stored','<r a=\"1\">t<s/></r>')",
+              "xml:store('xml-db2','stored','<q/>')"]),
+    _c("XmlAttributeCount#onRootElement", "trx/GetAttributeCount.java",
+       "xml:attribute-count(xml:doc('xml-db','resource',1)/p:a)", "1",
+       setup_py="xml_versioned"),
+    _c("XmlNamespaceCount#onRootElement", "trx/GetNamespaceCount.java",
+       "xml:namespace-count(xml:doc('xml-db','resource',1)/p:a)", "1",
+       setup_py="xml_versioned"),
+    _c("XmlAttributeCount#zeroOnPlainElement", "trx/GetAttributeCount.java",
+       "xml:attribute-count(xml:doc('xml-db','resource',1)//b[1])", "0",
+       setup_py="xml_versioned"),
+    _c("XmlSort#identityOnDocOrder", "index/SortByDocOrder.java",
+       "xml:sort(xml:doc('xml-db','resource',1)//c)", "<c/> <c/>",
+       setup_py="xml_versioned"),
+]
+
 # ------------------------------------ function/xml/diff (DiffTest)
 # xml:diff emits an XQuery Update script transforming r1 into r2;
 # tests/test_xmldiff.py closes the reference's round-trip invariant
