@@ -1202,6 +1202,15 @@ class DocEvaluator:
             # both are the identity on the sequence; serialization is
             # the engine's normal item emission.
             return self._expr_seq(node.args[0], stream, scope)
+        if name in (
+            "xml:scan-name-index",
+            "xml:scan-path-index",
+            "xml:scan-cas-index",
+            "xml:find-name-index",
+            "xml:find-path-index",
+            "xml:find-cas-index",
+        ):
+            return self._xml_index_seq(node, stream, scope)
         if name == "xml:diff":
             # emit the XQuery Update script transforming r1 into r2
             # (function/xml/diff/Diff.java; store/xmldiff.py computes
@@ -1537,6 +1546,138 @@ class DocEvaluator:
             true_key = F.col("node_key")
         out = (
             joined.withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
+            .withColumn("__k", true_key)
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.col("text"))
+            .drop("__xid", "__xdoc", "node_key", "text", *(
+                ["__kmap"] if "__kmap" in bdf.columns else []
+            ))
+        )
+        return Seq(out, False, (), "many")
+
+    def _xml_index_seq(self, node: P.Call, stream: DataFrame, scope: dict) -> Seq:
+        """XML index scans/finds (function/xml/index/{scan,find}/*):
+        the scan is a filter over the shredded node table — name
+        indexes select elements by name, path indexes nodes by
+        path-summary pattern, CAS indexes typed text/attribute values
+        at paths — serialized back to items in document order with
+        node identity, exactly like XPath results."""
+        from pyspark.sql import Window
+
+        from sirix_spark.jsoniq.docindex import (
+            _lit_value,
+            _paths_arg,
+            path_pattern_regex,
+        )
+        from sirix_spark.jsoniq.xpath import serialize_result
+        from sirix_spark.sources.xml_source import shred_xml
+        from sirix_spark.store.xmlstore import XmlStore
+
+        name = node.name
+        base = node.args[0]
+        if not (isinstance(base, P.Call) and base.name in ("xml:doc", "xml:open")):
+            raise JsoniqCompileError(f"{name} needs an xml:doc source")
+        lits = [a.value for a in base.args[:2] if isinstance(a, P.Lit)]
+        if len(lits) != 2:
+            raise JsoniqCompileError(f"{name} needs literal (db, res)")
+        db, res = lits
+        xs = XmlStore(self.store.root)
+
+        if name.startswith("xml:find-"):
+            kind = name[len("xml:find-"):-len("-index")]
+            if kind == "cas":
+                ct = _lit_value(self, node.args[1], scope)
+                paths = _paths_arg(self, node.args[2], scope)
+            else:
+                ct = None
+                paths = _paths_arg(self, node.args[1], scope)
+            found = xs.find_index(db, res, kind, ct, paths)
+            df = stream
+            if found is None:
+                df = df.limit(0)
+            for col, t in zip(
+                ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
+            ):
+                df = df.withColumn(col, F.lit(None).cast(t))
+            df = df.withColumn(
+                "__j", F.lit(None if found is None else str(found))
+            )
+            return Seq(df, False, (), "one")
+
+        number = int(_lit_value(self, node.args[1], scope))
+        idx = xs.index_def(db, res, number)  # fail-closed on missing
+        bseq = self._xml_temporal_seq(base, stream, scope)
+        w = Window.orderBy(F.col("__ord"))
+        bdf = bseq.df.withColumn("__xid", F.row_number().over(w).cast("string"))
+        nodes = shred_xml(
+            bdf.select(F.col("__xid").alias("doc"), F.col("__j").alias("xml"))
+        )
+        if name == "xml:scan-name-index":
+            names = tuple(idx["paths"])
+            cond = F.col("kind") == "ELEMENT"
+            if names:
+                cond = cond & F.col("name").isin(*names)
+            if len(node.args) > 2:
+                narrow = _paths_arg(self, node.args[2], scope)
+                if narrow:
+                    cond = cond & F.col("name").isin(*narrow)
+        elif name == "xml:scan-path-index":
+            pf = _paths_arg(
+                self, node.args[2] if len(node.args) > 2 else None, scope
+            )
+            patterns = pf or tuple(idx["paths"])
+            cond = None
+            for p in patterns:
+                c = F.col("path").rlike(path_pattern_regex(p))
+                cond = c if cond is None else (cond | c)
+            cond = (cond if cond is not None else F.lit(True)) & (
+                F.col("kind") != "XML_DOCUMENT"
+            )
+        else:  # xml:scan-cas-index($doc, $idx, $key, $op, $paths?)
+            value = _lit_value(self, node.args[2], scope)
+            op = _lit_value(self, node.args[3], scope)
+            pf = _paths_arg(
+                self, node.args[4] if len(node.args) > 4 else None, scope
+            )
+            patterns = pf or tuple(idx["paths"])
+            pc = None
+            for p in patterns:
+                c = F.col("path").rlike(path_pattern_regex(p))
+                pc = c if pc is None else (pc | c)
+            # CAS targets: text/attribute VALUES at the indexed paths
+            # (a text node carries its element's path)
+            cond = F.col("kind").isin("TEXT", "ATTRIBUTE") & (
+                pc if pc is not None else F.lit(True)
+            )
+            if idx["content_type"] in (
+                "xs:integer", "xs:decimal", "xs:double", "xs:float",
+            ):
+                col = F.col("value").cast("double")
+                lit = F.lit(float(value))
+            else:
+                col = F.col("value")
+                lit = F.lit(str(value))
+            ops = {
+                "==": col == lit, "!=": col != lit,
+                "<": col < lit, "<=": col <= lit,
+                ">": col > lit, ">=": col >= lit,
+            }
+            if op not in ops:
+                raise JsoniqCompileError(f"unsupported scan op {op!r}")
+            cond = cond & ops[op]
+        frontier = nodes.filter(cond)
+        ser = serialize_result(nodes, frontier).withColumnRenamed("doc", "__xdoc")
+        if "__kmap" in bdf.columns:
+            true_key = F.when(
+                F.col("__kmap").isNotNull(),
+                F.element_at("__kmap", (F.col("node_key") + 1).cast("int")),
+            ).otherwise(F.col("node_key"))
+        else:
+            true_key = F.col("node_key")
+        out = (
+            bdf.join(ser, F.col("__xid") == F.col("__xdoc"), "inner")
+            .withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
             .withColumn("__k", true_key)
             .withColumn("__h", F.lit(None).cast("int"))
             .withColumn("__sz", F.lit(None).cast("bigint"))

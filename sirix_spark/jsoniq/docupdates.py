@@ -28,6 +28,9 @@ _SIDE_EFFECT_FNS = {
     "jn:load",
     "xml:store",
     "xml:load",
+    "xml:create-cas-index",
+    "xml:create-path-index",
+    "xml:create-name-index",
     "jn:create-cas-index",
     "jn:create-path-index",
     "jn:create-name-index",
@@ -476,6 +479,35 @@ class _PyInterp:
             return [PyItem(min(vals) if short == "min" else max(vals))]
         if name.startswith("jn:create-") and name.endswith("-index"):
             return self._create_index(node, env)
+        if name == "xml:doc":
+            # opaque XML-resource reference for the DDL shapes below
+            db = self._one(self.eval(node.args[0], env))
+            res = self._one(self.eval(node.args[1], env))
+            return [PyItem(("__xmldoc__", db, res))]
+        if name.startswith("xml:create-") and name.endswith("-index"):
+            # function/xml/index/create/*: register the definition in
+            # the XmlStore catalogue (the node table serves the scans)
+            from sirix_spark.store.xmlstore import XmlStore
+
+            kind = name[len("xml:create-"):-len("-index")]
+            tgt = self._one(self.eval(node.args[0], env))
+            if not (isinstance(tgt, tuple) and tgt[0] == "__xmldoc__"):
+                raise JsoniqCompileError("xml index DDL needs an xml:doc target")
+            _, db, res = tgt
+            rest = node.args[1:]
+            content_type = None
+            if kind == "cas":
+                content_type = self._one(self.eval(rest[0], env))
+                rest = rest[1:]
+            paths: tuple[str, ...] = ()
+            if rest:
+                paths = tuple(
+                    str(v.value) for v in self.eval(rest[0], env)
+                )
+            XmlStore(self.ev.store.root).create_index(
+                db, res, kind, content_type, paths
+            )
+            return [PyItem({})]
         if name == "sdb:commit":
             it = self.eval(node.args[0], env)[0]
             h = self._handle(it.hid)

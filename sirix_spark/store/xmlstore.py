@@ -158,6 +158,64 @@ class XmlStore:
                 out.append(e["revision"])
         return out
 
+    # ------------------------------------------------ index registry
+    # xml:create-{name,path,cas}-index (function/xml/index/create/*) —
+    # same catalogue discipline as the JSON DocumentStore: the node
+    # table's (kind, name, path, value) columns answer every scan the
+    # reference serves from its index trees; the registry preserves
+    # numbering and find-index semantics.
+    def create_index(
+        self,
+        db: str,
+        res: str,
+        kind: str,
+        content_type: str | None,
+        paths: tuple[str, ...],
+    ) -> int:
+        m = self._read_manifest(db, res)
+        idxs = m.setdefault("indexes", [])
+        for e in idxs:
+            if (
+                e["kind"] == kind
+                and e["content_type"] == content_type
+                and tuple(e["paths"]) == tuple(paths)
+            ):
+                return e["number"]
+        number = max((e["number"] for e in idxs), default=-1) + 1
+        idxs.append(
+            {
+                "number": number,
+                "kind": kind,
+                "content_type": content_type,
+                "paths": list(paths),
+            }
+        )
+        self._write_manifest(db, res, m)
+        return number
+
+    def index_def(self, db: str, res: str, number: int) -> dict:
+        for e in self._read_manifest(db, res).get("indexes", []):
+            if e["number"] == number:
+                return e
+        raise XmlStoreError(f"no index {number} on {db}/{res}")
+
+    def find_index(
+        self,
+        db: str,
+        res: str,
+        kind: str,
+        content_type: str | None,
+        paths: tuple[str, ...],
+    ) -> int | None:
+        for e in self._read_manifest(db, res).get("indexes", []):
+            if e["kind"] != kind:
+                continue
+            if kind == "cas" and e["content_type"] != content_type:
+                continue
+            if all(p in e["paths"] for p in paths):
+                return e["number"]
+        return None
+
     def nodes_rows(self, db: str, res: str, revision: int) -> list[dict]:
         """Shred a revision into the relational XML node-table rows
         (sources/xml_source.py schema) — axis queries build on it."""

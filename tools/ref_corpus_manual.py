@@ -974,6 +974,38 @@ CASES += [
        setup_py="xml_versioned"),
 ]
 
+# -------------------- xml: index DDL + scans (function/xml/index/*)
+_XIDX_SETUP = [
+    "xml:store('xml-db3','res','<p:a xmlns:p=\"ns\" i=\"j\">oops1"
+    "<b>foo<c/></b>oops2<b p:x=\"y\"><c/>bar</b>oops3</p:a>')",
+    "let $doc := xml:doc('xml-db3','res') "
+    "return xml:create-name-index($doc, ('b','c'))",
+    "let $doc := xml:doc('xml-db3','res') "
+    "return xml:create-path-index($doc, ('//b/c'))",
+    "let $doc := xml:doc('xml-db3','res') "
+    "return xml:create-cas-index($doc, 'xs:string', ('//b'))",
+]
+CASES += [
+    _c("XmlIndex#findNameIndex", "index/find/FindNameIndex.java",
+       "xml:find-name-index(xml:doc('xml-db3','res'), ('b','c'))", "0",
+       setup=_XIDX_SETUP),
+    _c("XmlIndex#findNameIndexMiss", "index/find/FindNameIndex.java",
+       "xml:find-name-index(xml:doc('xml-db3','res'), ('zzz'))", "",
+       setup=_XIDX_SETUP),
+    _c("XmlIndex#scanNameIndexKeys", "index/scan/ScanNameIndex.java",
+       "for $n in xml:scan-name-index(xml:doc('xml-db3','res'), 0, 'c') "
+       "return sdb:nodekey($n)", "7 11", setup=_XIDX_SETUP),
+    _c("XmlIndex#scanPathIndex", "index/scan/ScanPathIndex.java",
+       "xml:scan-path-index(xml:doc('xml-db3','res'), 1)", "<c/> <c/>",
+       setup=_XIDX_SETUP),
+    _c("XmlIndex#scanCasIndexEquals", "index/scan/ScanCASIndex.java",
+       "xml:scan-cas-index(xml:doc('xml-db3','res'), 2, 'foo', '==')",
+       "foo", setup=_XIDX_SETUP),
+    _c("XmlIndex#scanMissingIndexFailsClosed", "index/scan/ScanNameIndex.java",
+       "xml:scan-name-index(xml:doc('xml-db3','res'), 9, 'c')", None,
+       setup=_XIDX_SETUP, **{"assert": "error"}),
+]
+
 # ------------------------------------ function/xml/diff (DiffTest)
 # xml:diff emits an XQuery Update script transforming r1 into r2;
 # tests/test_xmldiff.py closes the reference's round-trip invariant
