@@ -31,6 +31,7 @@ _SIDE_EFFECT_FNS = {
     "xml:create-cas-index",
     "xml:create-path-index",
     "xml:create-name-index",
+    "xml:import",
     "jn:create-cas-index",
     "jn:create-path-index",
     "jn:create-name-index",
@@ -401,6 +402,26 @@ class _PyInterp:
             from sirix_spark.store.xmlwtx import serialize_tree
 
             xs.store(db, res, serialize_tree(t), keys=tree_keys(t))
+            return []
+        if name == "xml:import":
+            # io/Import.java: diff-import an externally-edited
+            # document as the next revision; FMSE-lite matching keeps
+            # unchanged nodes' keys (store/xmldiff.fmse_import)
+            from sirix_spark.store.xmldiff import fmse_import
+            from sirix_spark.store.xmlstore import XmlStore
+
+            db = self._one(self.eval(node.args[0], env))
+            res = self._one(self.eval(node.args[1], env))
+            src = str(self._one(self.eval(node.args[2], env)))
+            if not src.lstrip().startswith("<"):
+                path = src
+                if path.startswith("file:"):
+                    path = path[len("file:"):]
+                    while path.startswith("//"):
+                        path = path[1:]
+                with open(path) as f:
+                    src = f.read()
+            fmse_import(XmlStore(self.ev.store.root), db, res, src)
             return []
         if name == "jn:drop-database":
             self.ev.store.drop_database(self._one(self.eval(node.args[0], env)))

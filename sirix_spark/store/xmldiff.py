@@ -239,3 +239,72 @@ def apply_xml_diff(xs: XmlStore, script: str) -> int:
         elif kind == "rename":
             w.move_to(int(match.group(1))).set_name(_unesc(match.group(2)))
     return w.commit()
+
+
+# ---------------------------------------------------------- import
+def fmse_import(xs: XmlStore, db: str, res: str, new_xml: str) -> int:
+    """xml:import — commit an externally-edited document as the next
+    revision while UNCHANGED nodes keep their keys (reference:
+    io/Import.java runs the FMSE tree-matching for this;
+    diff/algorithm/fmse/FMSE.java). With keyed trees the matcher
+    reduces to recursive longest-common-subsequence alignment over
+    child signatures (kind + element name): matched elements recurse
+    and keep their key, matched text/comment keep their key even
+    when the value changed (the setValue identity rule), unmatched
+    new nodes draw fresh keys in pre-order, unmatched old nodes
+    retire their keys. Driver-side like every write transaction."""
+    from difflib import SequenceMatcher
+
+    from sirix_spark.sources.xml_source import _shred_one
+
+    rev = xs.latest_revision(db, res)
+    old = tree_from_rows(xs.nodes_rows(db, res, rev), xs.read_keys(db, res, rev))
+    neu = tree_from_rows(_shred_one("f", new_xml), None)
+    matches: dict[int, int] = {}  # id(new node) -> old key
+    attr_matches: dict[int, dict[str, int]] = {}  # id(new el) -> name -> old akey
+
+    def sig(n: dict):
+        return (n["kind"], n.get("name"))
+
+    def match(o: dict, n: dict):
+        matches[id(n)] = o["key"]
+        if n["kind"] != "ELEMENT":
+            return
+        attr_matches[id(n)] = {a[1]: a[0] for a in o["attrs"]}
+        sm = SequenceMatcher(
+            a=[sig(c) for c in o["children"]],
+            b=[sig(c) for c in n["children"]],
+            autojunk=False,
+        )
+        for blk in sm.get_matching_blocks():
+            for k in range(blk.size):
+                oc, nc = o["children"][blk.a + k], n["children"][blk.b + k]
+                match(oc, nc)
+
+    if old is not None and sig(old) == sig(neu):
+        match(old, neu)
+
+    counter = [xs.next_key(db, res)]
+
+    def assign(n: dict):
+        if id(n) in matches:
+            n["key"] = matches[id(n)]
+        else:
+            n["key"] = counter[0]
+            counter[0] += 1
+        if n["kind"] == "ELEMENT":
+            known = attr_matches.get(id(n), {})
+            for a in n["attrs"]:
+                if a[1] in known:
+                    a[0] = known[a[1]]
+                else:
+                    a[0] = counter[0]
+                    counter[0] += 1
+            for c in n["children"]:
+                assign(c)
+
+    assign(neu)
+    from sirix_spark.store.xmlwtx import serialize_tree as _ser
+    from sirix_spark.store.xmlwtx import tree_keys as _tk
+
+    return xs.commit(db, res, _ser(neu), keys=_tk(neu))

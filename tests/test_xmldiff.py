@@ -92,3 +92,50 @@ def test_query_surface(spark, versioned):
     out = ev.execute("xml:diff('xml-db','resource', 1, 2)")
     assert "insert nodes" in out and "$doc" in out
     assert ev.execute("xml:diff('xml-db','resource', 3, 3)") == ""
+
+
+def test_fmse_import_preserves_unchanged_keys():
+    """io/Import.java (FMSEImport): importing an externally-edited
+    document keeps the keys of unchanged nodes, retires removed ones
+    and draws fresh keys for inserts — verified through
+    node_revisions and a follow-up xml:diff."""
+    from sirix_spark.store.xmldiff import fmse_import
+
+    xs = XmlStore(tempfile.mkdtemp())
+    xs.store("db", "r", "<root><a>one</a><b x='1'>two</b><c/></root>")
+    # seed keys through the write trx so the sidecar exists
+    w = XmlWtx(xs, "db", "r")
+    w.commit()  # rev 2, keys = shredder numbering
+    k2 = xs.read_keys("db", "r", 2)
+    # edit externally: change <a>'s text, drop <c/>, add <d/> at end,
+    # keep <b> byte-identical
+    rev = fmse_import(
+        xs, "db", "r", '<root><a>CHANGED</a><b x="1">two</b><d/></root>'
+    )
+    k3 = xs.read_keys("db", "r", rev)
+    # unchanged <b> subtree keys survive (element, attr, text)
+    assert xs.read_text("db", "r", rev) == (
+        '<root><a>CHANGED</a><b x="1">two</b><d/></root>'
+    )
+    # root(1), a(2), a-text(3), b(4), @x(5), b-text(6) all preserved
+    assert k3[:6] == k2[:6]
+    # <c/> retired, <d/> fresh above every prior key
+    assert k3[-1] > max(k2)
+    assert xs.node_revisions("db", "r", k2[-1]) == [1, 2]  # <c/> gone
+    # text key 3 survives its value change (setValue identity rule)
+    assert xs.node_revisions("db", "r", k3[2])[-1] == rev
+
+
+def test_import_via_query_surface(spark, tmp_path):
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path))
+    ev = DocEvaluator(spark, store)
+    ev.execute("xml:store('db','r','<root><a>one</a></root>')")
+    ev.execute("xml:import('db','r','<root><a>one</a><b/></root>')")
+    assert ev.execute("xml:doc('db','r')") == "<root><a>one</a><b/></root>"
+    # unchanged <a> kept keys 2/3; <b/> drew a fresh key
+    assert ev.execute(
+        "for $n in xml:doc('db','r')/root/a return sdb:nodekey($n)"
+    ) == "2"
