@@ -1206,6 +1206,7 @@ class DocEvaluator:
             "xml:scan-name-index",
             "xml:scan-path-index",
             "xml:scan-cas-index",
+            "xml:scan-cas-index-range",
             "xml:find-name-index",
             "xml:find-path-index",
             "xml:find-cas-index",
@@ -1634,11 +1635,16 @@ class DocEvaluator:
             cond = (cond if cond is not None else F.lit(True)) & (
                 F.col("kind") != "XML_DOCUMENT"
             )
-        else:  # xml:scan-cas-index($doc, $idx, $key, $op, $paths?)
-            value = _lit_value(self, node.args[2], scope)
-            op = _lit_value(self, node.args[3], scope)
+        else:
+            # xml:scan-cas-index($doc, $idx, $key, $op, $paths?) and
+            # xml:scan-cas-index-range($doc, $idx, lo, hi, incLo,
+            # incHi, $paths?)
+            is_range = name == "xml:scan-cas-index-range"
+            pf_pos = 6 if is_range else 4
             pf = _paths_arg(
-                self, node.args[4] if len(node.args) > 4 else None, scope
+                self,
+                node.args[pf_pos] if len(node.args) > pf_pos else None,
+                scope,
             )
             patterns = pf or tuple(idx["paths"])
             pc = None
@@ -1650,22 +1656,34 @@ class DocEvaluator:
             cond = F.col("kind").isin("TEXT", "ATTRIBUTE") & (
                 pc if pc is not None else F.lit(True)
             )
-            if idx["content_type"] in (
+            numeric = idx["content_type"] in (
                 "xs:integer", "xs:decimal", "xs:double", "xs:float",
-            ):
+            )
+            if is_range:
+                lo = float(_lit_value(self, node.args[2], scope))
+                hi = float(_lit_value(self, node.args[3], scope))
+                inc_lo = bool(_lit_value(self, node.args[4], scope))
+                inc_hi = bool(_lit_value(self, node.args[5], scope))
                 col = F.col("value").cast("double")
-                lit = F.lit(float(value))
+                cond = cond & (col >= lo if inc_lo else col > lo)
+                cond = cond & (col <= hi if inc_hi else col < hi)
             else:
-                col = F.col("value")
-                lit = F.lit(str(value))
-            ops = {
-                "==": col == lit, "!=": col != lit,
-                "<": col < lit, "<=": col <= lit,
-                ">": col > lit, ">=": col >= lit,
-            }
-            if op not in ops:
-                raise JsoniqCompileError(f"unsupported scan op {op!r}")
-            cond = cond & ops[op]
+                value = _lit_value(self, node.args[2], scope)
+                op = _lit_value(self, node.args[3], scope)
+                if numeric:
+                    col = F.col("value").cast("double")
+                    lit = F.lit(float(value))
+                else:
+                    col = F.col("value")
+                    lit = F.lit(str(value))
+                ops = {
+                    "==": col == lit, "!=": col != lit,
+                    "<": col < lit, "<=": col <= lit,
+                    ">": col > lit, ">=": col >= lit,
+                }
+                if op not in ops:
+                    raise JsoniqCompileError(f"unsupported scan op {op!r}")
+                cond = cond & ops[op]
         frontier = nodes.filter(cond)
         ser = serialize_result(nodes, frontier).withColumnRenamed("doc", "__xdoc")
         if "__kmap" in bdf.columns:

@@ -115,3 +115,19 @@ def test_docmodel_string_entry_routes_xpath(spark, tmp_path):
     )
     with pytest.raises(Exception, match="mix"):
         ev.execute("xml:doc('xml-db','r')//b.foo")
+
+
+def test_cas_index_range_scan(spark, tmp_path):
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+
+    ev = DocEvaluator(spark, DocumentStore(spark, str(tmp_path)))
+    ev.execute("xml:store('db','r','<r><v>1</v><v>5</v><v>9</v></r>')")
+    ev.execute(
+        "let $doc := xml:doc('db','r') "
+        "return xml:create-cas-index($doc, 'xs:integer', ('//v'))"
+    )
+    q = "xml:scan-cas-index-range(xml:doc('db','r'), 0, 2, 9, true(), false())"
+    assert ev.execute(q) == "5"
+    q = "xml:scan-cas-index-range(xml:doc('db','r'), 0, 1, 9, true(), true())"
+    assert ev.execute(q) == "1 5 9"
