@@ -2471,6 +2471,10 @@ class DocEvaluator:
                 raise JsoniqCompileError(f"unbound variable ${node.name}")
             if info["kind"] == "lambda":
                 return F.array(info["col"])
+            if info["kind"] == "lamseq":
+                # a whole sequence captured by a higher-order callback
+                # (fold accumulators) — already array<variant>
+                return info["col"]
             if info["kind"] == "lambda_struct":
                 return F.array(F.parse_json(info["col"]["j"]))
             if info["kind"] == "seq":
@@ -3109,6 +3113,59 @@ class DocEvaluator:
             return F.slice(arg(0), begin, take)
         if name in ("reverse", "fn:reverse"):
             return F.reverse(arg(0))
+        if name in (
+            "for-each", "fn:for-each",
+            "filter", "fn:filter",
+            "fold-left", "fn:fold-left",
+            "fold-right", "fn:fold-right",
+        ):
+            # XQuery 3.1 higher-order functions over inline lambdas —
+            # compiled to Spark's own higher-order array expressions
+            # (transform/filter/aggregate), so the callback body runs
+            # JVM-side per element, no Python boundary.
+            lam = node.args[-1]
+            if not isinstance(lam, P.Lambda):
+                raise JsoniqCompileError(
+                    f"{short}() needs an inline function literal"
+                )
+
+            def body_with(bindings: dict):
+                s2 = dict(scope)
+                s2.update(bindings)
+                return lam.body, s2
+
+            if short == "for-each":
+                def fe(x):
+                    b, s2 = body_with({lam.params[0]: {"kind": "lambda", "col": x}})
+                    return self._scalar(b, s2)
+
+                return F.flatten(F.transform(arg(0), fe))
+            if short == "filter":
+                def fl(x):
+                    b, s2 = body_with({lam.params[0]: {"kind": "lambda", "col": x}})
+                    return F.coalesce(self._ebv(b, s2), F.lit(False))
+
+                return F.filter(arg(0), fl)
+            if short == "fold-left":
+                def ml(acc, x):
+                    b, s2 = body_with({
+                        lam.params[0]: {"kind": "lamseq", "col": acc},
+                        lam.params[1]: {"kind": "lambda", "col": x},
+                    })
+                    return self._scalar(b, s2)
+
+                return F.aggregate(arg(0), arg(1), ml)
+            # fold-right($seq, $zero, function($x, $acc){...}):
+            # right fold = left fold over the reversed sequence with
+            # the parameter roles swapped
+            def mr(acc, x):
+                b, s2 = body_with({
+                    lam.params[0]: {"kind": "lambda", "col": x},
+                    lam.params[1]: {"kind": "lamseq", "col": acc},
+                })
+                return self._scalar(b, s2)
+
+            return F.aggregate(F.reverse(arg(0)), arg(1), mr)
         if name in ("replace", "fn:replace"):
             # XQuery regex replace (XPath regex ~ Java regex, which is
             # what Spark's regexp_replace speaks, $N group refs incl.)

@@ -200,6 +200,15 @@ class Flwor:
 
 
 @dataclass
+class Lambda:
+    """Inline function expression: function($a, $b) { expr } —
+    XQuery 3.0 InlineFunctionExpr (higher-order function subset)."""
+
+    params: list[str] = field(default_factory=list)
+    body: object = None
+
+
+@dataclass
 class Quantified:
     kind: str  # some | every
     var: str
@@ -729,6 +738,28 @@ class _Parser:
         if t.kind == "var":
             self.i += 1
             return Var(t.text if t.text == "$$" else t.text[1:])
+        if (
+            t.kind == "name"
+            and t.text == "function"
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # inline function: function($a[, $b…]) { expr }
+            self.i += 1
+            self.eat("op", "(")
+            params = []
+            if not self.at("op", ")"):
+                while True:
+                    params.append(self.eat("var").text[1:])
+                    self._skip_type_annotation()
+                    if not self.opt("op", ","):
+                        break
+            self.eat("op", ")")
+            self._skip_type_annotation()
+            self.eat("op", "{")
+            body = self.expr()
+            self.eat("op", "}")
+            return Lambda(params, body)
         if (
             t.kind == "name"
             and t.text == "try"

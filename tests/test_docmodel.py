@@ -286,3 +286,21 @@ def test_fn_library_tail(spark, docstore, q, want):
     codepoint pair, first-occurrence substring-before/after with
     empty-on-miss, EBV boolean(), NaN-on-unparsable number()."""
     assert run(spark, docstore, q) == want
+
+
+HOF_CASES = [
+    ("fold-left((1,2,3), 0, function($a, $b) { $a + $b })", "6"),
+    ("fold-left((1,2,3,4), 1, function($a, $b) { $a * $b })", "24"),
+    ("for-each((1,2,3), function($x) { $x * 10 })", "10 20 30"),
+    ("for-each((1,2), function($x) { ($x, $x) })", "1 1 2 2"),
+    ("filter((1,2,3,4,5), function($x) { $x mod 2 eq 0 })", "2 4"),
+    ("fold-right((1,2,3), (), function($x, $acc) { ($acc, $x) })", "3 2 1"),
+]
+
+
+@pytest.mark.parametrize("q,want", HOF_CASES, ids=[q[:28] for q, _ in HOF_CASES])
+def test_higher_order_functions(spark, docstore, q, want):
+    """XQuery 3.1 higher-order functions with inline function
+    literals, compiled to Spark's own higher-order array expressions
+    (transform / filter / aggregate) — JVM-side per element."""
+    assert run(spark, docstore, q) == want
