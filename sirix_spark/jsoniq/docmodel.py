@@ -2860,8 +2860,29 @@ class DocEvaluator:
                 "gt": operator.gt,
                 "ge": operator.ge,
             }[op]
+            # xs:decimal comparisons stay EXACT when both operands are
+            # exact numerics (DECIMAL/BIGINT variants): a double
+            # round-trip would collapse 1000.25000000000001 onto
+            # 1000.25 (scan/DecimalDoubleCollisionTest — the
+            # reference's typed tags keep them distinct). A double on
+            # either side demotes the pair to double comparison, per
+            # the XQuery numeric promotion rules.
+            lsch = F.schema_of_variant(l)
+            rsch = F.schema_of_variant(r)
+            ldec = F.try_variant_get(l, "$", "decimal(38,18)")
+            rdec = F.try_variant_get(r, "$", "decimal(38,18)")
+            exact = (
+                (lsch.startswith("DECIMAL") | (lsch == F.lit("BIGINT")))
+                & (rsch.startswith("DECIMAL") | (rsch == F.lit("BIGINT")))
+                & ldec.isNotNull()
+                & rdec.isNotNull()
+            )
             num = ld.isNotNull() & rd.isNotNull()
-            return F.when(num, pyop(ld, rd)).otherwise(pyop(ls, rs))
+            return (
+                F.when(exact, pyop(ldec, rdec))
+                .when(num, pyop(ld, rd))
+                .otherwise(pyop(ls, rs))
+            )
 
         return F.exists(larr, lambda l: F.exists(rarr, lambda r: one(l, r)))
 

@@ -287,8 +287,33 @@ def _setup_path_summary_off(spark, store):
     store.store("json-path1", "a.jn", '[{"age":10},{"age":20}]')
 
 
+def _setup_decimal_bound(spark, store):
+    """scan/DecimalBoundSaturationTest fixture: 2000 records with
+    scale-8 exact decimals 10.00000001 .. 10.00002000."""
+    recs = ",".join(
+        '{"id":%d,"price":10.%08d}' % (i, 1 + i) for i in range(2000)
+    )
+    store.store("decimal-bound-db", "records.jn", "[" + recs + "]")
+
+
+def _setup_decimal_collision(spark, store):
+    """scan/DecimalDoubleCollisionTest fixtures: a homogeneous corpus
+    of 1000.25000000000001 (a decimal that double-rounds onto
+    1000.25) and a mixed corpus alternating the two spellings."""
+    n = 2000
+    homog = ",".join('{"id":%d,"price":1000.25000000000001}' % i for i in range(n))
+    mixed = ",".join(
+        '{"id":%d,"price":%s}' % (i, "1000.25" if i % 2 == 0 else "1000.25000000000001")
+        for i in range(n)
+    )
+    store.store("decimal-collision-db", "records.jn", "[" + homog + "]")
+    store.store("decimal-collision-db", "mixed.jn", "[" + mixed + "]")
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
+    "decimal_bound": _setup_decimal_bound,
+    "decimal_collision": _setup_decimal_collision,
     "xml_versioned": _setup_xml_versioned,
     "path_summary_off": _setup_path_summary_off,
     "usecases_exposures": _setup_usecases_exposures,
@@ -972,6 +997,41 @@ CASES += [
     _c("XmlSort#identityOnDocOrder", "index/SortByDocOrder.java",
        "xml:sort(xml:doc('xml-db','resource',1)//c)", "<c/> <c/>",
        setup_py="xml_versioned"),
+]
+
+# ------------------- scan/ numeric-edge semantics (vectorized-path
+# differential tests — the reference asserts its column path agrees
+# with its record path; here both reduce to the one Spark plan, and
+# the extracted invariant is the record-path COUNT)
+_DBQ = ("count(for $u in jn:doc('decimal-bound-db','records.jn')[] "
+        "where {} return $u)")
+_DCQ = ("count(for $u in jn:doc('decimal-collision-db','{}')[] "
+        "where {} return $u)")
+CASES += [
+    _c("DecimalBoundSaturation#highUpperBoundLe", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price le 100000000000.5"), "2000", setup_py="decimal_bound"),
+    _c("DecimalBoundSaturation#highUpperBoundLt", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price lt 100000000000.5"), "2000", setup_py="decimal_bound"),
+    _c("DecimalBoundSaturation#lowLowerBoundGe", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price ge -100000000000.5"), "2000", setup_py="decimal_bound"),
+    _c("DecimalBoundSaturation#lowLowerBoundGt", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price gt -100000000000.5"), "2000", setup_py="decimal_bound"),
+    _c("DecimalBoundSaturation#unsatisfiableGe", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price ge 100000000000.5"), "0", setup_py="decimal_bound"),
+    _c("DecimalBoundSaturation#unsatisfiableLe", "scan/DecimalBoundSaturationTest.java",
+       _DBQ.format("$u.price le -100000000000.5"), "0", setup_py="decimal_bound"),
+    _c("DecimalDoubleCollision#collidingNotMiscounted",
+       "scan/DecimalDoubleCollisionTest.java",
+       _DCQ.format("records.jn", "$u.price gt 1000.25"), "2000",
+       setup_py="decimal_collision"),
+    _c("DecimalDoubleCollision#mixedExactInexactAgree",
+       "scan/DecimalDoubleCollisionTest.java",
+       _DCQ.format("mixed.jn", "$u.price gt 1000.25"), "1000",
+       setup_py="decimal_collision"),
+    _c("DecimalDoubleCollision#mixedTagEquality",
+       "scan/DecimalDoubleCollisionTest.java",
+       _DCQ.format("mixed.jn", "$u.price eq 1000.25000000000001"), "1000",
+       setup_py="decimal_collision"),
 ]
 
 # -------------------- xml: index DDL + scans (function/xml/index/*)
