@@ -348,6 +348,20 @@ class DocEvaluator:
                     F.get(F.col(f"a_{kv}"), 0)["j"],
                 )
                 scope[kv] = {"kind": "scalar"}
+        # XQuery group-by compares keys with eq: numerically equal
+        # spellings (18, 18.0e0, 18.00) are ONE group (the reference's
+        # TypedGroupByDifferentialTest "mix" column). Normalize
+        # numeric key texts to canonical decimal form; non-numeric
+        # keys group on their serialized text as before.
+        for kv in key_vars:
+            col = F.col(f"j_{kv}")
+            num = F.try_variant_get(
+                F.try_parse_json(col), "$", "decimal(38,18)"
+            )
+            stream = stream.withColumn(
+                f"j_{kv}",
+                F.when(num.isNotNull(), _emit_dec(num)).otherwise(col),
+            )
         cols = set(stream.columns)
         key_cols = [f"j_{kv}" for kv in key_vars]
         aggs = [F.min("__ord").alias("__ord")]

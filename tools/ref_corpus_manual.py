@@ -310,8 +310,68 @@ def _setup_decimal_collision(spark, store):
     store.store("decimal-collision-db", "mixed.jn", "[" + mixed + "]")
 
 
+class _JavaRandom:
+    """java.util.Random's documented 48-bit LCG (the JDK javadoc
+    specifies the exact algorithm) — needed to reproduce the
+    reference fixtures that seed java.util.Random."""
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return self.seed >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if (bound & -bound) == bound:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) >= 0 and bits - val + (bound - 1) < (1 << 31):
+                return val
+
+    def next_boolean(self) -> bool:
+        return self._next(1) != 0
+
+
+def _nested_same_name_rows(n=20_000):
+    depts = ("Eng", "Sales", "Mkt", "Ops", "HR")
+    rng = _JavaRandom(0xABCDEF)
+    rows = []
+    for i in range(n):
+        top_age = 20 + rng.next_int(50)
+        nested_age = 1 + rng.next_int(15)
+        active = rng.next_boolean()
+        dept = depts[rng.next_int(len(depts))]
+        pet_dept = depts[rng.next_int(len(depts))]
+        rows.append((top_age, nested_age, active, dept, pet_dept))
+    return rows
+
+
+def _setup_nested_same_name(spark, store):
+    """scan/NestedSameNamePathScopingTest fixture, byte-faithful via
+    the java.util.Random replica: 20k records whose nested pet.age /
+    pet.dept share names with the top-level columns."""
+    parts = []
+    for i, (ta, na, act, d, pd) in enumerate(_nested_same_name_rows()):
+        parts.append(
+            '{"id":%d,"age":%d,"active":%s,"dept":"%s",'
+            '"pet":{"age":%d,"dept":"%s"}}'
+            % (i, ta, "true" if act else "false", d, na, pd)
+        )
+    store.store("nested-db", "records.jn", "[" + ",".join(parts) + "]")
+
+
+_NSN = _nested_same_name_rows()
+_NSN_AGE40 = str(sum(1 for r in _NSN if r[0] > 40))
+_NSN_AGE40_ACTIVE = str(sum(1 for r in _NSN if r[0] > 40 and r[2]))
+_NSN_ENG = str(sum(1 for r in _NSN if r[3] == "Eng"))
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
+    "nested_same_name": _setup_nested_same_name,
     "decimal_bound": _setup_decimal_bound,
     "decimal_collision": _setup_decimal_collision,
     "xml_versioned": _setup_xml_versioned,
@@ -1032,6 +1092,57 @@ CASES += [
        "scan/DecimalDoubleCollisionTest.java",
        _DCQ.format("mixed.jn", "$u.price eq 1000.25000000000001"), "1000",
        setup_py="decimal_collision"),
+]
+
+CASES += [
+    # scan/FpCmpIntegralRewriteTest invariants at the query level:
+    # integral columns against fractional / huge / exact thresholds
+    _c("FpCmpIntegral#fractionalEqualityUnsatisfiable",
+       "scan/FpCmpIntegralRewriteTest.java",
+       _DBQ.format("$u.id eq 10.5"), "0", setup_py="decimal_bound"),
+    _c("FpCmpIntegral#fractionalLtSplitsBelow",
+       "scan/FpCmpIntegralRewriteTest.java",
+       _DBQ.format("$u.id lt 10.5"), "11", setup_py="decimal_bound"),
+    _c("FpCmpIntegral#exactBoundaryGe",
+       "scan/FpCmpIntegralRewriteTest.java",
+       _DBQ.format("$u.id ge 1999"), "1", setup_py="decimal_bound"),
+    _c("FpCmpIntegral#hugeThresholdAdmitsAll",
+       "scan/FpCmpIntegralRewriteTest.java",
+       _DBQ.format("$u.id le 1.0e18"), "2000", setup_py="decimal_bound"),
+]
+
+_NQ = "count(for $u in jn:doc('nested-db','records.jn')[] where {} return $u)"
+CASES += [
+    # scan/NestedSameNamePathScopingTest: nested pet.age / pet.dept
+    # share names with the top-level columns and must not leak into
+    # top-level predicates; expected counts derive from the exact
+    # fixture (java.util.Random(0xABCDEF) replica)
+    _c("NestedSameNameScoping#topAgeGt40", "scan/NestedSameNamePathScopingTest.java",
+       _NQ.format("$u.age gt 40"), _NSN_AGE40, setup_py="nested_same_name"),
+    _c("NestedSameNameScoping#topAgeGt40AndActive",
+       "scan/NestedSameNamePathScopingTest.java",
+       _NQ.format("$u.age gt 40 and $u.active"), _NSN_AGE40_ACTIVE,
+       setup_py="nested_same_name"),
+    _c("NestedSameNameScoping#topDeptEqEng",
+       "scan/NestedSameNamePathScopingTest.java",
+       _NQ.format('$u.dept eq "Eng"'), _NSN_ENG,
+       setup_py="nested_same_name"),
+    # scan/TypedGroupByDifferentialTest "mix": numerically equal
+    # spellings 18 / 18.0e0 / 18.00 are ONE group under XQuery eq
+    _c("TypedGroupBy#mixedSpellingsMergeGroups",
+       "scan/TypedGroupByDifferentialTest.java",
+       "for $i in jn:doc('json-path1','mix.jn')[] let $k := $i.m "
+       "group by $k order by $k return count($i)",
+       "3 1",
+       setup=["jn:store('json-path1','mix.jn',"
+              "'[{\"m\":18},{\"m\":18.0e0},{\"m\":18.00},{\"m\":19}]')"]),
+    _c("TypedGroupBy#mergedKeyIsCanonical",
+       "scan/TypedGroupByDifferentialTest.java",
+       "for $i in jn:doc('json-path1','mix.jn')[] let $k := $i.m "
+       "group by $k order by $k return $k",
+       "18 19",
+       setup=["jn:store('json-path1','mix.jn',"
+              "'[{\"m\":18},{\"m\":18.0e0},{\"m\":18.00},{\"m\":19}]')"]),
 ]
 
 # -------------------- xml: index DDL + scans (function/xml/index/*)
