@@ -91,6 +91,13 @@ def _duration_seconds(s: str) -> float:
 
 
 def _compact(v) -> str:
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        # exact high-precision literal: emit the plain decimal text
+        # (json.dumps would reject it; a float round-trip would be
+        # the very collapse the parser preserved it against)
+        return format(v, "f")
     return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 

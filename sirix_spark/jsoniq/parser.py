@@ -729,7 +729,20 @@ class _Parser:
             return Lit(_unquote(t.text))
         if t.kind == "number":
             self.i += 1
-            return Lit(float(t.text) if "." in t.text or "e" in t.text.lower() else int(t.text))
+            txt = t.text
+            if "." in txt or "e" in txt.lower():
+                f = float(txt)
+                import decimal as _dec
+
+                # keep the EXACT decimal when the double image loses
+                # digits (19.750000000000000001 must not become
+                # 19.75 before the comparison even runs)
+                try:
+                    exact = _dec.Decimal(txt) == _dec.Decimal(repr(f))
+                except _dec.InvalidOperation:
+                    exact = True
+                return Lit(f if exact else _dec.Decimal(txt))
+            return Lit(int(txt))
         if t.kind == "kw" and t.text in ("true", "false", "null"):
             self.i += 1
             if self.opt("op", "("):  # true() / false() / jn:null()

@@ -296,6 +296,17 @@ def _setup_decimal_bound(spark, store):
     store.store("decimal-bound-db", "records.jn", "[" + recs + "]")
 
 
+def _setup_decimal_disjunction(spark, store):
+    """scan/DecimalDisjunctionSoundnessTest fixture: even records a
+    genuine double 2.55e1, odd records the exact decimal 19.75."""
+    n = 2000
+    recs = ",".join(
+        '{"id":%d,"price":%s}' % (i, "2.55e1" if i % 2 == 0 else "19.75")
+        for i in range(n)
+    )
+    store.store("decimal-disjunction-db", "records.jn", "[" + recs + "]")
+
+
 def _setup_decimal_collision(spark, store):
     """scan/DecimalDoubleCollisionTest fixtures: a homogeneous corpus
     of 1000.25000000000001 (a decimal that double-rounds onto
@@ -373,6 +384,7 @@ SETUPS = {
     "bitemporal": _setup_bitemporal,
     "nested_same_name": _setup_nested_same_name,
     "decimal_bound": _setup_decimal_bound,
+    "decimal_disjunction": _setup_decimal_disjunction,
     "decimal_collision": _setup_decimal_collision,
     "xml_versioned": _setup_xml_versioned,
     "path_summary_off": _setup_path_summary_off,
@@ -1092,6 +1104,26 @@ CASES += [
        "scan/DecimalDoubleCollisionTest.java",
        _DCQ.format("mixed.jn", "$u.price eq 1000.25000000000001"), "1000",
        setup_py="decimal_collision"),
+]
+
+_DDQ = ("count(for $u in jn:doc('decimal-disjunction-db','records.jn')[] "
+        "where {} return $u)")
+CASES += [
+    # scan/DecimalDisjunctionSoundnessTest: an inexact decimal
+    # threshold (19.750000000000000001 — above 19.75 in decimal
+    # space, EQUAL to it as a double) must compare in decimal space
+    _c("DecimalDisjunction#inexactBranchNotDoubleImage",
+       "scan/DecimalDisjunctionSoundnessTest.java",
+       _DDQ.format("$u.price lt 19.750000000000000001 or $u.price gt 500.05"),
+       "1000", setup_py="decimal_disjunction"),
+    _c("DecimalDisjunction#singleIntervalAgrees",
+       "scan/DecimalDisjunctionSoundnessTest.java",
+       _DDQ.format("$u.price lt 19.750000000000000001"),
+       "1000", setup_py="decimal_disjunction"),
+    _c("DecimalDisjunction#exactThresholdStillAnswered",
+       "scan/DecimalDisjunctionSoundnessTest.java",
+       _DDQ.format("$u.price lt 19.875 or $u.price gt 500.5"),
+       "1000", setup_py="decimal_disjunction"),
 ]
 
 CASES += [
