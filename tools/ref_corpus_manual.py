@@ -380,8 +380,28 @@ _NSN_AGE40_ACTIVE = str(sum(1 for r in _NSN if r[0] > 40 and r[2]))
 _NSN_ENG = str(sum(1 for r in _NSN if r[3] == "Eng"))
 
 
+def _setup_versioned_years(spark, store):
+    """scan/VersioningColumnScanTest shape, compacted: 500 records,
+    then a second revision replacing year with the NON-dyadic decimal
+    2100.55 on every fifth record (title t0) through the update
+    syntax."""
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+
+    recs = ",".join(
+        '{"id":%d,"year":%d,"title":"t%d"}' % (i, 1990 + i % 30, i % 5)
+        for i in range(500)
+    )
+    store.store("versioned-scan-db", "records.jn", "[" + recs + "]")
+    DocEvaluator(spark, store).execute(
+        "for $r in jn:doc('versioned-scan-db','records.jn')[] "
+        'where $r.title eq "t0" '
+        "return replace json value of $r.year with 2100.55"
+    )
+
+
 SETUPS = {
     "bitemporal": _setup_bitemporal,
+    "versioned_years": _setup_versioned_years,
     "nested_same_name": _setup_nested_same_name,
     "decimal_bound": _setup_decimal_bound,
     "decimal_disjunction": _setup_decimal_disjunction,
@@ -1104,6 +1124,34 @@ CASES += [
        "scan/DecimalDoubleCollisionTest.java",
        _DCQ.format("mixed.jn", "$u.price eq 1000.25000000000001"), "1000",
        setup_py="decimal_collision"),
+]
+
+_VQ = ("count(for $u in jn:doc('versioned-scan-db','records.jn'{}) "
+       "[] where {} return $u)")
+CASES += [
+    # scan/VersioningColumnScanTest, compacted: after an update
+    # revision writes the non-dyadic decimal 2100.55 onto every fifth
+    # record, inexact thresholds must count exactly at BOTH revisions
+    _c("VersioningScan#updatedRowsAboveInexactThreshold",
+       "scan/VersioningColumnScanTest.java",
+       _VQ.format("", "$u.year gt 2100.54"), "100",
+       setup_py="versioned_years"),
+    _c("VersioningScan#geExactUpdatedValue",
+       "scan/VersioningColumnScanTest.java",
+       _VQ.format("", "$u.year ge 2100.55"), "100",
+       setup_py="versioned_years"),
+    _c("VersioningScan#untouchedRowsBelow",
+       "scan/VersioningColumnScanTest.java",
+       _VQ.format("", "$u.year lt 2100.55"), "400",
+       setup_py="versioned_years"),
+    _c("VersioningScan#revisionOneUnchanged",
+       "scan/VersioningColumnScanTest.java",
+       _VQ.format(",1", "$u.year gt 2100.54"), "0",
+       setup_py="versioned_years"),
+    _c("VersioningScan#revisionOneFullCount",
+       "scan/VersioningColumnScanTest.java",
+       _VQ.format(",1", "$u.year gt 1990.55"), "483",
+       setup_py="versioned_years"),
 ]
 
 _DDQ = ("count(for $u in jn:doc('decimal-disjunction-db','records.jn')[] "
