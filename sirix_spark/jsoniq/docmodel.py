@@ -146,11 +146,30 @@ class Seq:
     columns when the sequence is correlated with a tuple stream].
     """
 
-    def __init__(self, df: DataFrame, stored: bool, handles: tuple[int, ...], card: str):
+    def __init__(
+        self,
+        df: DataFrame,
+        stored: bool,
+        handles: tuple[int, ...],
+        card: str,
+        xml: tuple[int, ...] = (),
+        xn: bool = False,
+        xdoc: bool = False,
+    ):
         self.df = df
         self.stored = stored  # items have node identity
         self.handles = handles  # static doc-handle ids present
         self.card = card  # 'one' | 'many'
+        # xdoc: items are DOCUMENT nodes (xml:doc/fn:doc results) —
+        # scalar XPath over them is document-relative, not /*-rooted
+        self.xdoc = xdoc
+        # XML facts: `xml` = shredded-doc registry ids whose node
+        # space the items' __h/__k reference (DocEvaluator.xml_docs);
+        # `xn` = items are XML NODES (elements/attributes/text), which
+        # serialize adjacent with no space separator (XQuery
+        # serialization inserts a space only between adjacent ATOMICS)
+        self.xml = xml
+        self.xn = xn
 
 
 class DocEvaluator:
@@ -161,6 +180,60 @@ class DocEvaluator:
         # compile-time env: var -> ('handle', id) for statically-known
         # doc bindings (lets of jn:doc), consulted by nested FLWORs
         self.static_env: dict[str, tuple] = {}
+        # shredded-XML registry: each opened XML document (db, res,
+        # revision) shreds ONCE into a cached node table; XML items
+        # carry (registry id, node key) so path steps from bound
+        # variables are relational joins over the SAME node table —
+        # the Spark analog of the reference holding one page store per
+        # open resource with axis cursors over it (axis/*.java).
+        self.xml_docs: list[dict] = []
+        self._xml_doc_ids: dict[tuple, int] = {}
+        # user-declared functions (declare function local:f) — the
+        # document-mode engine inlines them at compile (the reference
+        # compiles UDFs through Brackit with shadowing-safe inlining)
+        self.udfs: dict[str, P.FunDecl] = {}
+        self._udf_depth = 0
+
+    def _xml_register(
+        self, db: str, res: str, rev: int, text: str, kmap: list | None
+    ) -> int:
+        key = (db, res, rev)
+        if key in self._xml_doc_ids:
+            return self._xml_doc_ids[key]
+        from sirix_spark.sources.xml_source import shred_xml
+
+        xid = len(self.xml_docs)
+        src = self.spark.createDataFrame(
+            [(str(xid), text)], "doc string, xml string"
+        )
+        nodes = shred_xml(src).persist()
+        self.xml_docs.append(
+            {"nodes": nodes, "kmap": kmap, "db": db, "res": res, "rev": rev}
+        )
+        self._xml_doc_ids[key] = xid
+        return xid
+
+    def _xml_nodes_all(self, xids: tuple[int, ...]) -> DataFrame:
+        dfs = [self.xml_docs[x]["nodes"] for x in sorted(set(xids))]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _xml_keymap_df(self, xids: tuple[int, ...]) -> DataFrame | None:
+        """(doc, m_pos, m_true) rows translating shredder enumeration
+        keys to the resource's stable nodeKeys (XmlWtx key sidecars);
+        None when every doc uses the identity layout."""
+        rows = []
+        for x in sorted(set(xids)):
+            km = self.xml_docs[x]["kmap"]
+            if km:
+                rows += [(str(x), p, int(t)) for p, t in enumerate(km)]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows, "doc string, m_pos bigint, m_true bigint"
+        )
 
     # ------------------------------------------------------------ entry
     def execute(self, query: str) -> str:
@@ -184,8 +257,25 @@ class DocEvaluator:
         )
 
     def serialize(self, seq: Seq) -> str:
-        rows = seq.df.orderBy("__ord").select("__j").collect()
-        return " ".join(r["__j"] for r in rows if r["__j"] is not None)
+        """XQuery serialization: a single space separates adjacent
+        ATOMIC values; XML node items (flagged __xn) serialize
+        adjacent with no separator (the XMark goldens pin both —
+        q02.out's elements abut, q18.out's decimals are spaced)."""
+        df = seq.df
+        has_xn = "__xn" in df.columns
+        cols = ["__j"] + (["__xn"] if has_xn else [])
+        rows = df.orderBy("__ord").select(*cols).collect()
+        parts: list[str] = []
+        prev_node = False
+        for r in rows:
+            if r["__j"] is None:
+                continue
+            node = bool(r["__xn"]) if has_xn else False
+            if parts:
+                parts.append("" if (node or prev_node) else " ")
+            parts.append(r["__j"])
+            prev_node = node
+        return "".join(parts)
 
     def serialize_rest(self, seq: Seq) -> str:
         """The REST API envelope — JsonDBSerializer.java: results wrap
@@ -202,7 +292,10 @@ class DocEvaluator:
         for r in rows:
             if r["__j"] is None:
                 continue
-            if r["__k"] is not None and r["__h"] is not None:
+            # __h indexes the JSON handle registry only for stored
+            # sequences; XML items reuse the column for the shredded-
+            # doc registry and serialize as plain text
+            if seq.stored and r["__k"] is not None and r["__h"] is not None:
                 h = self.handles.get(r["__h"])
                 if r["__h"] not in fname_cache:
                     fname_cache[r["__h"]] = {
@@ -421,6 +514,10 @@ class DocEvaluator:
             # applied directly to the source; a second XML source in
             # the same stream would otherwise collide on the name
             df = df.drop("__kmap")
+        if "__xn" in df.columns:
+            # per-item XML-node flag: recorded statically in scope
+            # (seq.xn) and re-emitted on variable reference
+            df = df.drop("__xn")
         if c.pos_var:
             from pyspark.sql import Window
 
@@ -460,6 +557,9 @@ class DocEvaluator:
             "kind": "item",
             "stored": seq.stored,
             "handles": seq.handles,
+            "xml": getattr(seq, "xml", ()),
+            "xn": getattr(seq, "xn", False),
+            "xdoc": getattr(seq, "xdoc", False),
         }
         return df
 
@@ -906,6 +1006,9 @@ class DocEvaluator:
                 "kind": "seq",
                 "stored": sub.stored,
                 "handles": sub.handles,
+                "xml": getattr(sub, "xml", ()),
+                "xn": getattr(sub, "xn", False),
+                "xdoc": getattr(sub, "xdoc", False),
             }
             out = stream.join(
                 F.broadcast(packed),
@@ -1004,7 +1107,17 @@ class DocEvaluator:
                     .withColumn("__j", F.col("__it.j"))
                     .drop("__p", "__it")
                 )
-                return Seq(df, info["stored"], info["handles"], "many")
+                if info.get("xn"):
+                    df = df.withColumn("__xn", F.lit(True))
+                return Seq(
+                    df,
+                    info["stored"],
+                    info["handles"],
+                    "many",
+                    xml=tuple(info.get("xml") or ()),
+                    xn=bool(info.get("xn")),
+                    xdoc=bool(info.get("xdoc")),
+                )
             # item / scalar var: a single item from the row's columns
             kcol, hcol, rcol, scol, jcol = self._var_cols(node.name)
             df = (
@@ -1014,8 +1127,18 @@ class DocEvaluator:
                 .withColumn("__sz", F.col(scol))
                 .withColumn("__j", F.col(jcol))
             )
+            if info.get("xn"):
+                df = df.withColumn("__xn", F.lit(True))
             stored = info.get("stored", False)
-            return Seq(df, stored, info.get("handles", ()), "one")
+            return Seq(
+                df,
+                stored,
+                info.get("handles", ()),
+                "one",
+                xml=tuple(info.get("xml") or ()),
+                xn=bool(info.get("xn")),
+                xdoc=bool(info.get("xdoc")),
+            )
         if isinstance(node, P.Path):
             if any(s and s[0] == "xstep" for s in node.steps):
                 return self._xpath_seq(node, stream, scope)
@@ -1048,7 +1171,7 @@ class DocEvaluator:
                 return Seq(empty, False, (), "many")
             df = parts[0]
             for p in parts[1:]:
-                df = df.unionByName(p)
+                df = df.unionByName(p, allowMissingColumns=True)
             return Seq(df, False, (), "many")
         raise JsoniqCompileError(
             f"unsupported sequence expression {type(node).__name__}"
@@ -1191,20 +1314,30 @@ class DocEvaluator:
                 if name == "xml:attribute-count"
                 else ("namespace",)
             )
-            # each argument item re-shreds as its own fragment whose
-            # context is the fragment's document node; hop to the item
-            # root (its only child) before the attribute axis
-            sub = self._xpath_seq(
-                P.Path(
-                    node.args[0],
-                    [
-                        ("xstep", "child", ("node",), []),
-                        ("xstep", "attribute", test, []),
-                    ],
-                ),
-                stream,
-                scope,
-            )
+            base_seq = self._seq_core(node.args[0], stream, scope)
+            if getattr(base_seq, "xml", ()):
+                # registry-backed item: it IS the element node in its
+                # doc's node table — attribute axis applies directly
+                # (document items hop to the root element first)
+                steps = [("xstep", "attribute", test, [])]
+                if getattr(base_seq, "xdoc", False):
+                    steps.insert(0, ("xstep", "child", ("node",), []))
+                sub = self._xpath_handle_seq(base_seq, steps)
+            else:
+                # legacy fragment: the re-shredded item's context is
+                # the fragment's document node; hop to the item root
+                # (its only child) before the attribute axis
+                sub = self._xpath_seq(
+                    P.Path(
+                        node.args[0],
+                        [
+                            ("xstep", "child", ("node",), []),
+                            ("xstep", "attribute", test, []),
+                        ],
+                    ),
+                    stream,
+                    scope,
+                )
             cnt = sub.df.agg(F.count(F.lit(1)).alias("__c"))
             df = (
                 cnt.withColumn("__ord", F.array().cast("array<bigint>"))
@@ -1523,6 +1656,88 @@ class DocEvaluator:
             df = df.unionByName(p)
         return Seq(df, True, base.handles, "one")
 
+    def _xpath_handle_seq(self, base: Seq, steps: list) -> Seq:
+        """XPath steps from registry-backed XML items: every axis is a
+        relational join over the ONE cached node table the items came
+        from (jsoniq/xpath.py) — no re-shredding, stable node
+        identity, and document order by construction. This is the
+        Spark analog of the reference's axis cursors walking the page
+        store (axis/ChildAxis.java …) — the node table is shredded
+        once per open revision and every path in the query plans
+        against it."""
+        from pyspark.sql import Window
+
+        from sirix_spark.jsoniq.xpath import NODE_COLS, eval_steps, serialize_result
+
+        bdf = base.df
+        for c in ("__kmap", "__xn"):
+            if c in bdf.columns:
+                bdf = bdf.drop(c)
+        w = Window.orderBy(F.col("__ord"))
+        bdf = bdf.withColumn("__xid", F.row_number().over(w).cast("bigint"))
+        nodes = self._xml_nodes_all(base.xml)
+        kmdf = self._xml_keymap_df(base.xml)
+        # context keys arrive as STABLE nodeKeys; translate back to
+        # the shredder's positional keys where a sidecar map exists
+        bsel = bdf.select(
+            F.col("__h").cast("string").alias("b_doc"),
+            F.col("__k").alias("b_true"),
+            F.col("__xid").alias("o_xid"),
+        )
+        if kmdf is not None:
+            bsel = bsel.join(
+                F.broadcast(kmdf),
+                (F.col("b_doc") == F.col("doc"))
+                & (F.col("b_true") == F.col("m_true")),
+                "left",
+            ).select(
+                "b_doc",
+                F.coalesce(F.col("m_pos"), F.col("b_true")).alias("b_pos"),
+                "o_xid",
+            )
+        else:
+            bsel = bsel.select("b_doc", F.col("b_true").alias("b_pos"), "o_xid")
+        frontier = nodes.join(
+            bsel,
+            (F.col("doc") == F.col("b_doc"))
+            & (F.col("node_key") == F.col("b_pos")),
+            "inner",
+        ).select(*NODE_COLS, "o_xid")
+        fr = eval_steps(nodes, steps, frontier=frontier)
+        # serialize each DISTINCT result node once, then fan back out
+        # to the (origin, node) pairs
+        ser = serialize_result(
+            nodes, fr.dropDuplicates(["doc", "node_key"])
+        ).withColumnRenamed("text", "__xtext")
+        hits = fr.select("doc", "node_key", "o_xid").join(
+            ser, ["doc", "node_key"], "inner"
+        )
+        if kmdf is not None:
+            hits = hits.join(
+                F.broadcast(
+                    kmdf.select(
+                        F.col("doc"),
+                        F.col("m_pos").alias("node_key"),
+                        F.col("m_true"),
+                    )
+                ),
+                ["doc", "node_key"],
+                "left",
+            )
+        else:
+            hits = hits.withColumn("m_true", F.lit(None).cast("bigint"))
+        out = bdf.join(hits, F.col("__xid") == F.col("o_xid"), "inner")
+        out = (
+            out.withColumn("__ord", F.concat("__ord", F.array(F.col("node_key"))))
+            .withColumn("__k", F.coalesce(F.col("m_true"), F.col("node_key")))
+            .withColumn("__h", F.col("doc").cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__j", F.col("__xtext"))
+            .withColumn("__xn", F.lit(True))
+            .drop("__xid", "o_xid", "doc", "node_key", "m_true", "__xtext")
+        )
+        return Seq(out, False, (), "many", xml=base.xml, xn=True)
+
     def _xpath_seq(self, node: P.Path, stream: DataFrame, scope: dict) -> Seq:
         """XPath path-expression steps applied to XML items (the
         reference's Brackit path expressions over the node store,
@@ -1545,6 +1760,8 @@ class DocEvaluator:
                 "cannot mix XPath steps and JSONiq steps in one path"
             )
         base = self._seq_core(node.base, stream, scope)
+        if getattr(base, "xml", ()):
+            return self._xpath_handle_seq(base, node.steps)
         w = Window.orderBy(F.col("__ord"))
         bdf = base.df.withColumn(
             "__xid", F.row_number().over(w).cast("string")
@@ -1774,32 +1991,48 @@ class DocEvaluator:
             else:
                 revs = [xs.latest_revision(db, res)]
         rows = []
+        xids = []
         for i, r in enumerate(revs):
             keys = xs.read_keys(db, res, r)
             # enum-order nodeKey map incl. the document node at slot 0
             # (None → legacy layout, keys ARE the enumeration indexes).
             km = None if keys is None else [0] + [int(k) for k in keys]
-            rows.append((i, r, xs.read_text(db, res, r), km))
+            text = xs.read_text(db, res, r)
+            xid = self._xml_register(db, res, r, text, km)
+            xids.append(xid)
+            rows.append((i, r, text, km, xid))
         if not rows:
             df = stream.limit(0)
             for c, t in zip(ITEM_COLS, ("bigint", "int", "int", "bigint", "string")):
                 df = df.withColumn(c, F.lit(None).cast(t))
             return Seq(df, False, (), "many")
         rev_df = self.spark.createDataFrame(
-            rows, "i bigint, r int, x string, km array<bigint>"
+            rows, "i bigint, r int, x string, km array<bigint>, xh int"
         )
         joined = stream.join(F.broadcast(rev_df), F.lit(True), "inner")
         df = (
             joined.withColumn("__ord", F.concat("__ord", F.array(F.col("i"))))
-            .withColumn("__k", F.lit(None).cast("bigint"))
-            .withColumn("__h", F.lit(None).cast("int"))
+            # the item is the DOCUMENT node (shredder key 0) of its
+            # revision's registered node table — path steps from it
+            # join that table instead of re-shredding the text
+            .withColumn("__k", F.lit(0).cast("bigint"))
+            .withColumn("__h", F.col("xh"))
             .withColumn("__r", F.col("r"))
             .withColumn("__sz", F.lit(None).cast("bigint"))
             .withColumn("__j", F.col("x"))
             .withColumn("__kmap", F.col("km"))
-            .drop("i", "r", "x", "km")
+            .withColumn("__xn", F.lit(True))
+            .drop("i", "r", "x", "km", "xh")
         )
-        return Seq(df, False, (), "many" if len(rows) != 1 else "one")
+        return Seq(
+            df,
+            False,
+            (),
+            "many" if len(rows) != 1 else "one",
+            xml=tuple(xids),
+            xn=True,
+            xdoc=True,
+        )
 
     def _valid_at_seq(
         self, node: P.Call, stream: DataFrame, scope: dict
@@ -2468,6 +2701,202 @@ class DocEvaluator:
         non_array = seq.df.filter(arr.isNull())
         return Seq(members.unionByName(non_array), False, (), "many")
 
+    # ------------------------------------------------- scalar XPath
+    @staticmethod
+    def _xml_atom(x: Column) -> Column:
+        """An XPath string value → variant with untypedAtomic
+        coercion: numeric text (whole string, whitespace-trimmed)
+        compares numerically per the XPath untyped rules, everything
+        else as a string. try_parse_json is NOT usable directly — it
+        accepts a leading JSON token with trailing garbage, so a text
+        node starting 'true hopes …' would collapse to boolean."""
+        t = F.trim(x)
+        num = F.when(
+            t.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+            & ~t.rlike(r"^-?0[0-9]"),
+            F.try_parse_json(t),
+        )
+        return F.coalesce(
+            num,
+            F.try_variant_get(
+                F.parse_json(F.to_json(F.struct(x.alias("v")))), "$.v", "variant"
+            ),
+        )
+
+    def _xpath_base_col(self, node: P.Path, scope: dict) -> tuple[str, str]:
+        """(SQL column reference, path prefix) for a scalar XPath over
+        a bound XML item: the item's serialized text evaluates with
+        Spark's built-in Hive xpath*() (JVM-side, per-row) — document
+        items are document-relative, element items root at /*."""
+        base = node.base
+        if not isinstance(base, P.Var):
+            raise JsoniqCompileError(
+                "scalar XPath needs a variable base, got "
+                f"{type(base).__name__}"
+            )
+        info = scope.get(base.name)
+        outer = scope.get("__outer")
+        if info is None and isinstance(outer, dict):
+            info = outer.get(base.name)
+        if not isinstance(info, dict) or not (
+            info.get("xn") or info.get("xml")
+        ):
+            raise JsoniqCompileError(
+                f"scalar XPath over non-XML variable ${base.name}"
+            )
+        prefix = "" if info.get("xdoc") else "/*/"
+        if info.get("kind") == "seq":
+            # packed sequence binding (let $auction := doc(…)): the
+            # single document item's text sits in the packed array
+            return f"`a_{base.name}`[0].j", prefix
+        if info.get("kind") != "item":
+            raise JsoniqCompileError(
+                f"scalar XPath over ${base.name} needs an item binding"
+            )
+        return f"`j_{base.name}`", prefix
+
+    @staticmethod
+    def _xpath_sql(col: str, fn: str, path: str) -> Column:
+        esc = path.replace("\\", "\\\\").replace("'", "\\'")
+        return F.expr(f"{fn}({col}, '{esc}')")
+
+    def _scalar_xpath(self, node: P.Path, scope: dict) -> Column:
+        """XPath steps in a VALUE context (where clauses, arithmetic,
+        function args): array<variant> of the matches' atomized
+        values. Text and attribute matches carry their values;
+        bare-element matches count/exist correctly (entries present)
+        but atomize via _xpath_string_first at the zero-or-one/
+        string()/data() call sites."""
+        from sirix_spark.jsoniq.xpath import render_xpath10
+
+        col, prefix = self._xpath_base_col(node, scope)
+        path = prefix + render_xpath10(node.steps)
+        raw = self._xpath_sql(col, "xpath", path)
+        return F.transform(raw, self._xml_atom)
+
+    def _xpath_string_first(self, node: P.Path, scope: dict) -> Column:
+        """array<variant> with the XPath string-value of the FIRST
+        match (element string-value = concatenated descendant text),
+        empty array when nothing matches — the zero-or-one /
+        exactly-one / fn:string / fn:data shape over element-final
+        paths (XMark q14/q18/q19)."""
+        from sirix_spark.jsoniq.xpath import render_xpath10
+
+        col, prefix = self._xpath_base_col(node, scope)
+        path = prefix + render_xpath10(node.steps)
+        raw = self._xpath_sql(col, "xpath", path)
+        sv = self._xpath_sql(col, "xpath_string", path)
+        return F.when(
+            F.size(raw) > 0, F.array(self._xml_atom(sv))
+        ).otherwise(F.array().cast("array<variant>"))
+
+    @staticmethod
+    def _is_xpath_path(node) -> bool:
+        return isinstance(node, P.Path) and any(
+            s and s[0] == "xstep" for s in node.steps
+        )
+
+    def _xpath_pred_of(self, cond, var: str):
+        """A where-clause over paths from ``$var`` → an XPath
+        predicate tuple (renderable by xpath.py), or None when the
+        condition doesn't translate."""
+        def rel_of(e):
+            if (
+                isinstance(e, P.Path)
+                and isinstance(e.base, P.Var)
+                and e.base.name == var
+                and all(s and s[0] == "xstep" for s in e.steps)
+            ):
+                return list(e.steps)
+            return None
+
+        opmap = {
+            "eq": "=", "ne": "!=", "lt": "<",
+            "le": "<=", "gt": ">", "ge": ">=",
+        }
+        if isinstance(cond, P.Binop) and cond.op in ("and", "or"):
+            l = self._xpath_pred_of(cond.left, var)
+            r = self._xpath_pred_of(cond.right, var)
+            if l is None or r is None:
+                return None
+            return (cond.op, l, r)
+        if isinstance(cond, P.Binop) and cond.op in opmap:
+            lrel, rrel = rel_of(cond.left), rel_of(cond.right)
+            if lrel is not None and isinstance(cond.right, P.Lit):
+                return ("cmp", lrel, opmap[cond.op], cond.right.value)
+            if rrel is not None and isinstance(cond.left, P.Lit):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                op = opmap[cond.op]
+                return ("cmp", rrel, flip.get(op, op), cond.left.value)
+            return None
+        if isinstance(cond, P.Call):
+            short = cond.name.split(":", 1)[-1]
+            if short == "not" and cond.args:
+                inner = self._xpath_pred_of(cond.args[0], var)
+                return None if inner is None else ("not", inner)
+            if short in ("empty", "exists") and cond.args:
+                rel = rel_of(cond.args[0])
+                if rel is None:
+                    return None
+                p = ("exists", rel)
+                return ("not", p) if short == "empty" else p
+        return None
+
+    def _flwor_as_xpath(self, f, scope: dict):
+        """``for $v in <xpath> where <preds on $v> return $v[/rel]``
+        → ONE XPath with the where-clause as a step predicate, so
+        count(FLWOR) in scalar position evaluates as a single
+        JVM-side xpath() call (XMark q05/q20) instead of a correlated
+        subplan."""
+        if not isinstance(f, P.Flwor):
+            return None
+        if f.group_by or f.order_by or getattr(f, "post_group", None):
+            return None
+        if len(f.clauses) != 1:
+            return None
+        c = f.clauses[0]
+        if not isinstance(c, P.ForClause) or c.pos_var:
+            return None
+        src = c.source
+        if not self._is_xpath_path(src) or not isinstance(src.base, P.Var):
+            return None
+        var = c.var
+        pred = None
+        if f.where is not None:
+            pred = self._xpath_pred_of(f.where, var)
+            if pred is None:
+                return None
+        ret = f.ret
+        rel_steps: list = []
+        if isinstance(ret, P.Var) and ret.name == var:
+            pass
+        elif (
+            isinstance(ret, P.Path)
+            and isinstance(ret.base, P.Var)
+            and ret.base.name == var
+            and all(s and s[0] == "xstep" for s in ret.steps)
+        ):
+            rel_steps = list(ret.steps)
+        else:
+            return None
+        steps = list(src.steps)
+        if pred is not None:
+            _, axis, test, preds = steps[-1]
+            steps[-1] = ("xstep", axis, test, list(preds) + [pred])
+        return P.Path(src.base, steps + rel_steps)
+
+    @staticmethod
+    def _is_xpath_call(node) -> bool:
+        """A cardinality wrapper directly over an XPath (string(
+        exactly-one($i/description)) — q14's shape)."""
+        return (
+            isinstance(node, P.Call)
+            and node.name.split(":", 1)[-1]
+            in ("zero-or-one", "exactly-one", "one-or-more")
+            and bool(node.args)
+            and DocEvaluator._is_xpath_path(node.args[0])
+        )
+
     # ---------------------------------------------------------- scalars
     def _current_arr(self) -> Column:
         return F.when(
@@ -2511,6 +2940,8 @@ class DocEvaluator:
                 jcol.isNull(), F.array().cast("array<variant>")
             ).otherwise(F.array(F.parse_json(jcol)))
         if isinstance(node, P.Path):
+            if any(s and s[0] == "xstep" for s in node.steps):
+                return self._scalar_xpath(node, scope)
             arr = self._scalar(node.base, scope)
             for step in node.steps:
                 arr = self._scalar_step(arr, step, scope)
@@ -2981,6 +3412,17 @@ class DocEvaluator:
             )
 
         if name in ("count", "fn:count"):
+            a0 = node.args[0]
+            if isinstance(a0, P.Flwor):
+                rw = self._flwor_as_xpath(a0, scope)
+                if rw is not None:
+                    return F.array(
+                        F.parse_json(
+                            F.size(
+                                self._scalar_xpath(rw, scope)
+                            ).cast("string")
+                        )
+                    )
             return F.array(
                 F.parse_json(F.size(arg(0)).cast("string"))
             )
@@ -2988,6 +3430,40 @@ class DocEvaluator:
             short, "fn:" + short,
         ):
             return self._scalar_agg(short, arg(0))
+        if name in (
+            "zero-or-one", "fn:zero-or-one", "exactly-one",
+            "fn:exactly-one", "one-or-more", "fn:one-or-more",
+        ):
+            # cardinality assertions (fn:zero-or-one etc.): the value
+            # is the argument's first item; over an element-final
+            # XPath the item atomizes to the element's string-value
+            # (XMark q18's zero-or-one($i/reserve))
+            a = node.args[0]
+            if self._is_xpath_path(a):
+                return self._xpath_string_first(a, scope)
+            return F.slice(arg(0), 1, 1)
+        if name in ("string", "fn:string", "data", "fn:data"):
+            a = node.args[0]
+            if self._is_xpath_path(a):
+                if name in ("data", "fn:data"):
+                    # atomize EVERY match (q10's fn:data($t/profile/
+                    # @income) over attribute-final paths)
+                    return self._scalar_xpath(a, scope)
+                return self._xpath_string_first(a, scope)
+            if self._is_xpath_call(a):
+                return self._scalar(a, scope)
+            if name in ("data", "fn:data"):
+                return arg(0)
+            first = F.get(arg(0), 0)
+            return F.array(
+                self._xml_atom(
+                    F.coalesce(
+                        F.try_variant_get(first, "$", "string"),
+                        F.to_json(first),
+                        F.lit(""),
+                    )
+                )
+            )
         if name == "jn:find-projection-index":
             # catalogue lookup (FindProjectionIndex.java): index number
             # or -1 — resolved at compile time from the manifest
@@ -3618,11 +4094,15 @@ class DocEvaluator:
                 .withColumn("__j", F.col(jcol))
             )
             info = scope[ret.name]
+            if info.get("xn"):
+                df = df.withColumn("__xn", F.lit(True))
             return Seq(
                 df,
                 info.get("stored", False),
                 info.get("handles", ()),
                 "many",
+                xml=tuple(info.get("xml") or ()),
+                xn=bool(info.get("xn")),
             )
         if isinstance(ret, P.Flwor):
             # nested FLWOR: continue iterating the same tuple stream
@@ -3639,7 +4119,7 @@ class DocEvaluator:
                 )
             df = parts[0]
             for p in parts[1:]:
-                df = df.unionByName(p)
+                df = df.unionByName(p, allowMissingColumns=True)
             return Seq(df, False, (), "many")
         if isinstance(ret, P.Path) or (
             isinstance(ret, P.Call)

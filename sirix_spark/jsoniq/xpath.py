@@ -57,6 +57,68 @@ class XPathError(ValueError):
     pass
 
 
+# ------------------------------------------- XPath 1.0 re-rendering
+def _render_test(axis: str, test: tuple) -> str:
+    t = test[0]
+    if axis == "attribute":
+        return "@" + (test[1] if t == "name" else "*")
+    body = {
+        "wildcard": "*",
+        "node": "node()",
+        "text": "text()",
+        "comment": "comment()",
+    }.get(t, test[1] if t == "name" else None)
+    if body is None:
+        raise XPathError(f"cannot render node test {test}")
+    return body if axis == "child" else f"{axis}::{body}"
+
+
+def _render_literal(lit) -> str:
+    if isinstance(lit, bool):
+        return "true()" if lit else "false()"
+    if isinstance(lit, (int, float)):
+        return repr(lit)
+    s = str(lit)
+    if "'" not in s:
+        return f"'{s}'"
+    if '"' not in s:
+        return f'"{s}"'
+    raise XPathError("string literal mixes both quote kinds")
+
+
+def _render_pred_body(pred: tuple) -> str:
+    kind = pred[0]
+    if kind == "pos":
+        return str(int(pred[1]))
+    if kind == "poslast":
+        return "last()"
+    if kind == "exists":
+        return render_xpath10(pred[1])
+    if kind == "cmp":
+        _, rel, op, lit = pred
+        return f"{render_xpath10(rel)} {op} {_render_literal(lit)}"
+    if kind in ("and", "or"):
+        return f"({_render_pred_body(pred[1])} {kind} {_render_pred_body(pred[2])})"
+    if kind == "not":
+        return f"not({_render_pred_body(pred[1])})"
+    raise XPathError(f"cannot render predicate {pred}")
+
+
+def render_xpath10(steps: list) -> str:
+    """Parsed xstep tuples → the equivalent XPath 1.0 text, for
+    JVM-side evaluation over an item's subtree XML with Spark's
+    built-in Hive `xpath*()` functions (scalar/where-clause contexts,
+    where a value column — not a node frontier — is needed)."""
+    out = []
+    for step in steps:
+        _, axis, test, preds = step
+        s = _render_test(axis, test)
+        for p in preds:
+            s += f"[{_render_pred_body(p)}]"
+        out.append(s)
+    return "/".join(out)
+
+
 def initial_frontier(nodes: DataFrame) -> DataFrame:
     """The document node of every doc — the absolute-path context."""
     return nodes.filter(F.col("kind") == DOCUMENT)
