@@ -337,9 +337,12 @@ class DocEvaluator:
 
     def compile(self, ast) -> Seq:
         if isinstance(ast, P.Main):
-            raise JsoniqCompileError(
-                "user-defined functions unsupported in document mode"
-            )
+            # `declare function local:f` prolog: record and inline at
+            # call sites (the reference compiles UDFs through Brackit
+            # with the same only-params scoping — XMark q18)
+            for d in ast.decls:
+                self.udfs[d.name] = d
+            return self.compile(ast.body)
         if isinstance(ast, P.Flwor):
             return self._flwor(ast)
         if (
@@ -983,10 +986,15 @@ class DocEvaluator:
             # stream, then pack each tuple's items back into an
             # ordered array<struct> column (per-tuple sub-sequence).
             # Tuple identity = the stream's __ord vector.
-            tagged = stream.withColumn("__tord", F.col("__ord"))
+            # unique correlation tag: a nested seq-valued let (or a
+            # constructor's enclosed expression) re-tagging the same
+            # stream must not clobber this binding's tuple identity
+            self._ctor_n = getattr(self, "_ctor_n", 0) + 1
+            tord = f"__tord{self._ctor_n}"
+            tagged = stream.withColumn(tord, F.col("__ord"))
             sub = self._expr_seq(v, tagged, scope)
             packed = (
-                sub.df.groupBy("__tord")
+                sub.df.groupBy(tord)
                 .agg(
                     F.sort_array(
                         F.collect_list(
@@ -1012,9 +1020,9 @@ class DocEvaluator:
             }
             out = stream.join(
                 F.broadcast(packed),
-                stream["__ord"] == packed["__tord"],
+                stream["__ord"] == packed[tord],
                 "left",
-            ).drop("__tord")
+            ).drop(tord)
             return out.withColumn(
                 f"a_{c.var}",
                 F.coalesce(
@@ -1151,6 +1159,8 @@ class DocEvaluator:
             # independent sub-FLWOR (closes over static handles only)
             sub = self._flwor_correlated(node, stream, scope)
             return sub
+        if isinstance(node, P.ElemCtor):
+            return self._elem_ctor_seq(stream, scope, node)
         if isinstance(node, (P.Lit, P.ObjectCtor, P.ArrayCtor, P.IfExpr, P.Binop, P.Unary)):
             arr = self._scalar(node, scope)
             return self._seq_from_scalar(arr, stream)
@@ -1235,10 +1245,42 @@ class DocEvaluator:
         rev = int(args[2]) if len(args) > 2 else None
         return self.handles.add(self.store.doc(args[0], args[1], rev))
 
+    def _doc_uri_xml(self, call: P.Call) -> P.Call | None:
+        """`fn:doc("auction.xml")` resolution against stored XML
+        resources (the reference's XMarkTest resolves doc() through
+        its collection store): a single-URI doc() whose name matches
+        exactly one stored XML resource rewrites to xml:doc(db, res).
+        Two-argument doc(db, res) stays the JSON-store open."""
+        import os as _os
+
+        if call.name not in ("doc", "fn:doc") or len(call.args) != 1:
+            return None
+        a = call.args[0]
+        if not isinstance(a, P.Lit) or not isinstance(a.value, str):
+            return None
+        uri = a.value
+        from sirix_spark.store.xmlstore import XmlStore
+
+        xs = XmlStore(self.store.root)
+        hits = []
+        root = self.store.root
+        if _os.path.isdir(root):
+            for db in sorted(_os.listdir(root)):
+                if xs.exists(db, uri):
+                    hits.append(db)
+        if len(hits) != 1:
+            return None
+        return P.Call("xml:doc", [P.Lit(hits[0]), P.Lit(uri)])
+
     # ------------------------------------------------------- call seqs
     def _call_seq(self, node: P.Call, stream: DataFrame, scope: dict) -> Seq:
         name = node.name
+        if name in self.udfs:
+            return self._seq_from_scalar(self._scalar(node, scope), stream)
         if name in ("jn:doc", "doc"):
+            xr = self._doc_uri_xml(node)
+            if xr is not None:
+                return self._xml_temporal_seq(xr, stream, scope)
             return self._handle_root_seq(self._open_handle(node), stream)
         if name == "fn:range":
             lo = self._static_int(node.args[0], scope)
@@ -2701,6 +2743,153 @@ class DocEvaluator:
         non_array = seq.df.filter(arr.isNull())
         return Seq(members.unionByName(non_array), False, (), "many")
 
+    # ------------------------------------------- element constructors
+    @staticmethod
+    def _xml_escape(c: Column, attr: bool = False) -> Column:
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+        if attr:
+            c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+        return c
+
+    def _enclosed_col(
+        self, stream: DataFrame, scope: dict, expr, attr: bool
+    ) -> tuple[DataFrame, Column]:
+        """Evaluate one enclosed `{…}` constructor expression
+        correlated with the tuple stream; returns (stream + packed
+        column, per-tuple serialized text). Element/text node items
+        splice their XML, atomics their escaped values — spaces only
+        between adjacent atomics (attribute templates space-join all
+        items), the same rule the XMark goldens pin for top-level
+        sequences."""
+        self._ctor_n = getattr(self, "_ctor_n", 0) + 1
+        ca = f"__ca{self._ctor_n}"
+        # correlation tag is per-call unique: nested constructors
+        # evaluate their own enclosed expressions against the same
+        # stream and must not collide with (or drop) an outer tag
+        tord = f"__tord{self._ctor_n}"
+        tagged = stream.withColumn(tord, F.col("__ord"))
+        sub = self._expr_seq(expr, tagged, scope)
+        sdf = sub.df
+        if "__xn" not in sdf.columns:
+            sdf = sdf.withColumn("__xn", F.lit(False))
+        packed = sdf.groupBy(tord).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__ord").alias("o"),
+                        F.col("__j").alias("j"),
+                        F.coalesce(F.col("__xn"), F.lit(False)).alias("n"),
+                    )
+                )
+            ).alias(ca)
+        )
+        joined = stream.join(
+            F.broadcast(packed),
+            stream["__ord"] == packed[tord],
+            "left",
+        ).drop(tord)
+        arr = F.coalesce(
+            F.col(ca),
+            F.array().cast(
+                "array<struct<o:array<bigint>,j:string,n:boolean>>"
+            ),
+        )
+
+        def atom_text(j):
+            # JSON item text → its string value (strings unquote,
+            # numbers/booleans keep their lexical form)
+            return F.coalesce(
+                F.try_variant_get(F.try_parse_json(j), "$", "string"), j
+            )
+
+        def piece(x):
+            if attr:
+                raw = F.when(x["n"], x["j"]).otherwise(atom_text(x["j"]))
+                return self._xml_escape(raw, attr=True)
+            # node items: element XML splices verbatim; text/attribute
+            # node values re-escape as element content
+            return F.when(
+                x["n"],
+                F.when(
+                    x["j"].startswith("<"), x["j"]
+                ).otherwise(self._xml_escape(x["j"])),
+            ).otherwise(self._xml_escape(atom_text(x["j"])))
+
+        def sep(acc, x):
+            if attr:
+                return F.lit(" ")
+            return F.when(acc["pn"] | x["n"], F.lit("")).otherwise(F.lit(" "))
+
+        txt = F.aggregate(
+            arr,
+            F.struct(
+                F.lit("").alias("t"),
+                F.lit(True).alias("fst"),
+                F.lit(False).alias("pn"),
+            ),
+            lambda acc, x: F.struct(
+                F.concat(
+                    acc["t"],
+                    F.when(acc["fst"], F.lit("")).otherwise(sep(acc, x)),
+                    F.coalesce(piece(x), F.lit("")),
+                ).alias("t"),
+                F.lit(False).alias("fst"),
+                x["n"].alias("pn"),
+            ),
+            lambda acc: acc["t"],
+        )
+        return joined, txt
+
+    def _ctor_parts_col(
+        self, stream: DataFrame, scope: dict, parts: list, attr: bool
+    ) -> tuple[DataFrame, Column]:
+        cols: list[Column] = []
+        for p in parts:
+            if isinstance(p, str):
+                cols.append(F.lit(p))
+            else:
+                stream, c = self._enclosed_col(stream, scope, p, attr)
+                cols.append(c)
+        if not cols:
+            return stream, F.lit("")
+        return stream, F.concat(*cols)
+
+    def _elem_ctor_seq(self, stream: DataFrame, scope: dict, node) -> Seq:
+        """Direct element constructor: ONE constructed item per tuple
+        whose text assembles JVM-side from literal runs and the
+        enclosed expressions' per-tuple serializations (empty content
+        collapses to a self-closing tag, as the XMark q02 golden's
+        <increase/> pins)."""
+        head = [F.lit("<" + node.name)]
+        for aname, parts in node.attrs:
+            stream, vcol = self._ctor_parts_col(stream, scope, parts, True)
+            head.append(
+                F.concat(F.lit(f' {aname}="'), vcol, F.lit('"'))
+            )
+        stream, content = self._ctor_parts_col(
+            stream, scope, node.content, False
+        )
+        open_tag = F.concat(*head) if len(head) > 1 else head[0]
+        txt = F.when(
+            F.coalesce(content, F.lit("")) == F.lit(""),
+            F.concat(open_tag, F.lit("/>")),
+        ).otherwise(
+            F.concat(
+                open_tag, F.lit(">"), content, F.lit("</" + node.name + ">")
+            )
+        )
+        df = (
+            stream.withColumn("__j", txt)
+            .withColumn("__k", F.lit(None).cast("bigint"))
+            .withColumn("__h", F.lit(None).cast("int"))
+            .withColumn("__r", F.lit(None).cast("int"))
+            .withColumn("__sz", F.lit(None).cast("bigint"))
+            .withColumn("__xn", F.lit(True))
+        )
+        return Seq(df, False, (), "many", xn=True)
+
     # ------------------------------------------------- scalar XPath
     @staticmethod
     def _xml_atom(x: Column) -> Column:
@@ -2795,6 +2984,51 @@ class DocEvaluator:
         return isinstance(node, P.Path) and any(
             s and s[0] == "xstep" for s in node.steps
         )
+
+    def _quant_doc_order(self, node, scope: dict) -> Column | None:
+        """`some $a in P1, $b in P2 satisfies $a << $b` over XPath
+        sources from one item: ∃a∃b rank(a)<rank(b) ⟺ the FIRST P1
+        match precedes the LAST P2 match in document order. Ranks
+        compile to JVM-side `count((P)[pos]/preceding::node())` —
+        a global document-order rank for non-ancestor nodes (XMark
+        q04's bidder personrefs are siblings)."""
+        from sirix_spark.jsoniq.xpath import render_xpath10
+
+        if node.kind != "some" or not isinstance(node.predicate, P.Quantified):
+            return None
+        inner = node.predicate
+        if inner.kind != "some" or not isinstance(inner.predicate, P.Binop):
+            return None
+        cmp = inner.predicate
+        if cmp.op not in ("<<", ">>"):
+            return None
+        names = {
+            getattr(cmp.left, "name", None),
+            getattr(cmp.right, "name", None),
+        }
+        if names != {node.var, inner.var}:
+            return None
+        srcs = {node.var: node.source, inner.var: inner.source}
+        lv, rv = cmp.left.name, cmp.right.name
+        if cmp.op == ">>":
+            lv, rv = rv, lv  # a >> b ⟺ b << a
+        lsrc, rsrc = srcs[lv], srcs[rv]
+        if not (self._is_xpath_path(lsrc) and self._is_xpath_path(rsrc)):
+            return None
+        lcol, lpre = self._xpath_base_col(lsrc, scope)
+        rcol, rpre = self._xpath_base_col(rsrc, scope)
+        lp = lpre + render_xpath10(lsrc.steps)
+        rp = rpre + render_xpath10(rsrc.steps)
+        lrank = self._xpath_sql(
+            lcol, "xpath_double", f"count(({lp})[1]/preceding::node())"
+        )
+        rrank = self._xpath_sql(
+            rcol, "xpath_double", f"count(({rp})[last()]/preceding::node())"
+        )
+        lmatch = F.size(self._xpath_sql(lcol, "xpath", lp)) > 0
+        rmatch = F.size(self._xpath_sql(rcol, "xpath", rp)) > 0
+        cond = lmatch & rmatch & (lrank < rrank)
+        return F.array(F.parse_json(cond.cast("string")))
 
     def _xpath_pred_of(self, cond, var: str):
         """A where-clause over paths from ``$var`` → an XPath
@@ -2928,9 +3162,11 @@ class DocEvaluator:
             if info["kind"] == "lambda_struct":
                 return F.array(F.parse_json(info["col"]["j"]))
             if info["kind"] == "seq":
+                # try_: packed XML node items carry XML text, which
+                # must not explode JSON parsing under count()/size()
                 return F.transform(
                     F.col(f"a_{node.name}"),
-                    lambda it: F.parse_json(it["j"]),
+                    lambda it: F.try_parse_json(it["j"]),
                 )
             if info["kind"] == "handle":
                 h = self.handles.get(info["handle"])
@@ -2979,6 +3215,9 @@ class DocEvaluator:
                 out = F.concat(out, p)
             return out
         if isinstance(node, P.Quantified):
+            order = self._quant_doc_order(node, scope)
+            if order is not None:
+                return order
             src = self._scalar(node.source, scope)
             qscope = dict(scope)
             qscope[node.var] = {"kind": "lambda"}
@@ -3280,10 +3519,15 @@ class DocEvaluator:
         if op not in ops:
             raise JsoniqCompileError(f"unsupported operator {op!r}")
         iexpr, dexpr = ops[op]
+        # decimal multiply at full 38,18 scale collapses the result
+        # scale to 6 (Spark reduces scale when precision overflows 38);
+        # (25,12) operands keep 11 fractional digits — enough for the
+        # exact products the XMark q18 golden pins (7 dp)
+        _MUL_T = "decimal(25,12)"
         dec_ops = {
             "+": (ldec + rdec).cast(_DEC_T),
             "-": (ldec - rdec).cast(_DEC_T),
-            "*": (ldec * rdec).cast(_DEC_T),
+            "*": (ldec.cast(_MUL_T) * rdec.cast(_MUL_T)).cast(_DEC_T),
         }
         txt = F.when(both_int, iexpr.cast("string"))
         if op in dec_ops:
@@ -3389,6 +3633,27 @@ class DocEvaluator:
     def _scalar_call(self, node: P.Call, scope: dict) -> Column:
         name = node.name
         short = name.split(":", 1)[-1]
+        if name in self.udfs:
+            d = self.udfs[name]
+            if len(node.args) != len(d.params):
+                raise JsoniqCompileError(
+                    f"{name}() expects {len(d.params)} args, got {len(node.args)}"
+                )
+            if self._udf_depth > 32:
+                raise JsoniqCompileError(
+                    f"{name}(): recursive user-defined functions are "
+                    "not supported"
+                )
+            # XQuery function scoping: the body sees ONLY its params
+            bound = {
+                p: {"kind": "lamseq", "col": self._scalar(a, scope)}
+                for p, a in zip(d.params, node.args)
+            }
+            self._udf_depth += 1
+            try:
+                return self._scalar(d.body, bound)
+            finally:
+                self._udf_depth -= 1
 
         def arg(i) -> Column:
             return self._scalar(node.args[i], scope)
@@ -4138,6 +4403,8 @@ class DocEvaluator:
         ):
             seq = self._expr_seq(ret, stream, scope)
             return Seq(seq.df, seq.stored, seq.handles, "many")
+        if isinstance(ret, P.ElemCtor):
+            return self._elem_ctor_seq(stream, scope, ret)
         if isinstance(ret, (P.ObjectCtor, P.ArrayCtor, P.Lit)):
             # order-preserving TEXT construction: variant round-trips
             # sort object keys, so constructed items never pass

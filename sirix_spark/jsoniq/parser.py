@@ -26,7 +26,8 @@ _TOKEN_RE = re.compile(
   | (?P<var>\$\$|\$[A-Za-z_][\w-]*)
   | (?P<qname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<name>[A-Za-z_][\w-]*)
-  | (?P<op>:=|::|\[\?|=>>|!=|<=|>=|\[\]|//|[.,:;(){}\[\]=<>@+*/-])
+  | (?P<op>:=|::|\[\?|=>>|!=|<=|>=|<<|>>|\[\]|//|[.,:;(){}\[\]=<>@+*/-])
+  | (?P<other>.)
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -105,6 +106,17 @@ class Path:
 class Call:
     name: str  # qname or plain
     args: list = field(default_factory=list)
+
+
+@dataclass
+class ElemCtor:
+    """Direct XML element constructor `<name a="{e}">{e2}</name>`.
+    attrs: (name, parts) pairs; content: parts. A part is a literal
+    str (already XML text) or an AST expression (enclosed `{…}`)."""
+
+    name: str
+    attrs: list = field(default_factory=list)
+    content: list = field(default_factory=list)
 
 
 @dataclass
@@ -241,8 +253,9 @@ class UpdateExpr:
 
 # --------------------------------------------------------------- parser
 class _Parser:
-    def __init__(self, tokens: list[Token]):
+    def __init__(self, tokens: list[Token], src: str = ""):
         self.toks = tokens
+        self.src = src  # raw text, for direct-constructor scanning
         self.i = 0
 
     # -- token helpers
@@ -275,9 +288,23 @@ class _Parser:
         # (user-defined functions, XQuery 3.1 subset — type
         # annotations `as xs:T` are parsed and ignored, the model is
         # structurally typed)
+        # version prolog: `xquery version "1.0";`
+        if self.at("name", "xquery") and self.toks[self.i + 1].text == "version":
+            self.i += 2
+            self.eat("string")
+            self.opt("op", ";")
         decls = []
         while self.at("name", "declare"):
             self.i += 1
+            if self.at("name", "namespace"):
+                # `declare namespace p = "uri";` — prefixes are kept
+                # verbatim in qnames; the binding itself is inert here
+                self.i += 1
+                self.eat("name")
+                self.eat("op", "=")
+                self.eat("string")
+                self.opt("op", ";")
+                continue
             self.eat("name", "function")
             if self.cur.kind not in ("qname", "name"):
                 raise JsoniqSyntaxError(f"bad function name at {self.cur.pos}")
@@ -309,8 +336,11 @@ class _Parser:
             self.i += 1
             if self.opt("op", "("):
                 self.eat("op", ")")
-            # occurrence indicator (?, *, +)
-            if self.cur.kind == "op" and self.cur.text in ("*", "+"):
+            # occurrence indicator (?, *, +) — '?' lexes as a
+            # catch-all 'other' token
+            if (self.cur.kind == "op" and self.cur.text in ("*", "+")) or (
+                self.cur.kind == "other" and self.cur.text == "?"
+            ):
                 self.i += 1
 
     def expr(self):
@@ -446,12 +476,22 @@ class _Parser:
         return cur, pos
 
     def quantified(self) -> Quantified:
+        # multi-binding quantifiers (`some $a in A, $b in B satisfies
+        # P`) desugar to nesting: some $a in A satisfies some $b in B
+        # satisfies P (equivalent per XQuery 3.1 §3.15)
         kind = self.eat("kw").text
-        var = self.eat("var").text[1:]
-        self.eat("kw", "in")
-        source = self.expr_single()
+        binds = []
+        while True:
+            var = self.eat("var").text[1:]
+            self.eat("kw", "in")
+            binds.append((var, self.expr_single()))
+            if not self.opt("op", ","):
+                break
         self.eat("kw", "satisfies")
-        return Quantified(kind, var, source, self.or_expr())
+        node = self.or_expr()
+        for var, source in reversed(binds):
+            node = Quantified(kind, var, source, node)
+        return node
 
     # -- updates (JSONiq update syntax, JsonNodeTrx parity)
     def update_expr(self) -> UpdateExpr:
@@ -525,7 +565,7 @@ class _Parser:
         return left
 
     _CMP_KW = {"eq", "ne", "lt", "le", "gt", "ge"}
-    _CMP_OP = {"=", "!=", "<", "<=", ">", ">="}
+    _CMP_OP = {"=", "!=", "<", "<=", ">", ">=", "<<", ">>"}
 
     def cmp_expr(self):
         left = self.range_expr()
@@ -535,7 +575,12 @@ class _Parser:
             return Binop(t.text, left, self.range_expr())
         if t.kind == "op" and t.text in self._CMP_OP:
             self.i += 1
-            sym = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+            sym = {
+                "=": "eq", "!=": "ne", "<": "lt", "<=": "le",
+                ">": "gt", ">=": "ge",
+                # node-order comparisons (XQuery 3.1 §3.7.3)
+                "<<": "<<", ">>": ">>",
+            }
             return Binop(sym[t.text], left, self.range_expr())
         if t.kind == "kw" and t.text == "instance":
             # `instance of object()` — type test; parse and record
@@ -681,6 +726,22 @@ class _Parser:
         raise JsoniqSyntaxError(f"bad XPath node test at {self.cur.pos}")
 
     def _xpath_pred(self) -> tuple:
+        """Predicate: and/or chains over the single-predicate forms
+        (standard precedence: and binds tighter than or)."""
+        p = self._xpath_pred_and()
+        while self.at("kw", "or"):
+            self.i += 1
+            p = ("or", p, self._xpath_pred_and())
+        return p
+
+    def _xpath_pred_and(self) -> tuple:
+        p = self._xpath_pred_single()
+        while self.at("kw", "and"):
+            self.i += 1
+            p = ("and", p, self._xpath_pred_single())
+        return p
+
+    def _xpath_pred_single(self) -> tuple:
         """Predicate subset: integer position, last(), a relative
         path (optionally compared to a literal)."""
         if self.cur.kind == "number":
@@ -722,8 +783,26 @@ class _Parser:
             steps.extend(self._xpath_step(dbl))
         return steps
 
+    # -- direct element constructors (char-level scan over self.src:
+    # constructor content is raw XML text the token grammar cannot
+    # carry; after the scan the token cursor re-syncs by position)
+    def _elem_ctor(self) -> "ElemCtor":
+        start = self.cur.pos
+        node, end = _scan_elem(self.src, start)
+        while self.toks[self.i].pos < end:
+            self.i += 1
+        return node
+
     def primary(self):
         t = self.cur
+        if (
+            t.kind == "op"
+            and t.text == "<"
+            and self.src
+            and self.toks[self.i + 1].kind in ("name", "qname")
+            and self.toks[self.i + 1].pos == t.pos + 1
+        ):
+            return self._elem_ctor()
         if t.kind == "string":
             self.i += 1
             return Lit(_unquote(t.text))
@@ -875,6 +954,135 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", body)
 
 
+_NAME_RE = re.compile(r"[A-Za-z_][\w.-]*(?::[A-Za-z_][\w.-]*)?")
+
+
+def _scan_enclosed(src: str, i: int) -> tuple[object, int]:
+    """`{` at src[i] → (parsed expression, index past the `}`).
+    Braces nest (inner constructors / object constructors) and
+    string literals shield their contents."""
+    assert src[i] == "{"
+    depth, j = 1, i + 1
+    while j < len(src):
+        c = src[j]
+        if c in "'\"":
+            q = c
+            j += 1
+            while j < len(src) and src[j] != q:
+                j += 2 if src[j] == "\\" else 1
+            j += 1
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                body = src[i + 1 : j]
+                sub = _Parser(tokenize(body), body)
+                # enclosed expressions hold an expression SEQUENCE
+                # (XQuery `{<id/>{…}, $p}` — bare comma, no parens)
+                items = [sub.expr()]
+                while sub.opt("op", ","):
+                    items.append(sub.expr())
+                sub.eat("eof")
+                expr = items[0] if len(items) == 1 else SeqCtor(items)
+                return expr, j + 1
+        j += 1
+    raise JsoniqSyntaxError(f"unterminated enclosed expression at {i}")
+
+
+def _scan_elem(src: str, i: int) -> tuple[ElemCtor, int]:
+    """Direct element constructor at src[i] ('<') → (ElemCtor, end).
+    XQuery boundary-space default: whitespace-only text runs between
+    tags/enclosed expressions are stripped."""
+    assert src[i] == "<"
+    m = _NAME_RE.match(src, i + 1)
+    if not m:
+        raise JsoniqSyntaxError(f"bad element constructor at {i}")
+    name = m.group()
+    j = m.end()
+    attrs: list = []
+    while True:
+        while j < len(src) and src[j].isspace():
+            j += 1
+        if j >= len(src):
+            raise JsoniqSyntaxError(f"unterminated constructor <{name}")
+        if src[j] == "/" and src[j : j + 2] == "/>":
+            return ElemCtor(name, attrs, []), j + 2
+        if src[j] == ">":
+            j += 1
+            break
+        am = _NAME_RE.match(src, j)
+        if not am:
+            raise JsoniqSyntaxError(f"bad attribute in <{name} at {j}")
+        aname = am.group()
+        j = am.end()
+        while j < len(src) and src[j].isspace():
+            j += 1
+        if src[j] != "=":
+            raise JsoniqSyntaxError(f"expected = in attribute {aname} at {j}")
+        j += 1
+        while j < len(src) and src[j].isspace():
+            j += 1
+        q = src[j]
+        if q not in "'\"":
+            raise JsoniqSyntaxError(f"expected quoted value for {aname} at {j}")
+        j += 1
+        parts: list = []
+        lit = ""
+        while j < len(src) and src[j] != q:
+            if src[j] == "{":
+                if lit:
+                    parts.append(lit)
+                    lit = ""
+                expr, j = _scan_enclosed(src, j)
+                parts.append(expr)
+            else:
+                lit += src[j]
+                j += 1
+        if j >= len(src):
+            raise JsoniqSyntaxError(f"unterminated attribute value at {i}")
+        j += 1
+        if lit:
+            parts.append(lit)
+        attrs.append((aname, parts))
+    # content
+    content: list = []
+    lit = ""
+
+    def flush(text: str):
+        # strip whitespace-only boundary runs (default boundary-space)
+        if text and not text.isspace():
+            content.append(text)
+
+    while j < len(src):
+        c = src[j]
+        if c == "<":
+            if src[j : j + 2] == "</":
+                flush(lit)
+                k = src.index(">", j)
+                close = src[j + 2 : k].strip()
+                if close != name:
+                    raise JsoniqSyntaxError(
+                        f"mismatched </{close}> for <{name}> at {j}"
+                    )
+                return ElemCtor(name, attrs, content), k + 1
+            flush(lit)
+            lit = ""
+            child, j = _scan_elem(src, j)
+            content.append(child)
+            continue
+        if c == "{":
+            flush(lit)
+            lit = ""
+            expr, j = _scan_enclosed(src, j)
+            content.append(expr)
+            continue
+        lit += c
+        j += 1
+    raise JsoniqSyntaxError(f"unterminated element constructor <{name}>")
+
+
 def parse(src: str):
     """Parse a JSONiq-subset query string into the AST."""
-    return _Parser(tokenize(src)).parse()
+    return _Parser(tokenize(src), src).parse()

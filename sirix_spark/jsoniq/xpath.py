@@ -305,6 +305,23 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
         return _positional(df, axis, pred[1], last=False)
     if kind == "poslast":
         return _positional(df, axis, None, last=True)
+    if kind == "and":
+        df = _apply_pred(nodes, df, axis, pred[1])
+        return _apply_pred(nodes, df, axis, pred[2])
+    if kind in ("or", "not"):
+        keys = ["doc", "node_key"] + [c for c in df.columns if c.startswith("o_")]
+        if kind == "or":
+            a = _apply_pred(nodes, df, axis, pred[1])
+            b = _apply_pred(nodes, df, axis, pred[2])
+            return a.unionByName(b).dropDuplicates(keys)
+        inner = _apply_pred(nodes, df, axis, pred[1]).select(
+            *[F.col(k).alias(f"np_{k}") for k in keys]
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"np_{k}"))
+            cond = c if cond is None else (cond & c)
+        return df.join(inner, cond, "left_anti")
     # relpath predicates: evaluate from each candidate, carrying its
     # identity; keep candidates with >= 1 (matching) result.
     rel = pred[1]

@@ -94,8 +94,10 @@ def _shred_one(doc: str, xml: str) -> list[dict]:
             return
         s = "".join(textbuf)
         textbuf.clear()
-        if not s.strip():
-            return
+        # whitespace-only text nodes are REAL nodes (XDM): the
+        # reference's XMark goldens serialize them back verbatim
+        # (results/q13.out keeps the newline between <description>
+        # and <text>), so the shredder must keep them
         fr = stack[-1]
         emit(fr[0], TEXT, None, s, fr[4], fr[5], fr[2], fr[3])
         fr[4] += 1

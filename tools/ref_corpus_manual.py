@@ -20,6 +20,8 @@ Assertion modes:
 
 from __future__ import annotations
 
+import os
+
 # JsonDocumentCreator.JSON (bundles/sirix-core/src/main/java/io/sirix/
 # utils/JsonDocumentCreator.java) — the shared fixture document.
 JSON = (
@@ -1393,3 +1395,42 @@ MANUAL_DELTAS = {
         "expected": "/tada/[4]/[]",
     },
 }
+
+
+# ------------------------------ XMark (node/SirixXMarkTest.java)
+# The reference runs Brackit's XMarkTest over its node store: the 20
+# XMark XQuery queries against the SHIPPED auction.xml with golden
+# outputs (bundles/sirix-query/src/test/resources/xmark/{queries/
+# fndoc,results}). Queries replay VERBATIM — fn:doc("auction.xml")
+# resolves against the stored XML resource the setup creates, exactly
+# like XMarkTest's collection store — and outputs compare
+# byte-for-byte with results/qNN.out.
+_XMARK_DIR = (
+    "/root/reference/bundles/sirix-query/src/test/resources/xmark"
+)
+
+
+def _setup_xmark(spark, store):
+    from sirix_spark.store.xmlstore import XmlStore
+
+    with open(f"{_XMARK_DIR}/auction.xml") as f:
+        XmlStore(store.root).store("xmark", "auction.xml", f.read())
+
+
+SETUPS["xmark"] = _setup_xmark
+
+if os.path.isdir(_XMARK_DIR):
+    for _n in range(1, 21):
+        with open(f"{_XMARK_DIR}/queries/fndoc/q{_n:02d}.xq") as _f:
+            _q = _f.read()
+        with open(f"{_XMARK_DIR}/results/q{_n:02d}.out") as _f:
+            _exp = _f.read().rstrip("\n")
+        CASES.append(
+            _c(
+                f"XMark#q{_n:02d}",
+                "node/SirixXMarkTest.java",
+                _q,
+                _exp,
+                setup_py="xmark",
+            )
+        )
