@@ -458,8 +458,16 @@ class DocEvaluator:
         # keys group on their serialized text as before.
         for kv in key_vars:
             col = F.col(f"j_{kv}")
-            num = F.try_variant_get(
-                F.try_parse_json(col), "$", "decimal(38,18)"
+            parsed = F.try_parse_json(col)
+            # variant_get coerces numeric-looking STRINGs ("18",
+            # "007") to numbers, which would merge them with numeric
+            # keys — XQuery eq keeps xs:string and numerics distinct
+            # (same guard as the order-by path above). Only normalize
+            # when the parsed variant is itself numeric.
+            sch = F.schema_of_variant(parsed)
+            num = F.when(
+                sch.isin("BIGINT", "DOUBLE") | sch.startswith("DECIMAL"),
+                F.try_variant_get(parsed, "$", "decimal(38,18)"),
             )
             stream = stream.withColumn(
                 f"j_{kv}",
@@ -3525,13 +3533,25 @@ class DocEvaluator:
         # exact products the XMark q18 golden pins (7 dp)
         _MUL_T = "decimal(25,12)"
         dec_ops = {
-            "+": (ldec + rdec).cast(_DEC_T),
-            "-": (ldec - rdec).cast(_DEC_T),
-            "*": (ldec.cast(_MUL_T) * rdec.cast(_MUL_T)).cast(_DEC_T),
+            "+": _emit_dec((ldec + rdec).cast(_DEC_T)),
+            "-": _emit_dec((ldec - rdec).cast(_DEC_T)),
+            # operands with >13 integer digits overflow the (25,12)
+            # cast — degrade to the reduced-scale (38,6) full-precision
+            # product, then to double, instead of silently dropping the
+            # value (try_* keeps ANSI mode from raising)
+            "*": F.coalesce(
+                _emit_dec(
+                    F.try_multiply(
+                        ldec.try_cast(_MUL_T), rdec.try_cast(_MUL_T)
+                    ).try_cast(_DEC_T)
+                ),
+                _emit_dec(F.try_multiply(ldec, rdec)),
+                _emit_dbl((ld * rd).cast("double")),
+            ),
         }
         txt = F.when(both_int, iexpr.cast("string"))
         if op in dec_ops:
-            txt = txt.when(both_dec, _emit_dec(dec_ops[op]))
+            txt = txt.when(both_dec, dec_ops[op])
         txt = txt.otherwise(_emit_dbl(dexpr.cast("double")))
         return F.array(F.parse_json(txt))
 

@@ -50,7 +50,15 @@ def _index(node, parent_key, out):
 
 
 def _esc_str(s: str) -> str:
-    return s.replace("\\", "\\\\").replace('"', '\\"')
+    # \n/\r must not reach the script body raw: apply_xml_diff splits
+    # statements on newlines (the expat shredder keeps whitespace text
+    # nodes, so newline values are routine)
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 def xml_diff(xs: XmlStore, db: str, res: str, r1: int, r2: int) -> str | None:
@@ -74,8 +82,11 @@ def xml_diff(xs: XmlStore, db: str, res: str, r1: int, r2: int) -> str | None:
                 if child["key"] not in m1:
                     if node["key"] not in m1:
                         continue  # whole parent is inserted: subtree covers it
+                    # TEXT inserts travel as quoted strings; COMMENT/PI
+                    # keep serialize_tree's <!--...-->/<?...?> forms so
+                    # the apply side re-creates the same node kind
                     frag = serialize_tree(child)
-                    if child["kind"] != "ELEMENT":
+                    if child["kind"] == "TEXT":
                         frag = '"' + _esc_str(child["value"]) + '"'
                     # anchor: first following sibling that exists in r1
                     anchor = next(
@@ -194,8 +205,13 @@ def _split_stmts(body: str) -> list[str]:
     return out
 
 
+_UNESC = {"\\": "\\", '"': '"', "n": "\n", "r": "\r"}
+
+
 def _unesc(s: str) -> str:
-    return s.replace('\\"', '"').replace("\\\\", "\\")
+    # sequential (regex) unescape — chained .replace() would turn the
+    # two-char sequence \\ followed by n into a newline
+    return re.sub(r'\\([\\"nr])', lambda m: _UNESC[m.group(1)], s)
 
 
 def apply_xml_diff(xs: XmlStore, script: str) -> int:
@@ -204,10 +220,14 @@ def apply_xml_diff(xs: XmlStore, script: str) -> int:
     m = _HDR.search(script)
     if not m:
         raise XmlStoreError("not an xml:diff script")
-    db, res, _r1 = m.group(1), m.group(2), int(m.group(3))
+    db, res, r1 = m.group(1), m.group(2), int(m.group(3))
     body = script[script.index("return (") + len("return ("):]
     body = body.rsplit(")", 1)[0]
-    w = XmlWtx(xs, db, res)
+    # the script edits revision r1 (pinned in its xml:doc() header);
+    # open the write trx on THAT base tree — XmlWtx raises when the
+    # store has no such revision, so a mismatched store fails closed
+    # instead of silently editing the wrong base
+    w = XmlWtx(xs, db, res, revision=r1)
     for stmt in _split_stmts(body):
         kind = None
         match = None

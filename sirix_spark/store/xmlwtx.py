@@ -38,7 +38,17 @@ DOCUMENT_KEY = 0
 
 def _esc(s: str, attr: bool = False) -> str:
     s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    return s.replace('"', "&quot;") if attr else s
+    if attr:
+        # canonical-XML attribute escapes: literal whitespace would be
+        # normalized to spaces on re-parse (attribute-value
+        # normalization), so the round trip needs character references
+        s = (
+            s.replace('"', "&quot;")
+            .replace("\t", "&#9;")
+            .replace("\n", "&#10;")
+            .replace("\r", "&#13;")
+        )
+    return s
 
 
 def tree_from_rows(rows: list[dict], keys: list[int] | None):
@@ -126,12 +136,29 @@ class XmlWtx:
     inserted node; insertAttribute positions on the ATTRIBUTE (the
     reference's tests chain .moveToParent() after it)."""
 
-    def __init__(self, store: XmlStore | str, db: str, res: str):
+    def __init__(
+        self,
+        store: XmlStore | str,
+        db: str,
+        res: str,
+        revision: int | None = None,
+    ):
+        """revision selects the BASE tree the transaction edits
+        (default: latest); commit always appends as the next revision
+        after head — the reference's bound-to-older-revision update
+        semantics (xml:doc(db, res, r) + XQuery Update)."""
         self.store = store if isinstance(store, XmlStore) else XmlStore(store)
         self.db = db
         self.res = res
         if self.store.exists(db, res):
             rev = self.store.latest_revision(db, res)
+            if revision is not None:
+                if not 1 <= revision <= rev:
+                    raise XmlStoreError(
+                        f"{db}/{res} has no revision {revision} "
+                        f"(latest is {rev})"
+                    )
+                rev = revision
             rows = self.store.nodes_rows(db, res, rev)
             keys = self.store.read_keys(db, res, rev)
             self.root: dict | None = tree_from_rows(rows, keys)
@@ -273,8 +300,27 @@ class XmlWtx:
     def _fragment_tree(self, frag: str) -> dict:
         frag = frag.strip()
         if frag.startswith('"') and frag.endswith('"'):
-            value = frag[1:-1].replace('\\"', '"').replace("\\\\", "\\")
-            return {"key": self._fresh(), "kind": "TEXT", "value": value}
+            from sirix_spark.store.xmldiff import _unesc
+
+            return {
+                "key": self._fresh(),
+                "kind": "TEXT",
+                "value": _unesc(frag[1:-1]),
+            }
+        # bare COMMENT/PI fragments are not well-formed documents, so
+        # the shredder can't parse them — build the node directly
+        if frag.startswith("<!--") and frag.endswith("-->"):
+            return {
+                "key": self._fresh(),
+                "kind": "COMMENT",
+                "value": frag[4:-3],
+            }
+        if frag.startswith("<?") and frag.endswith("?>"):
+            return {
+                "key": self._fresh(),
+                "kind": "PROCESSING_INSTRUCTION",
+                "value": frag[2:-2],
+            }
         from sirix_spark.sources.xml_source import _shred_one
 
         t = tree_from_rows(_shred_one("f", frag), None)

@@ -304,3 +304,38 @@ def test_higher_order_functions(spark, docstore, q, want):
     literals, compiled to Spark's own higher-order array expressions
     (transform / filter / aggregate) — JVM-side per element."""
     assert run(spark, docstore, q) == want
+
+
+def test_group_by_string_vs_number_keys_distinct(spark, docstore):
+    """XQuery eq keeps xs:string and numeric keys in separate groups:
+    18 and "18" must NOT merge (the variant_get coercion would merge
+    them without the schema_of_variant guard)."""
+    got = run(
+        spark, docstore,
+        'for $i in (18, "18") group by $k := $i '
+        'return {"k": $k, "n": count($i)}',
+    )
+    assert got == '{"k":18,"n":1} {"k":"18","n":1}'
+    got = run(
+        spark, docstore,
+        'for $i in ("007", 7) group by $k := $i '
+        'return {"k": $k, "n": count($i)}',
+    )
+    assert got == '{"k":"007","n":1} {"k":7,"n":1}'
+    # numerically-equal numeric spellings still merge to ONE group
+    got = run(
+        spark, docstore,
+        'for $i in (18, 18.0, 18.00) group by $k := $i '
+        'return {"k": $k, "n": count($i)}',
+    )
+    assert got == '{"k":18,"n":3}'
+
+
+def test_decimal_multiply_overflow_degrades_not_null(spark, docstore):
+    """Operands beyond the (25,12) working type degrade to reduced
+    scale (then double), never to a silently-dropped NULL."""
+    assert run(spark, docstore, "12345678901234567890.5 * 2.0") == (
+        "24691357802469135781"
+    )
+    assert run(spark, docstore, "1.5 * 2.5") == "3.75"
+    assert run(spark, docstore, "0.1 * 0.2") == "0.02"

@@ -40,24 +40,40 @@ def versioned():
     return xs
 
 
+def _store_copy(xs: XmlStore) -> XmlStore:
+    """Full on-disk clone of the store (all revisions + sidecars)."""
+    import shutil
+
+    dst = tempfile.mkdtemp()
+    shutil.copytree(xs.root, XmlStore(dst).root, dirs_exist_ok=True)
+    return XmlStore(dst)
+
+
 @pytest.mark.parametrize("r", [1, 2, 3, 4])
 def test_diff_round_trip(versioned, r):
+    """apply_xml_diff opens the write trx at the script's pinned base
+    revision r — even when the store's head has moved past it — so
+    the round trip holds for every historical pair."""
     xs = versioned
-    copy = XmlStore(tempfile.mkdtemp())
-    copy.store(
-        "xml-db", "resource",
-        xs.read_text("xml-db", "resource", r),
-        keys=xs.read_keys("xml-db", "resource", r),
-    )
-    m = copy._read_manifest("xml-db", "resource")
-    m["next_key"] = xs.next_key("xml-db", "resource")
-    copy._write_manifest("xml-db", "resource", m)
+    copy = _store_copy(xs)
     script = xml_diff(xs, "xml-db", "resource", r, r + 1)
     assert script is not None
     rev = apply_xml_diff(copy, script)
     assert copy.read_text("xml-db", "resource", rev) == xs.read_text(
         "xml-db", "resource", r + 1
     )
+
+
+def test_apply_rejects_missing_base_revision(versioned):
+    """A script pinned to a revision the target store doesn't have
+    fails closed instead of silently editing the wrong base."""
+    from sirix_spark.store.xmlstore import XmlStoreError
+
+    script = xml_diff(versioned, "xml-db", "resource", 2, 3)
+    fresh = XmlStore(tempfile.mkdtemp())
+    fresh.store("xml-db", "resource", BASE)  # head = revision 1 only
+    with pytest.raises(XmlStoreError, match="no revision 2"):
+        apply_xml_diff(fresh, script)
 
 
 def test_identical_revisions_diff_to_none(versioned):
@@ -139,3 +155,49 @@ def test_import_via_query_surface(spark, tmp_path):
     assert ev.execute(
         "for $n in xml:doc('db','r')/root/a return sdb:nodekey($n)"
     ) == "2"
+
+
+def _round_trip(xml1: str, xml2: str) -> str:
+    """Diff xml1→xml2 on one store, apply on a clone, return result."""
+    xs = XmlStore(tempfile.mkdtemp())
+    xs.store("d", "r", xml1)
+    w = XmlWtx(xs, "d", "r")
+    w.commit()  # rev 2: keyed snapshot of xml1
+    from sirix_spark.store.xmldiff import fmse_import
+
+    fmse_import(xs, "d", "r", xml2)  # rev 3: keyed xml2
+    script = xml_diff(xs, "d", "r", 2, 3)
+    copy = _store_copy(xs)
+    if script is None:
+        return copy.read_text("d", "r", 2)
+    rev = apply_xml_diff(copy, script)
+    return copy.read_text("d", "r", rev)
+
+
+def test_comment_insert_round_trip():
+    """Inserted COMMENT/PI children replay as their own node kinds,
+    not as TEXT (DiffTest invariant for non-element inserts)."""
+    assert _round_trip("<a>t</a>", "<a>t<!--c--></a>") == "<a>t<!--c--></a>"
+    assert (
+        _round_trip("<a>t</a>", "<a>t<?pi data?></a>")
+        == "<a>t<?pi data?></a>"
+    )
+    assert (
+        _round_trip("<a><b/></a>", "<a><!--lead--><b/></a>")
+        == "<a><!--lead--><b/></a>"
+    )
+
+
+def test_newline_values_round_trip():
+    """Text/attribute values containing newlines survive the script's
+    line-oriented statement grammar (escaped as \\n in _esc_str)."""
+    x2 = "<a>line1\nline2</a>"
+    assert _round_trip("<a>old</a>", x2) == x2
+    # attribute newlines must be written as &#10; (the parser
+    # normalizes literal newlines to spaces) and survive as real \n
+    assert (
+        _round_trip("<a>t</a>", '<a b="v1&#10;v2">t</a>')
+        == '<a b="v1&#10;v2">t</a>'
+    )
+    x2 = "<a>t<b/>\n  tail\n</a>"
+    assert _round_trip("<a>t<b/></a>", x2) == x2
