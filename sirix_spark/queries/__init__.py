@@ -30,81 +30,89 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-4 rotation (round-3 verdict #6, third rotation): multi-round-
-# green near-duplicates rotate OUT (filter_count, group_by_count,
-# json_field_filter, minhash_signatures, cosine_topk,
-# dense_rank_orders, customers_per_region, all_times, token_count —
-# every family keeps at least one in-window representative and all
-# stay oracle-checked by tools/check_oracle.py) so the newest
-# never-driver-green operators get rows: dedup_clusters,
-# multimodal_frame_sample, jsoniq_udf_pricing, xml_path_filter (new
-# XPath entry), rollup_counts, median_price, string_agg_nations,
-# moving_avg_per_user, anti_join_customers. Cross-round coverage is
-# tracked in PARITY.md §driver-window-coverage.
+# Round-5 rotation (round-4 verdict #3, final rotation): ALL 23
+# never-driver-windowed entries get rows this round —
+# jsoniq_let_conditional/string_filter/count/array_minmax,
+# events_filter_project, training_corpus_filter, quality_score,
+# lang_id, fingerprint, hash_sample, stratified_sample,
+# length_histogram, fuzzy_verify_pairs, scalar_functions2, stats_agg,
+# above_avg_orders, null_group_key, decimal_overflow_sum,
+# quantified_some_every, deep_equal_count, conditional_exprs,
+# multimodal_filter_decode, doc_shred_path_stats — so the
+# never-windowed count drops to 0 (PARITY.md ledger). Multi-round-
+# green staples rotate OUT (group_by_2keys, count_distinct,
+# computed_agg, grouping_sets, jsoniq_filter_project/group_count/
+# join/quantified, shipping_priority, revenue_by_priority,
+# previous_next_event, item_history, running_sum, json_deref_sum,
+# text_profile, doc_collection_cas_scan, jaccard, simhash,
+# embedding_near_dup, multimodal_features, scalar_functions,
+# null_semantics, rollup_counts); every family keeps an in-window
+# representative and ALL entries stay oracle-checked every round by
+# tools/check_oracle.py.
 PRIORITY: tuple[str, ...] = (
-    # §2.4 aggregations + §2.2 scans/filters
+    # flagship aggregation
     "pricing_summary",
-    "group_by_2keys",
-    "count_distinct",
-    "computed_agg",
-    "grouping_sets_counts",
-    "rollup_counts",
-    # JSONiq string entry point (the reference's query language)
-    "jsoniq_filter_project",
-    "jsoniq_group_count",
-    "jsoniq_join_orders_customers",
-    "jsoniq_quantified_embeddings",
+    # JSONiq string entry point (never-windowed batch + keeps)
+    "jsoniq_let_conditional",
+    "jsoniq_string_filter",
+    "jsoniq_count",
+    "jsoniq_array_minmax",
     "jsoniq_all_times_store",
     "jsoniq_udf_pricing",
-    # §2.6 sorts / top-k / covered projection / §2.10 aggregates
-    "top_k_orders",
+    # scans / filters / projections
+    "events_filter_project",
+    "training_corpus_filter",
+    # LLM-pipeline: text analysis (never-windowed batch)
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "hash_sample",
+    "stratified_sample",
+    "length_histogram",
+    "fuzzy_verify_pairs",
+    # §2.10 semantics corners (never-windowed batch)
+    "scalar_functions2",
+    "stats_agg",
+    "above_avg_orders",
+    "null_group_key",
+    "decimal_overflow_sum",
+    "quantified_some_every",
+    "deep_equal_count",
+    "conditional_exprs",
+    # LLM-pipeline: multimodal + document-mode (never-windowed batch)
+    "multimodal_filter_decode",
+    "doc_shred_path_stats",
+    # §2.4 grouping-sets family representative
+    "grouping_sets_counts",
+    # §2.6 covered projection / §2.5 aggregates
     "covered_projection",
     "median_price",
     "string_agg_nations",
     # §2.3 joins
-    "shipping_priority",
     "national_revenue",
-    "revenue_by_priority",
     "range_join_price_bands",
     "full_outer_summary",
     "asof_join_orders_events",
     "anti_join_customers",
     # §2.7 temporal family
-    "previous_next_event",
-    "item_history",
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
     # §2.5 windows
-    "running_sum_per_user",
     "ntile_value_quartiles",
     "moving_avg_per_user",
-    # §2.2/§2.9/§2.10 JSON navigation + construction
-    "json_deref_sum",
+    # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
-    # §2.8 set ops (dense: union+intersect+except in one row)
     "set_ops",
-    # LLM-pipeline: text analysis + document-mode node tables + XPath
-    "text_profile",
-    "doc_collection_cas_scan",
     "xml_path_filter",
-    # LLM-pipeline: dedup family (incl. near-dup clustering)
+    # LLM-pipeline: dedup + similarity
     "exact_dedup",
     "minhash_lsh_pairs",
-    "jaccard_near_dup",
-    "simhash",
-    "embedding_near_dup",
     "dedup_clusters",
-    # LLM-pipeline: similarity search (brute-force + index-routed)
     "knn_join",
     "vector_search_routed",
-    # LLM-pipeline: multimodal
-    "multimodal_features",
     "multimodal_frame_sample",
-    # §2.10 semantics corners
-    "scalar_functions",
-    "null_semantics",
 )
 
 

@@ -53,21 +53,20 @@ def test_driver_window_covers_all_families(reg):
     first50 = list(reg)[:50]
     assert first50 == list(PRIORITY)[:50]
     required = {
-        # LLM-pipeline family representatives (round-4 rotation —
-        # round-3 verdict #6 — swapped multi-round-green variants like
-        # minhash_signatures/cosine_topk/token_count out for the
-        # never-windowed dedup_clusters/multimodal_frame_sample/etc.;
-        # every family keeps >=1 in-window representative)
+        # LLM-pipeline family representatives (round-5 rotation —
+        # round-4 verdict #3 — windows the final 23 never-driver-green
+        # entries; multi-round-green variants like jaccard/simhash/
+        # embedding_near_dup/multimodal_features/text_profile rotate
+        # out but every family keeps >=1 in-window representative)
         "exact_dedup",
         "minhash_lsh_pairs",
-        "jaccard_near_dup",
-        "embedding_near_dup",
-        "simhash",
+        "fuzzy_verify_pairs",
         "dedup_clusters",
         "knn_join",
-        "multimodal_features",
+        "multimodal_filter_decode",
         "multimodal_frame_sample",
-        "text_profile",
+        "quality_score",
+        "lang_id",
         # one per SURVEY §2 family
         "pricing_summary",
         "asof_join_orders_events",
@@ -76,23 +75,21 @@ def test_driver_window_covers_all_families(reg):
         "snapshot_diff",
         "valid_at",
         "set_ops",
-        "json_deref_sum",
-        "scalar_functions",
+        "array_posexplode",
+        "scalar_functions2",
+        "null_group_key",
         # XPath path syntax over XML (round-3 verdict #3)
         "xml_path_filter",
         # JSONiq string entry point (round-1 'What's missing' #1)
-        "jsoniq_filter_project",
-        "jsoniq_group_count",
+        "jsoniq_let_conditional",
+        "jsoniq_count",
         "jsoniq_udf_pricing",
-        # round-2 verdict asks #4-#7: jsoniq join/quantified/temporal,
-        # rollup family, windows family, null semantics, index route
-        "jsoniq_join_orders_customers",
-        "jsoniq_quantified_embeddings",
         "jsoniq_all_times_store",
+        # grouping-sets / windows / semantics / index-route families
         "grouping_sets_counts",
-        "running_sum_per_user",
         "ntile_value_quartiles",
-        "null_semantics",
+        "moving_avg_per_user",
+        "decimal_overflow_sum",
         "vector_search_routed",
     }
     missing = required - set(first50)
