@@ -24,6 +24,17 @@ overstated the matrix by ~2.7x because it ran last on a loaded box):
 - "contended": true is emitted when the floor blows out (>2.5x probe
   min) or per-query spreads do (median max/min >3x) — telling the
   reader the numbers are box-noise-poisoned, not engine time.
+
+Contended auto-retry (round-4 verdict #2 — flagging poisoned numbers
+but still shipping them as primary was the residual defect): when a
+phase's first pass trips the contention markers and the deadline
+budget allows, the whole phase sleeps $SIRIX_SPARK_BENCH_COOLDOWN
+(default 10 s), re-probes the floor, and re-runs ONCE. Both passes are
+recorded under "phases"; the clean (or faster, when both are clean/
+both contended) pass becomes primary — its mins are what "queries"/
+floors/spreads report, and top-level "contended" reflects the PRIMARY
+pass only. tests/test_bench_smoke.py forces contention with a
+background spin fleet and asserts the primary numbers match idle.
 """
 
 from __future__ import annotations
@@ -90,6 +101,7 @@ HEADLINE = [
 
 N_TIMED = int(os.environ.get("SIRIX_SPARK_BENCH_N_TIMED", 3))
 DEADLINE_S = float(os.environ.get("SIRIX_SPARK_BENCH_DEADLINE", 540))
+COOLDOWN_S = float(os.environ.get("SIRIX_SPARK_BENCH_COOLDOWN", 10))
 RERUN_RATIO = 3.0  # min > 3x phase median-of-mins → re-run
 _START = time.perf_counter()
 
@@ -121,6 +133,11 @@ def _probe_floor(spark) -> float:
     per-query scheduling share at this core count."""
     tiny = spark.range(32, numPartitions=32).persist()
     tiny.count()
+    # uncounted warmups: on a cold JVM the first noop writes bill JIT
+    # ramp (~90 ms vs ~30 ms warm), which would fake a floor blowout
+    # against the post-phase probe and trip the contention marker
+    for _ in range(3):
+        tiny.write.format("noop").mode("overwrite").save()
     floor = min(
         _min_max(lambda: tiny.write.format("noop").mode("overwrite").save(), 3)[0]
         for _ in range(2)
@@ -133,9 +150,9 @@ class _Phase:
     """Times a set of closures with spread tracking and automatic
     re-run of outliers (min > RERUN_RATIO x phase median-of-mins)."""
 
-    def __init__(self, label: str, out: dict):
+    def __init__(self, label: str, diag: dict):
         self.label = label
-        self.out = out
+        self.diag = diag  # per-pass record (reruns/spreads/contended)
         self.mins: dict[str, float] = {}
         self.maxs: dict[str, float] = {}
         self.runs: dict[str, callable] = {}
@@ -169,25 +186,98 @@ class _Phase:
                      "rerun_min": round(mn2, 4)}
                 )
         if reruns:
-            self.out.setdefault("reruns", []).extend(reruns)
+            self.diag.setdefault("reruns", []).extend(reruns)
         spreads = [
             self.maxs[n] / self.mins[n]
             for n in self.mins
             if self.mins[n] > 0.010  # sub-10ms jobs are pure jitter
         ]
         if spreads:
-            self.out.setdefault("spread_median", {})[self.label] = round(
-                statistics.median(spreads), 2
-            )
+            self.diag["spread_median"] = round(statistics.median(spreads), 2)
             if statistics.median(spreads) > 3.0:
-                self.out["contended"] = True
+                self.diag["contended"] = True
         if any(r["rerun_min"] < r["first_min"] / 2 for r in reruns):
-            self.out["contended"] = True
+            self.diag["contended"] = True
         total = 0.0
         for name, mn in self.mins.items():
             timings[prefix + name] = round(mn, 4)
             total += mn
         return total
+
+
+def _phase_pass(spark, label, items, errors, err_label, prefix=""):
+    """One full timed pass over [(name, closure)]: floor probe →
+    warm+time each query → outlier settle → floor probe. Returns
+    (diag record, final per-query mins)."""
+    t0 = time.perf_counter()
+    diag: dict = {}
+    floor0 = _probe_floor(spark)
+    diag["floor_before_ms"] = round(floor0 * 1000)
+    phase = _Phase(label, diag)
+    for name, run in items:
+        if _elapsed() > DEADLINE_S:
+            errors.setdefault(
+                "__deadline__", f"stopped before {label} {name} at {_elapsed():.0f}s"
+            )
+            break
+        try:
+            phase.time(name, run)
+        except Exception as e:
+            errors[f"{err_label}{name}"] = f"{type(e).__name__}: {str(e)[:300]}"
+    mins: dict[str, float] = {}
+    total = phase.settle(mins, prefix=prefix)
+    floor1 = _probe_floor(spark)
+    diag["floor_after_ms"] = round(floor1 * 1000)
+    if floor1 > 2.5 * floor0 or floor0 > 2.5 * floor1:
+        diag["contended"] = True
+    diag["total_sec"] = round(total, 4)
+    diag["wall_sec"] = round(time.perf_counter() - t0, 1)
+    return diag, mins
+
+
+def _run_phase(spark, label, items, timings, errors, out, err_label="", prefix=""):
+    """Phase driver with contended auto-retry (round-4 verdict #2):
+    if the first pass trips the contention markers and the remaining
+    deadline budget covers a cooldown + second pass, sleep and re-run
+    the WHOLE phase once. Both passes ship under out["phases"]; the
+    clean one (or the faster, when both agree) is primary — its mins
+    populate out["queries"] and only ITS contended flag propagates."""
+    diag1, mins1 = _phase_pass(spark, label, items, errors, err_label, prefix)
+    passes = [diag1]
+    primary, primary_mins = diag1, mins1
+    if diag1.get("contended") and items:
+        budget = COOLDOWN_S + 1.3 * diag1["wall_sec"]
+        if _elapsed() + budget < DEADLINE_S:
+            # test hook: signals the forced-contention test's spin
+            # fleet to stand down before the clean pass
+            tf = os.environ.get("SIRIX_SPARK_BENCH_COOLDOWN_TOUCH")
+            if tf:
+                with open(tf, "w") as f:
+                    f.write("cooling")
+            time.sleep(COOLDOWN_S)
+            diag2, mins2 = _phase_pass(
+                spark, label, items, errors, err_label, prefix
+            )
+            passes.append(diag2)
+            if not diag2.get("contended") or diag2["total_sec"] <= diag1["total_sec"]:
+                primary, primary_mins = diag2, mins2
+        else:
+            diag1["retry_skipped"] = f"deadline budget ({_elapsed():.0f}s elapsed)"
+    out.setdefault("phases", {})[label] = {
+        "passes": passes,
+        "primary": passes.index(primary),
+    }
+    # back-compat top-level fields reflect the PRIMARY pass
+    out["floors_ms"][f"{label}_before"] = primary["floor_before_ms"]
+    out["floors_ms"][f"{label}_after"] = primary["floor_after_ms"]
+    if primary.get("reruns"):
+        out.setdefault("reruns", []).extend(primary["reruns"])
+    if "spread_median" in primary:
+        out.setdefault("spread_median", {})[label] = primary["spread_median"]
+    if primary.get("contended"):
+        out["contended"] = True
+    timings.update(primary_mins)
+    return sum(primary_mins.values())
 
 
 def main():
@@ -305,8 +395,6 @@ def _run_matrix(spark, n_records, timings, errors, out):
     saved = {k: spark.conf.get(k) for k in matrix_conf}
     for k, v in matrix_conf.items():
         spark.conf.set(k, v)
-    floor0 = _probe_floor(spark)
-    out["floors_ms"]["matrix_before"] = round(floor0 * 1000)
     # Global uncounted warm sweep: one pass over all nine shapes so
     # the shared scan/agg codegen is JIT-compiled before any timed
     # run — without it the first queries of the sweep measure the
@@ -316,28 +404,17 @@ def _run_matrix(spark, n_records, timings, errors, out):
             fn(records).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-    phase = _Phase("matrix", out)
-    for name, fn in matrix_queries(decode=records_vocab()).items():
-        if _elapsed() > DEADLINE_S:
-            errors.setdefault(
-                "__deadline__", f"stopped before matrix {name} at {_elapsed():.0f}s"
-            )
-            break
-        try:
-            phase.time(
-                name,
-                lambda fn=fn: fn(records)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
-            )
-        except Exception as e:
-            errors[f"{label}_{name}"] = f"{type(e).__name__}: {str(e)[:300]}"
-    matrix_total = phase.settle(timings, prefix=f"{label}_")
-    floor1 = _probe_floor(spark)
-    out["floors_ms"]["matrix_after"] = round(floor1 * 1000)
-    if floor1 > 2.5 * floor0 or floor0 > 2.5 * floor1:
-        out["contended"] = True
+    items = [
+        (
+            name,
+            lambda fn=fn: fn(records).write.format("noop").mode("overwrite").save(),
+        )
+        for name, fn in matrix_queries(decode=records_vocab()).items()
+    ]
+    matrix_total = _run_phase(
+        spark, "matrix", items, timings, errors, out,
+        err_label=f"{label}_", prefix=f"{label}_",
+    )
     for k, v in saved.items():
         spark.conf.set(k, v)
     # BASELINE.md comparison key: the reference's 9-query matrix
@@ -362,7 +439,8 @@ def _run(sf_dir, n_records, timings, errors, out):
     )
 
     # --- phase 1: BASELINE comparison matrix, on the quiet JVM ---
-    _run_matrix(spark, n_records, timings, errors, out)
+    if not os.environ.get("SIRIX_SPARK_BENCH_SKIP_MATRIX"):
+        _run_matrix(spark, n_records, timings, errors, out)
     if os.environ.get("SIRIX_SPARK_BENCH_MATRIX_ONLY"):
         try:
             spark.stop()
@@ -372,29 +450,26 @@ def _run(sf_dir, n_records, timings, errors, out):
 
     # --- phase 2: headline suite over the sf tables (pinned) ---
     reg = registry()
-    floor0 = _probe_floor(spark)
-    out["floors_ms"]["headline_before"] = round(floor0 * 1000)
     headline = list(HEADLINE)
+    if os.environ.get("SIRIX_SPARK_BENCH_HEADLINE"):
+        # test hook: restrict the suite (forced-contention test runs
+        # a 3-query subset so two passes fit in seconds)
+        headline = os.environ["SIRIX_SPARK_BENCH_HEADLINE"].split(",")
     if os.environ.get("SIRIX_SPARK_BENCH_INJECT_FAIL"):
         # test hook: prove one failing query can't kill the run
         headline.insert(0, os.environ["SIRIX_SPARK_BENCH_INJECT_FAIL"])
-    phase = _Phase("headline", out)
+
+    def _mk(name):
+        fn = reg[name].fn
+        return lambda: run_once(fn, spark, sf_dir)
+
+    items = []
     for name in headline:
-        if _elapsed() > DEADLINE_S:
-            errors.setdefault(
-                "__deadline__", f"stopped before {name} at {_elapsed():.0f}s"
-            )
-            break
         try:
-            fn = reg[name].fn
-            phase.time(name, lambda fn=fn: run_once(fn, spark, sf_dir))
-        except Exception as e:
-            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
-    phase.settle(timings)
-    floor1 = _probe_floor(spark)
-    out["floors_ms"]["headline_after"] = round(floor1 * 1000)
-    if floor1 > 2.5 * floor0 or floor0 > 2.5 * floor1:
-        out["contended"] = True
+            items.append((name, _mk(name)))
+        except KeyError as e:
+            errors[name] = f"KeyError: {e}"
+    _run_phase(spark, "headline", items, timings, errors, out)
     try:
         spark.stop()
     except Exception:

@@ -37,6 +37,7 @@ Physical design (scale-first):
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -79,6 +80,34 @@ class VersionedStore:
     def _manifest(self, db: str, res: str) -> Manifest:
         return Manifest(os.path.join(self._res_path(db, res), "manifest.json"))
 
+    def recover(self, db: str, res: str) -> list[str]:
+        """Crash recovery (reference: PowerLossSimulationTest /
+        CrashRecoveryInjectionTest semantics): the manifest's atomic
+        tmp+rename is the commit point, so after a kill the manifest
+        always names a fully-committed prefix of revisions. Anything
+        ON DISK beyond it — revision dirs written before the manifest
+        landed, a stranded manifest.json.tmp — is an orphan of the
+        interrupted commit. GC them (a retried commit would otherwise
+        trip its errorifexists parquet write) and return the removed
+        paths."""
+        import shutil
+
+        removed: list[str] = []
+        res_path = self._res_path(db, res)
+        if not self.exists_resource(db, res):
+            return removed
+        head = self._manifest(db, res).latest_revision()
+        for name in sorted(os.listdir(res_path)):
+            full = os.path.join(res_path, name)
+            m = re.fullmatch(r"r(\d{6})", name)
+            if m and os.path.isdir(full) and int(m.group(1)) > head:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+            elif name == "manifest.json.tmp":
+                os.remove(full)
+                removed.append(full)
+        return removed
+
     # ----- commit machinery ------------------------------------------
     def _rev_dir(self, db: str, res: str, revision: int) -> str:
         return os.path.join(self._res_path(db, res), f"r{revision:06d}")
@@ -105,6 +134,14 @@ class VersionedStore:
         if self.exists_resource(db, res):
             raise ValueError(f"resource {db}/{res} already exists")
         os.makedirs(self._res_path(db, res), exist_ok=True)
+        if os.listdir(self._res_path(db, res)):
+            # leftovers of a store() killed before its manifest landed
+            # (no manifest == resource never existed): clear them so
+            # the errorifexists parquet write can't trip on orphans
+            import shutil
+
+            shutil.rmtree(self._res_path(db, res), ignore_errors=True)
+            os.makedirs(self._res_path(db, res), exist_ok=True)
         keyed = df.withColumnRenamed(key, RECORD_KEY)
         path = self._rev_dir(db, res, 1)
         keyed.write.mode("errorifexists").parquet(os.path.join(path, "data"))
@@ -148,6 +185,7 @@ class VersionedStore:
         force_checkpoint: bool = False,
         full_state: bool = False,
     ) -> int:
+        self.recover(db, res)  # GC orphans of any interrupted commit
         manifest = self._manifest(db, res)
         rev = manifest.latest_revision() + 1
         if rev == 1:

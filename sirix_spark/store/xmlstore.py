@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from datetime import datetime, timezone
 
 
@@ -39,8 +40,29 @@ class XmlStore:
             return json.load(f)
 
     def _write_manifest(self, db: str, res: str, m: dict) -> None:
-        with open(self._manifest_path(db, res), "w") as f:
+        # atomic tmp+rename: the manifest IS the commit point — a kill
+        # mid-write must never corrupt the revision catalog
+        p = self._manifest_path(db, res)
+        with open(p + ".tmp", "w") as f:
             json.dump(m, f, indent=1)
+        os.replace(p + ".tmp", p)
+
+    def recover(self, db: str, res: str) -> list[str]:
+        """GC files orphaned by a commit killed before its manifest
+        rename: r{n}.xml / k{n}.json beyond the manifest head, and a
+        stranded manifest.json.tmp. The manifest always names a
+        fully-committed prefix, so everything past it is garbage."""
+        removed: list[str] = []
+        d = self._res_dir(db, res)
+        if not self.exists(db, res):
+            return removed
+        head = self._read_manifest(db, res)["revisions"][-1]["revision"]
+        for name in sorted(os.listdir(d)):
+            m = re.fullmatch(r"[rk](\d+)\.(?:xml|json)", name)
+            if (m and int(m.group(1)) > head) or name == "manifest.json.tmp":
+                os.remove(os.path.join(d, name))
+                removed.append(os.path.join(d, name))
+        return removed
 
     def exists(self, db: str, res: str) -> bool:
         return os.path.exists(self._manifest_path(db, res))

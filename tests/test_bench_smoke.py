@@ -15,14 +15,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_bench(extra_env):
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SIRIX_SPARK_BENCH_N_TIMED="1",
-        SIRIX_SPARK_RECORDS_N="100000",
-        SIRIX_SPARK_DRIVER_MEM="4g",
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SIRIX_SPARK_BENCH_N_TIMED": "1",
+        "SIRIX_SPARK_RECORDS_N": "100000",
+        "SIRIX_SPARK_DRIVER_MEM": "4g",
         **extra_env,
-    )
+    }
     p = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=REPO,
@@ -57,3 +57,68 @@ def test_bench_survives_failing_query():
     # the rest of the suite still ran and the JSON still landed
     assert "pricing_summary" in out["queries"]
     assert out["value"] > 0
+
+
+def test_bench_contended_retry_recovers(tmp_path):
+    """Round-4 verdict #2: a contended first pass must trigger one
+    cooldown + full re-run, and the CLEAN pass's numbers ship as
+    primary. Forces contention with a background spin fleet that
+    stands down when bench touches the cooldown sentinel, then
+    checks the primary numbers against a separate idle run."""
+    subset = "filter_count,sum_qty,top_k_orders"
+    base_env = {
+        "SIRIX_SPARK_BENCH_SKIP_MATRIX": "1",
+        "SIRIX_SPARK_BENCH_HEADLINE": subset,
+        "SIRIX_SPARK_BENCH_N_TIMED": "3",
+        "SIRIX_SPARK_BENCH_COOLDOWN": "2",
+    }
+    # idle reference pass
+    p, idle = _run_bench(base_env)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert len(idle["phases"]["headline"]["passes"]) == 1
+    idle_total = idle["phases"]["headline"]["passes"][0]["total_sec"]
+
+    # contended pass: 64 spinners on 32 cores until the sentinel lands
+    sentinel = str(tmp_path / "cooldown.touch")
+    spin = (
+        "import os,sys\n"
+        "f=sys.argv[1]\nx=0\n"
+        "while not os.path.exists(f):\n    x+=1\n"
+    )
+    spinners = [
+        subprocess.Popen(
+            [sys.executable, "-c", spin, sentinel],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(64)
+    ]
+    try:
+        p, out = _run_bench(
+            {**base_env, "SIRIX_SPARK_BENCH_COOLDOWN_TOUCH": sentinel}
+        )
+    finally:
+        with open(sentinel, "w") as f:
+            f.write("done")
+        for s in spinners:
+            s.wait(timeout=30)
+    assert p.returncode == 0, p.stderr[-2000:]
+    passes = out["phases"]["headline"]["passes"]
+    assert len(passes) == 2, (
+        f"contention not detected / retry not triggered: {passes}"
+    )
+    assert passes[0].get("contended") is True
+    primary = out["phases"]["headline"]["primary"]
+    assert primary == 1, passes
+    # the clean pass is what "queries" reports …
+    pq = {k: out["queries"][k] for k in subset.split(",")}
+    assert all(v > 0 for v in pq.values())
+    # … its contention flag does NOT propagate …
+    assert not passes[1].get("contended"), passes[1]
+    assert "contended" not in out, out.get("contended")
+    # … and it matches the idle run within noise spread (loose 2.5x
+    # band: same box, same subset, JVM-to-JVM variation only)
+    clean_total = passes[1]["total_sec"]
+    assert clean_total < 2.5 * idle_total and idle_total < 2.5 * clean_total, (
+        f"idle {idle_total}s vs post-retry {clean_total}s"
+    )
