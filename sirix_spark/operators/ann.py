@@ -124,6 +124,32 @@ def ivf_probe_cells(
     )
 
 
+def assignment_margin(
+    df: DataFrame, centroids: list[list[float]], emb_col: str = EMB
+) -> float:
+    """Structure statistic for the IVF route guard: mean top-1
+    assignment margin, avg(sim(best cell) - sim(2nd-best cell)).
+
+    Clustered data assigns decisively (measured 0.45 on the 10-blob
+    fixture); i.i.d.-random high-dim vectors see every centroid at
+    near-equal similarity (measured 0.15 on the synthetic embeddings
+    table) — and in that regime nprobe-pruning recall collapses to
+    ~0.5 (BENCH_NOTES recall table), information-theoretically
+    unavoidable for ANY pruning index. One map-only aggregation over
+    the broadcast centroid array — scales like the assignment pass."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(carr, lambda c: cosine(F.col(emb_col), c))
+    top2 = F.slice(F.reverse(F.array_sort(sims)), 1, 2)
+    m = F.element_at(top2, 1) - F.element_at(top2, 2)
+    return float(df.select(F.avg(m)).first()[0])
+
+
+# Below this mean margin the index build pins route="exhaustive":
+# midpoint of the measured fixtures (0.45 clustered / 0.15 random),
+# biased low so genuinely clusterable corpora keep the fast path.
+STRUCTURE_MARGIN_MIN = 0.25
+
+
 # ---------- random-hyperplane LSH -----------------------------------
 def _plane_value(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component values in

@@ -173,6 +173,8 @@ class ProjectionIndexes:
           (table, plane, dim) so only the shape goes in the catalog.
         """
         from sirix_spark.operators.ann import (
+            STRUCTURE_MARGIN_MIN,
+            assignment_margin,
             ivf_assign,
             lsh_signature,
             train_centroids,
@@ -189,11 +191,25 @@ class ProjectionIndexes:
         path = os.path.join(
             self.store._res_path(db, res), f"vidx_{name}_r{revision:06d}"
         )
+        route = method
         if method == "ivf":
             centroids = train_centroids(base, n_cells, emb_col=column, n_iter=n_iter)
             assigned = ivf_assign(base, centroids, column)
             assigned.write.partitionBy("cell").mode("errorifexists").parquet(path)
-            params = {"centroids": centroids, "dim": dim, "n_cells": n_cells}
+            # structure guard (round-4 verdict #6): on data whose
+            # assignment margin says "no cluster structure", nprobe
+            # pruning silently halves recall — pin the route to
+            # exhaustive at BUILD time and record the decision + the
+            # statistic in the catalog entry (the index manifest)
+            margin = assignment_margin(base, centroids, column)
+            if margin < STRUCTURE_MARGIN_MIN:
+                route = "exhaustive"
+            params = {
+                "centroids": centroids,
+                "dim": dim,
+                "n_cells": n_cells,
+                "structure_margin": round(margin, 4),
+            }
         elif method == "lsh":
             sig = lsh_signature(base, dim, n_tables, n_planes, column)
             sig.write.mode("errorifexists").parquet(path)
@@ -204,6 +220,7 @@ class ProjectionIndexes:
             "name": name,
             "type": "vector",
             "method": method,
+            "route": route,
             "columns": [RECORD_KEY, column],
             "column": column,
             "revision": revision,
@@ -256,6 +273,18 @@ class ProjectionIndexes:
         idx = self.find_vector_index(db, res, column, revision)
         spark = self.store.spark
 
+        if (
+            idx is not None
+            and idx.get("route") == "exhaustive"
+            and nprobe < idx.get("params", {}).get("n_cells", 0)
+        ):
+            # build-time structure guard pinned this corpus to exact
+            # scan — honor it whenever the search would actually PRUNE
+            # (nprobe < n_cells; an all-cells probe has no recall
+            # hazard and still serves from the index). Recall over
+            # latency on structureless data; the decision + margin are
+            # recorded in the catalog entry.
+            idx = None
         if idx is not None and idx["method"] == "ivf":
             probed = ivf_probe_cells(queries, idx["params"]["centroids"], nprobe)
             cells = sorted(

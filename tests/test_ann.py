@@ -150,3 +150,77 @@ def test_default_route_recall_on_clustered_data(spark):
         .first()[0]
     )
     assert rec >= 0.9, f"default-route recall@10 {rec:.3f} < 0.9"
+
+
+def test_structure_guard_routes_by_fixture(spark, sf_dir):
+    """Round-4 verdict #6: the IVF build computes a structure
+    statistic (mean top-1 assignment margin) and pins the route in
+    the index catalog — 'exhaustive' on i.i.d.-random vectors (where
+    nprobe pruning silently halves recall), 'ivf' on clustered data
+    (where default-route recall holds >= 0.9, pinned above). A pruned
+    search then honors the pin; an all-cells probe still serves from
+    the index either way."""
+    import tempfile
+
+    from sirix_spark.store.indexes import ProjectionIndexes
+    from sirix_spark.store.store import VersionedStore
+    from tools.ann_recall import clustered_fixture
+
+    # random fixture: the synthetic embeddings table
+    rnd = load(spark, sf_dir, "embeddings")
+    st = VersionedStore(spark, tempfile.mkdtemp())
+    st.store("g", "rnd", rnd, key="vec_id")
+    idx = ProjectionIndexes(st)
+    e_rnd = idx.create_vector_index("g", "rnd", "ann", n_cells=16, method="ivf")
+    assert e_rnd["route"] == "exhaustive", e_rnd["params"]
+    assert e_rnd["params"]["structure_margin"] < 0.25
+
+    # a PRUNED search must not touch the vidx path (exact fallback)
+    q = rnd.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pruned = idx.vector_search("g", "rnd", q, k=5, nprobe=2)
+    assert "vidx_ann" not in pruned._jdf.queryExecution().executedPlan().toString()
+    # ... and equals brute force exactly (it IS brute force now)
+    from sirix_spark.functions.similarity import cosine as _cos
+    from pyspark.sql import Window
+
+    brute = (
+        rnd.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id"),
+            (F.floor(_cos(F.col("embedding"), F.col("qv")) * 10000))
+            .cast("bigint")
+            .alias("cos_e4"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_e4").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    got = {(r["query_id"], r["record_key"], r["rank"]) for r in pruned.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rank"]) for r in brute.collect()}
+    assert got == want
+
+    # an all-cells probe has no recall hazard: still index-served
+    full = idx.vector_search("g", "rnd", q, k=5, nprobe=16)
+    assert "vidx_ann" in full._jdf.queryExecution().executedPlan().toString()
+
+    # clustered fixture: route stays ivf and pruned search serves
+    # from the index
+    clu = clustered_fixture(spark, n=500, dim=64)
+    st.store("g", "clu", clu, key="vec_id")
+    e_clu = idx.create_vector_index("g", "clu", "ann", n_cells=16, method="ivf")
+    assert e_clu["route"] == "ivf", e_clu["params"]
+    assert e_clu["params"]["structure_margin"] >= 0.25
+    qc = clu.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    served = idx.vector_search("g", "clu", qc, k=5, nprobe=2)
+    assert "vidx_ann" in served._jdf.queryExecution().executedPlan().toString()
