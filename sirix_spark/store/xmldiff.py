@@ -61,9 +61,88 @@ def _esc_str(s: str) -> str:
     )
 
 
+def _match_trees(old: dict, new: dict) -> tuple[dict, dict]:
+    """FMSE-style structural correspondence (reference:
+    diff/algorithm/fmse/FMSE.java): recursive LCS alignment over
+    child signatures (kind + element name). Returns
+    (id(new node) -> old key, id(new element) -> {attr name -> old
+    attr key}) — the same matcher fmse_import uses."""
+    from difflib import SequenceMatcher
+
+    matches: dict[int, int] = {}
+    attr_matches: dict[int, dict[str, int]] = {}
+
+    def sig(n: dict):
+        return (n["kind"], n.get("name"))
+
+    def match(o: dict, n: dict):
+        matches[id(n)] = o["key"]
+        if n["kind"] != "ELEMENT":
+            return
+        attr_matches[id(n)] = {a[1]: a[0] for a in o["attrs"]}
+        sm = SequenceMatcher(
+            a=[sig(c) for c in o["children"]],
+            b=[sig(c) for c in n["children"]],
+            autojunk=False,
+        )
+        for blk in sm.get_matching_blocks():
+            for k in range(blk.size):
+                match(o["children"][blk.a + k], n["children"][blk.b + k])
+
+    if old is not None and new is not None and sig(old) == sig(new):
+        match(old, new)
+    return matches, attr_matches
+
+
+def _max_key(node: dict) -> int:
+    high = node["key"]
+    if node["kind"] == "ELEMENT":
+        for a in node["attrs"]:
+            high = max(high, a[0])
+        for c in node["children"]:
+            high = max(high, _max_key(c))
+    return high
+
+
+def _structural_rekey(t1: dict, t2: dict) -> None:
+    """Sidecar-less fallback (round-4 verdict #7): without per-
+    revision key sidecars both trees carry independent shredder
+    numberings, so key set arithmetic is meaningless. Re-key t2 from
+    the FMSE structural matcher — matched nodes take t1's keys,
+    unmatched ones draw fresh keys above both trees — after which the
+    keyed diff applies unchanged."""
+    matches, attr_matches = _match_trees(t1, t2)
+    counter = [max(_max_key(t1), _max_key(t2)) + 1]
+
+    def assign(n: dict):
+        if id(n) in matches:
+            n["key"] = matches[id(n)]
+        else:
+            n["key"] = counter[0]
+            counter[0] += 1
+        if n["kind"] == "ELEMENT":
+            known = attr_matches.get(id(n), {})
+            for a in n["attrs"]:
+                if a[1] in known:
+                    a[0] = known[a[1]]
+                else:
+                    a[0] = counter[0]
+                    counter[0] += 1
+            for c in n["children"]:
+                assign(c)
+
+    assign(t2)
+
+
 def xml_diff(xs: XmlStore, db: str, res: str, r1: int, r2: int) -> str | None:
-    t1 = tree_from_rows(xs.nodes_rows(db, res, r1), xs.read_keys(db, res, r1))
-    t2 = tree_from_rows(xs.nodes_rows(db, res, r2), xs.read_keys(db, res, r2))
+    k1 = xs.read_keys(db, res, r1)
+    k2 = xs.read_keys(db, res, r2)
+    t1 = tree_from_rows(xs.nodes_rows(db, res, r1), k1)
+    t2 = tree_from_rows(xs.nodes_rows(db, res, r2), k2)
+    if k1 is None or k2 is None:
+        # a revision pair predating key sidecars: fall back to
+        # structural matching (the xml:import identity matcher)
+        _structural_rekey(t1, t2)
     m1: dict[int, tuple] = {}
     m2: dict[int, tuple] = {}
     _index(t1, None, m1)
@@ -273,37 +352,12 @@ def fmse_import(xs: XmlStore, db: str, res: str, new_xml: str) -> int:
     when the value changed (the setValue identity rule), unmatched
     new nodes draw fresh keys in pre-order, unmatched old nodes
     retire their keys. Driver-side like every write transaction."""
-    from difflib import SequenceMatcher
-
     from sirix_spark.sources.xml_source import _shred_one
 
     rev = xs.latest_revision(db, res)
     old = tree_from_rows(xs.nodes_rows(db, res, rev), xs.read_keys(db, res, rev))
     neu = tree_from_rows(_shred_one("f", new_xml), None)
-    matches: dict[int, int] = {}  # id(new node) -> old key
-    attr_matches: dict[int, dict[str, int]] = {}  # id(new el) -> name -> old akey
-
-    def sig(n: dict):
-        return (n["kind"], n.get("name"))
-
-    def match(o: dict, n: dict):
-        matches[id(n)] = o["key"]
-        if n["kind"] != "ELEMENT":
-            return
-        attr_matches[id(n)] = {a[1]: a[0] for a in o["attrs"]}
-        sm = SequenceMatcher(
-            a=[sig(c) for c in o["children"]],
-            b=[sig(c) for c in n["children"]],
-            autojunk=False,
-        )
-        for blk in sm.get_matching_blocks():
-            for k in range(blk.size):
-                oc, nc = o["children"][blk.a + k], n["children"][blk.b + k]
-                match(oc, nc)
-
-    if old is not None and sig(old) == sig(neu):
-        match(old, neu)
-
+    matches, attr_matches = _match_trees(old, neu)
     counter = [xs.next_key(db, res)]
 
     def assign(n: dict):

@@ -201,3 +201,52 @@ def test_newline_values_round_trip():
     )
     x2 = "<a>t<b/>\n  tail\n</a>"
     assert _round_trip("<a>t<b/></a>", x2) == x2
+
+
+def test_sidecarless_diff_round_trip():
+    """Round-4 verdict #7: a revision pair that predates key sidecars
+    (plain store()/commit() without keys) falls back to FMSE
+    structural matching — the emitted script still replays r1 into r2
+    (DiffTest invariant), with value updates on matched nodes instead
+    of delete+insert churn."""
+    xs = XmlStore(tempfile.mkdtemp())
+    xs.store("d", "r", "<root><a>one</a><b x='1'>two</b><c/></root>")
+    xs.commit("d", "r", '<root><a>CHANGED</a><b x="1">two</b><d/>tail</root>')
+    script = xml_diff(xs, "d", "r", 1, 2)
+    # structural matching recognized <a>'s text as the SAME node
+    assert 'replace value of node' in script
+    copy = _store_copy(xs)
+    rev = apply_xml_diff(copy, script)
+    assert copy.read_text("d", "r", rev) == xs.read_text("d", "r", 2)
+
+
+def test_mixed_sidecar_diff_round_trip():
+    """r1 without a sidecar, r2 with one (an XmlWtx commit landed
+    later): key spaces are uncorrelated, so the structural fallback
+    must engage for the pair."""
+    xs = XmlStore(tempfile.mkdtemp())
+    xs.store("d", "r", "<root><a>one</a><b/></root>")  # rev1: no sidecar
+    w = XmlWtx(xs, "d", "r")
+    w.move_to_document_root().move_to_first_child()
+    w.insert_element_as_first_child("z")
+    w.commit()  # rev2: keyed sidecar
+    script = xml_diff(xs, "d", "r", 1, 2)
+    copy = _store_copy(xs)
+    rev = apply_xml_diff(copy, script)
+    assert copy.read_text("d", "r", rev) == xs.read_text("d", "r", 2)
+
+
+def test_fmse_import_then_diff_round_trip():
+    """DiffTest round trip across an imported document (xml:import
+    writes keyed sidecars via the same FMSE matcher): diff the
+    pre-import revision (sidecar-less) against the imported one and
+    replay it."""
+    from sirix_spark.store.xmldiff import fmse_import
+
+    xs = XmlStore(tempfile.mkdtemp())
+    xs.store("d", "r", "<root><a>one</a><b x='1'>two</b><c/></root>")
+    fmse_import(xs, "d", "r", '<root><a>NEW</a><b x="1">two</b></root>')
+    script = xml_diff(xs, "d", "r", 1, 2)
+    copy = _store_copy(xs)
+    rev = apply_xml_diff(copy, script)
+    assert copy.read_text("d", "r", rev) == xs.read_text("d", "r", 2)
