@@ -1071,6 +1071,8 @@ class DocEvaluator:
             "sdb:select-item",
             "select-item",
             "jn:select-json-item",
+            "jn:members",
+            "jn:keys",
             "sdb:select-parent",
             "jn:first-existing",
             "jn:last-existing",
@@ -1285,6 +1287,45 @@ class DocEvaluator:
         name = node.name
         if name in self.udfs:
             return self._seq_from_scalar(self._scalar(node, scope), stream)
+        # Brackit JSONiq object/array builtins shipped to every
+        # reference user (libraries.gradle:16): pure rewrites over the
+        # existing step machinery
+        if name in ("jn:members", "members"):
+            # member iteration == the [] unbox step
+            return self._seq_core(P.Path(node.args[0], [("unbox",)]), stream, scope)
+        if name in ("jn:size", "size"):
+            # jn:size(array) = member count: count the unboxed seq
+            sub = self._seq_core(
+                P.Path(node.args[0], [("unbox",)]), stream, scope
+            )
+            cnt = sub.df.agg(F.count(F.lit(1)).alias("__c"))
+            df = (
+                cnt.withColumn("__ord", F.array().cast("array<bigint>"))
+                .withColumn("__k", F.lit(None).cast("bigint"))
+                .withColumn("__h", F.lit(None).cast("int"))
+                .withColumn("__r", F.lit(None).cast("int"))
+                .withColumn("__sz", F.lit(None).cast("bigint"))
+                .withColumn("__j", F.col("__c").cast("string"))
+                .drop("__c")
+            )
+            return Seq(df.select("__ord", *ITEM_COLS), False, (), "one")
+        if name in ("jn:keys", "keys"):
+            # distinct field names across the argument's objects,
+            # first-appearance order, deduped PER stream tuple (the
+            # __ord prefix identifies the tuple; bit:fields appended
+            # one position element)
+            from pyspark.sql import Window
+
+            sub = self._call_seq(P.Call("bit:fields", [node.args[0]]), stream, scope)
+            w = Window.partitionBy(
+                F.expr("slice(__ord, 1, size(__ord)-1)"), F.col("__j")
+            ).orderBy(F.col("__ord"))
+            df = (
+                sub.df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return Seq(df, False, (), "many")
         if name in ("jn:doc", "doc"):
             xr = self._doc_uri_xml(node)
             if xr is not None:
@@ -3696,6 +3737,12 @@ class DocEvaluator:
                 )
             )
 
+        if name in ("jn:size", "size"):
+            # Brackit JSONiq jn:size(array) = member count: lower to
+            # count over the [] unbox step
+            return self._scalar(
+                P.Call("count", [P.Path(node.args[0], [("unbox",)])]), scope
+            )
         if name in ("count", "fn:count"):
             a0 = node.args[0]
             if isinstance(a0, P.Flwor):

@@ -1027,6 +1027,48 @@ CASES += [
        "xs:dateTime('1900-01-01T00:00:00Z'), "
        "xs:dateTime('2200-05-01T00:00:00Z'))//b)",
        "10", setup_py="xml_versioned"),
+    # ---- XPath at EVERY explicit mid-revision (round-4 verdict #7:
+    # the versioned-scan sweep covered xml: functions, not path
+    # syntax; these pin path steps composed with revision selection)
+    _c("XPathAtRevision#r2SingleInsertedA", "io/DocByPointInTime.java",
+       "xml:doc('xml-db','resource',2)/p:a/a",
+       '<a att="attval">OOPS4!</a>', setup_py="xml_versioned"),
+    _c("XPathAtRevision#r3TwoInsertedAs", "io/DocByPointInTime.java",
+       "count(xml:doc('xml-db','resource',3)/p:a/a)", "2",
+       setup_py="xml_versioned"),
+    _c("XPathAtRevision#r4TrailingTextRemoved", "io/DocByPointInTime.java",
+       "count(xml:doc('xml-db','resource',4)/p:a/text())", "2",
+       setup_py="xml_versioned"),
+    _c("XPathAtRevision#r4StillOops1", "io/DocByPointInTime.java",
+       "xml:doc('xml-db','resource',4)/p:a/text()[1]", "oops1",
+       setup_py="xml_versioned"),
+    _c("XPathAtRevision#r5Renamed", "io/DocByPointInTime.java",
+       "xml:doc('xml-db','resource',5)/p:a/text()[1]", "fooooooo",
+       setup_py="xml_versioned"),
+    # 12 = p:a + inserted a + OOPS4! + oops1 + b + foo + c + oops2 +
+    # b + c + bar + oops3 (descendant axis: elements + texts only —
+    # attributes/namespaces are not descendants)
+    _c("XPathAtRevision#descendantsAtR2", "io/DocByPointInTime.java",
+       "count(xml:doc('xml-db','resource',2)//node())", "12",
+       setup_py="xml_versioned"),
+    # stable node identity through path syntax across revisions: the
+    # r2-inserted <a> is keys 14-16; the r3 insert (17-19) lands
+    # BEFORE it in document order (XmlDocumentCreator key constants)
+    _c("XPathAtRevision#nodekeyOfInsertR2", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource',2)/p:a/a "
+       "return sdb:nodekey($n)", "14", setup_py="xml_versioned"),
+    _c("XPathAtRevision#nodekeysDocOrderR3", "XmlDocumentCreator.java",
+       "for $n in xml:doc('xml-db','resource',3)/p:a/a "
+       "return sdb:nodekey($n)", "17 14", setup_py="xml_versioned"),
+    _c("XPathAtRevision#setValueKeepsKeyAcrossR4R5",
+       "XmlDocumentCreator.java",
+       "(for $n in xml:doc('xml-db','resource',4)/p:a/text()[1] "
+       "return sdb:nodekey($n), "
+       "for $n in xml:doc('xml-db','resource',5)/p:a/text()[1] "
+       "return sdb:nodekey($n))", "4 4", setup_py="xml_versioned"),
+    _c("XPathAtRevision#predicateAtRevision", "io/DocByPointInTime.java",
+       "xml:doc('xml-db','resource',3)/p:a/b[@p:x='y']/text()", "bar",
+       setup_py="xml_versioned"),
 ]
 
 # ------------------- XmlWtx keyed write transactions (XmlNodeTrx)
@@ -1286,6 +1328,126 @@ CASES += [
     _c("XmlDiff#sameRevisionIsEmpty", "diff/DiffTest.java",
        "xml:diff('xml-db','resource', 3, 3)", "",
        setup_py="xml_versioned"),
+]
+
+# ----------------- json/JsonDBObjectFieldLookupTest (round-4 verdict
+# #4 mining: the hand-written field-lookup cursor's semantics pinned
+# at the query surface — match leaves whole value, miss resets, a
+# never-stored name is a clean miss)
+_FL_DOC = (
+    '{"title":"Saleslady","year":1938,"active":true,"score":1.5,'
+    '"href":null,"nested":{"a":1,"b":2},'
+    '"cast":["Anne Nagel","Weldon Heyburn"]}'
+)
+_FL_STORE = "jn:store('json-path1','mydoc.jn','" + _FL_DOC + "')"
+_FL = "let $d := jn:doc('json-path1','mydoc.jn') return "
+
+
+def _fl(name, expr, expected, doc=None, store_q=None):
+    setup = [store_q or (_FL_STORE if doc is None else
+                         "jn:store('json-path1','mydoc.jn','" + doc + "')")]
+    return _c("JsonDBObjectFieldLookup#" + name,
+              "json/JsonDBObjectFieldLookupTest.java",
+              _FL + expr, expected, setup=setup)
+
+
+CASES += [
+    _fl("emptyObjectHasNoFields", "$d.anything", "", doc="{}"),
+    _fl("emptyObjectRepeatedMisses", "($d.a, $d.b)", "", doc="{}"),
+    _fl("singleFieldResolves", "$d.a", '"only"', doc='{"a":"only"}'),
+    _fl("singleFieldMiss", "$d.b", "", doc='{"a":"only"}'),
+    _fl("missThenHit", "($d.b, $d.a)", '"only"', doc='{"a":"only"}'),
+    _fl("stringField", "$d.title", '"Saleslady"'),
+    _fl("integerField", "$d.year", "1938"),
+    _fl("booleanField", "$d.active", "true"),
+    _fl("doubleField", "$d.score", "1.5"),
+    _fl("explicitNullIsValueNotMiss", "$d.href", "null"),
+    _fl("nestedObjectNotUnwrapped", "$d.nested", '{"a":1,"b":2}'),
+    _fl("nestedFieldThroughPair", "$d.nested.a", "1"),
+    _fl("nestedArrayNotUnwrapped", "$d.cast",
+        '["Anne Nagel","Weldon Heyburn"]'),
+    _fl("missDoesNotPoison1", "($d.title, $d.nosuchfield)", '"Saleslady"'),
+    _fl("missDoesNotPoison2", "($d.title, $d.nosuchfield, $d.year)",
+        '"Saleslady" 1938'),
+    _fl("missDoesNotPoison3", "($d.nosuchfield, $d.title)", '"Saleslady"'),
+    _fl("missBetweenRepeats", "($d.year, $d.nosuchfield, $d.year)",
+        "1938 1938"),
+    _fl("neverStoredNameIsMiss", "$d.zzzNeverStoredAnywhere", ""),
+    _fl("hashCollisionBothResolve", "($d.Aa, $d.BB)", "1 2",
+        doc='{"Aa":1,"BB":2}'),
+    _fl("hashCollisionEitherOrder", "($d.BB, $d.Aa)", "2 1",
+        doc='{"Aa":1,"BB":2}'),
+    _fl("hashCollisionThirdMisses", "$d.CC", "", doc='{"Aa":1,"BB":2}'),
+    _fl("repeatedAccessIsStable", "($d.year, $d.year, $d.year)",
+        "1938 1938 1938"),
+    _fl("nonAsciiOneCharTwoBytes", '$d."\u00e9"', "1",
+        doc='{"\u00e9":1,"ab":2,"\u65e5\u672c\u8a9e":3}'),
+    _fl("nonAsciiSameByteLenAscii", '$d."ab"', "2",
+        doc='{"\u00e9":1,"ab":2,"\u65e5\u672c\u8a9e":3}'),
+    _fl("nonAsciiThreeCharNineBytes", '$d."\u65e5\u672c\u8a9e"', "3",
+        doc='{"\u00e9":1,"ab":2,"\u65e5\u672c\u8a9e":3}'),
+    _fl("nonAsciiPrefixNoMatch", '$d."\u65e5\u672c"', "",
+        doc='{"\u00e9":1,"ab":2,"\u65e5\u672c\u8a9e":3}'),
+    _fl("longerAsciiNoMatch", '$d."abc"', "",
+        doc='{"\u00e9":1,"ab":2,"\u65e5\u672c\u8a9e":3}'),
+]
+
+# ------------------- json/JsonDBArraySliceTest (query-surface pins of
+# the slice cursor semantics: from-inclusive / to-exclusive bounds,
+# slice-local indexing — the regression the reference fixed — and
+# length. The Java-API quirk where slice.range() re-reads indices as
+# ABSOLUTE (rangeOnSlice_yieldsSubSlice_withCorrectAbsoluteIndices)
+# is a pinned-down implementation artifact of JsonDBArraySlice, not
+# query semantics, and is deliberately NOT replicated: the query
+# surface composes slices slice-locally.)
+_SL = "jn:store('sliceColl','sliceRes','[10,20,30,40,50,60,70]')"
+_SLD = "jn:doc('sliceColl','sliceRes')"
+CASES += [
+    _c("JsonDBArraySlice#range3to7", "json/JsonDBArraySliceTest.java",
+       f"{_SLD}[3:7]", "[40,50,60,70]", setup=[_SL]),
+    _c("JsonDBArraySlice#sliceLocalIndexing",
+       "json/JsonDBArraySliceTest.java",
+       f"(({_SLD}[3:7])[0], ({_SLD}[3:7])[1], ({_SLD}[3:7])[2], "
+       f"({_SLD}[3:7])[3])",
+       "40 50 60 70", setup=[_SL]),
+    _c("JsonDBArraySlice#stringsSequential",
+       "json/JsonDBArraySliceTest.java",
+       "jn:doc('sliceColl','s.jn')[1:6]",
+       '["b","c","d","e","f"]',
+       setup=["jn:store('sliceColl','s.jn',"
+              "'[\"a\",\"b\",\"c\",\"d\",\"e\",\"f\",\"g\"]')"]),
+    _c("JsonDBArraySlice#randomThenSequential",
+       "json/JsonDBArraySliceTest.java",
+       "((jn:doc('sliceColl','n.jn')[3:8])[3], "
+       "(jn:doc('sliceColl','n.jn')[3:8])[4], "
+       "(jn:doc('sliceColl','n.jn')[3:8])[0])",
+       "6 7 3",
+       setup=["jn:store('sliceColl','n.jn','[0,1,2,3,4,5,6,7,8,9]')"]),
+    _c("JsonDBArraySlice#lengthOfSlice", "json/JsonDBArraySliceTest.java",
+       "jn:size(jn:doc('sliceColl','t.jn')[2:8])", "6",
+       setup=["jn:store('sliceColl','t.jn','[1,2,3,4,5,6,7,8,9,10]')"]),
+    _c("JsonDBArraySlice#fullWidthSlice", "json/JsonDBArraySliceTest.java",
+       "jn:doc('sliceColl','u.jn')[0:3]", "[1,2,3]",
+       setup=["jn:store('sliceColl','u.jn','[1,2,3]')"]),
+]
+
+# --------------- Brackit jn: object/array builtins (libraries.gradle
+# ships them to every reference user; JSONiq spec semantics)
+CASES += [
+    _c("JnBuiltins#sizeStored", "io.brackit.query jn:size",
+       "jn:size(jn:doc('sliceColl','sliceRes'))", "7", setup=[_SL]),
+    _c("JnBuiltins#sizeEmpty", "io.brackit.query jn:size",
+       "jn:size([])", "0"),
+    _c("JnBuiltins#membersIterate", "io.brackit.query jn:members",
+       "for $m in jn:members([4,5,6]) return $m + 1", "5 6 7"),
+    _c("JnBuiltins#membersOfStoredSlice", "io.brackit.query jn:members",
+       f"jn:members({_SLD}[2:5])", "30 40 50", setup=[_SL]),
+    _c("JnBuiltins#keysOfStored", "io.brackit.query jn:keys",
+       "jn:keys(jn:doc('kdb','o.jn'))", '"a" "b" "c"',
+       setup=["jn:store('kdb','o.jn',"
+              "'{\"a\":1,\"b\":{\"x\":true},\"c\":null}')"]),
+    _c("JnBuiltins#keysConstructed", "io.brackit.query jn:keys",
+       'jn:keys({"x":1,"y":2})', '"x" "y"'),
 ]
 
 # ------------------------------------ PathSummaryOffTest
