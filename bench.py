@@ -128,6 +128,22 @@ def run_once(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _min_runnable() -> int | None:
+    """Min of 3 instantaneous runnable-thread counts (/proc/loadavg
+    4th field numerator), 100 ms apart — persistent external load
+    keeps it high; this process's own transients don't survive the
+    min."""
+    vals = []
+    for _ in range(3):
+        try:
+            with open("/proc/loadavg") as f:
+                vals.append(int(f.read().split()[3].split("/")[0]))
+        except (OSError, ValueError, IndexError):
+            return None
+        time.sleep(0.1)
+    return min(vals)
+
+
 def _probe_floor(spark) -> float:
     """Min wall time of a 32-task noop job — the irreducible
     per-query scheduling share at this core count."""
@@ -230,6 +246,15 @@ def _phase_pass(spark, label, items, errors, err_label, prefix=""):
     diag["floor_after_ms"] = round(floor1 * 1000)
     if floor1 > 2.5 * floor0 or floor0 > 2.5 * floor1:
         diag["contended"] = True
+    # uniform external contention inflates BOTH probes equally and
+    # slips the ratio test; the instantaneous runnable count is an
+    # absolute signal — this process alone cannot keep it past ~1x
+    # cores (loadavg would lag a short phase by a minute)
+    runnable = _min_runnable()
+    if runnable is not None:
+        diag["runnable_per_cpu"] = round(runnable / (os.cpu_count() or 1), 2)
+        if runnable > 1.5 * (os.cpu_count() or 1):
+            diag["contended"] = True
     diag["total_sec"] = round(total, 4)
     diag["wall_sec"] = round(time.perf_counter() - t0, 1)
     return diag, mins

@@ -917,6 +917,15 @@ class DocEvaluator:
 
     def _let(self, stream: DataFrame, scope: dict, c: P.LetClause) -> DataFrame:
         v = c.value
+        # single-URI doc() that names a stored XML resource (XMark's
+        # `let $auction := doc("auction.xml")`): rewrite to xml:doc
+        # and bind through the seq-valued path so the XML item info
+        # travels with the variable
+        if isinstance(v, P.Call) and v.name in ("doc", "fn:doc"):
+            xr = self._doc_uri_xml(v)
+            if xr is not None:
+                v = xr
+                c = P.LetClause(c.var, v)
         # statically-known doc handle binding (incl. temporal
         # navigation from another static handle: let $prev :=
         # jn:previous($current) — NextAxis/PreviousAxis over handles)
@@ -1164,6 +1173,29 @@ class DocEvaluator:
             for step in node.steps:
                 seq = self._apply_step(seq, step, scope)
             return seq
+        if isinstance(node, P.SetOp):
+            return self._setop_seq(node, stream, scope)
+        if isinstance(node, P.IfExpr) and (
+            self._is_nodeseq_expr(node.then)
+            or self._is_nodeseq_expr(node.orelse)
+        ):
+            # conditional with node-sequence branches (IfAxisTest's
+            # `if (text()) then . else child::node()`): the
+            # condition's EBV gates each stream tuple into exactly
+            # one branch, then the branches union (disjoint tuples)
+            cond = self._ebv(node.cond, scope)
+            then_seq = self._expr_seq(node.then, stream.filter(cond), scope)
+            else_seq = self._expr_seq(
+                node.orelse, stream.filter(~cond), scope
+            )
+            return Seq(
+                then_seq.df.unionByName(
+                    else_seq.df, allowMissingColumns=True
+                ),
+                then_seq.stored or else_seq.stored,
+                tuple(then_seq.handles) + tuple(else_seq.handles),
+                "many",
+            )
         if isinstance(node, P.Flwor):
             inner_scope = {"__outer": scope}
             # independent sub-FLWOR (closes over static handles only)
@@ -1171,7 +1203,11 @@ class DocEvaluator:
             return sub
         if isinstance(node, P.ElemCtor):
             return self._elem_ctor_seq(stream, scope, node)
-        if isinstance(node, (P.Lit, P.ObjectCtor, P.ArrayCtor, P.IfExpr, P.Binop, P.Unary)):
+        if isinstance(
+            node,
+            (P.Lit, P.ObjectCtor, P.ArrayCtor, P.IfExpr, P.Binop,
+             P.Unary, P.Quantified),
+        ):
             arr = self._scalar(node, scope)
             return self._seq_from_scalar(arr, stream)
         if isinstance(node, P.SeqCtor):
@@ -1195,6 +1231,93 @@ class DocEvaluator:
             return Seq(df, False, (), "many")
         raise JsoniqCompileError(
             f"unsupported sequence expression {type(node).__name__}"
+        )
+
+    def _quant_nodes(self, node: "P.Quantified", scope: dict) -> Column | None:
+        """`some/every $c in PATH satisfies $c/REL` over an XPath
+        node source with a node-existence predicate (the reference's
+        Some/EveryExprTest shapes): existential rewrite to the
+        filtered path PATH[REL] — some ⟺ it is non-empty, every ⟺
+        it keeps every PATH match. Runs entirely JVM-side over the
+        rendered XPath (no per-node iteration)."""
+        src = node.source
+        if not self._is_xpath_path(src):
+            return None
+        pred = node.predicate
+        if not (
+            isinstance(pred, P.Path)
+            and isinstance(pred.base, P.Var)
+            and pred.base.name == node.var
+            and pred.steps
+            and all(s and s[0] == "xstep" for s in pred.steps)
+        ):
+            return None
+        last = src.steps[-1]
+        filtered = P.Path(
+            src.base,
+            [
+                *src.steps[:-1],
+                (last[0], last[1], last[2],
+                 list(last[3]) + [("exists", list(pred.steps))]),
+            ],
+        )
+        try:
+            n_kept = F.size(self._scalar_xpath(filtered, scope))
+            if node.kind == "some":
+                res = n_kept > 0
+            else:
+                res = n_kept == F.size(self._scalar_xpath(src, scope))
+        except JsoniqCompileError:
+            return None
+        return F.array(F.parse_json(res.cast("string")))
+
+    @staticmethod
+    def _is_nodeseq_expr(e) -> bool:
+        """Expression shapes whose sequence value is XML nodes (not
+        atomized scalars): XPath paths and node-set operations."""
+        if isinstance(e, P.SetOp):
+            return True
+        return isinstance(e, P.Path) and any(
+            s and s[0] == "xstep" for s in e.steps
+        )
+
+    def _setop_seq(self, node: "P.SetOp", stream: DataFrame, scope: dict) -> Seq:
+        """XPath node-set operators (spec 3.3.3; the reference's
+        UnionAxis/IntersectAxis/ExceptAxis cursors,
+        sirix-core/src/test .../expr/{Union,Intersect,Except}AxisTest).
+        Operands must be XPath node sequences: each result row's
+        __ord is the stream tuple's order vector + the node's
+        document-order key, so identity and document order are both
+        the __ord array — union is a dedup, intersect/except are
+        semi/anti joins on it. Fail-closed on non-node operands
+        (XPTY0004 in the spec)."""
+
+        def is_nodeseq(e) -> bool:
+            if isinstance(e, P.SetOp):
+                return is_nodeseq(e.left) and is_nodeseq(e.right)
+            return isinstance(e, P.Path) and any(
+                s and s[0] == "xstep" for s in e.steps
+            )
+
+        if not (is_nodeseq(node.left) and is_nodeseq(node.right)):
+            raise JsoniqCompileError(
+                "union/intersect/except operands must be XPath node sequences"
+            )
+        left = self._seq_core(node.left, stream, scope)
+        right = self._seq_core(node.right, stream, scope)
+        if node.op == "union":
+            df = left.df.unionByName(
+                right.df, allowMissingColumns=True
+            ).dropDuplicates(["__ord"])
+        else:
+            r = right.df.select(F.col("__ord").alias("__rord")).dropDuplicates()
+            how = "left_semi" if node.op == "intersect" else "left_anti"
+            df = left.df.join(r, F.col("__ord") == F.col("__rord"), how)
+        return Seq(
+            df,
+            left.stored or right.stored,
+            tuple(left.handles) + tuple(right.handles),
+            "many",
         )
 
     def _flwor_correlated(self, f: P.Flwor, stream: DataFrame, scope: dict) -> Seq:
@@ -1273,9 +1396,10 @@ class DocEvaluator:
 
         xs = XmlStore(self.store.root)
         hits = []
-        root = self.store.root
-        if _os.path.isdir(root):
-            for db in sorted(_os.listdir(root)):
+        # XML databases live under the XmlStore's own namespace dir
+        # (root/__xml__/<db>/<res>)
+        if _os.path.isdir(xs.root):
+            for db in sorted(_os.listdir(xs.root)):
                 if xs.exists(db, uri):
                     hits.append(db)
         if len(hits) != 1:
@@ -1290,6 +1414,14 @@ class DocEvaluator:
         # Brackit JSONiq object/array builtins shipped to every
         # reference user (libraries.gradle:16): pure rewrites over the
         # existing step machinery
+        if name in (
+            "fn:zero-or-one", "zero-or-one", "fn:exactly-one",
+            "exactly-one", "fn:one-or-more", "one-or-more",
+        ):
+            # cardinality assertions are the identity on conforming
+            # input; in sequence position the ITEMS pass through
+            # (FunctionsTest's one-or-more(//b/c) returns the nodes)
+            return self._expr_seq(node.args[0], stream, scope)
         if name in ("jn:members", "members"):
             # member iteration == the [] unbox step
             return self._seq_core(P.Path(node.args[0], [("unbox",)]), stream, scope)
@@ -2967,6 +3099,23 @@ class DocEvaluator:
         Spark's built-in Hive xpath*() (JVM-side, per-row) — document
         items are document-relative, element items root at /*."""
         base = node.base
+        if isinstance(base, P.Call) and base.name in ("xml:doc", "xml:open"):
+            # stored-resource base in a value context: the revision's
+            # serialized text is known at compile time — inline it as
+            # a SQL string literal (document-relative, so no prefix)
+            lits = [a.value for a in base.args if isinstance(a, P.Lit)]
+            if len(lits) == len(base.args) and len(lits) in (2, 3):
+                from sirix_spark.store.xmlstore import XmlStore
+
+                xs = XmlStore(self.store.root)
+                rev = (
+                    int(lits[2])
+                    if len(lits) == 3
+                    else xs.latest_revision(lits[0], lits[1])
+                )
+                text = xs.read_text(lits[0], lits[1], rev)
+                esc = text.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{esc}'", ""
         if not isinstance(base, P.Var):
             raise JsoniqCompileError(
                 "scalar XPath needs a variable base, got "
@@ -3267,6 +3416,9 @@ class DocEvaluator:
             order = self._quant_doc_order(node, scope)
             if order is not None:
                 return order
+            nodes_rw = self._quant_nodes(node, scope)
+            if nodes_rw is not None:
+                return nodes_rw
             src = self._scalar(node.source, scope)
             qscope = dict(scope)
             qscope[node.var] = {"kind": "lambda"}
@@ -3662,6 +3814,10 @@ class DocEvaluator:
             return self._deep_equal(node, scope)
         if isinstance(node, P.Call) and node.name == "instance-of":
             return self._instance_of(node, scope)
+        if isinstance(node, P.Call) and node.name == "instance-of-xs":
+            return self._instance_of_xs(node, scope)
+        if isinstance(node, P.Call) and node.name == "castable-as":
+            return self._castable_as(node, scope)
         if isinstance(node, P.Quantified):
             arr = self._scalar(node, scope)
             return F.try_variant_get(F.get(arr, 0), "$", "boolean")
@@ -3677,6 +3833,69 @@ class DocEvaluator:
         l = F.to_json(F.get(self._scalar(node.args[0], scope), 0))
         r = F.to_json(F.get(self._scalar(node.args[1], scope), 0))
         return F.coalesce(l == r, F.lit(False))
+
+    def _xs_type_match(self, item: Column, ty: str) -> Column:
+        """One variant item against an xs: atomic type (XQuery 3.1
+        sequence types over the variant algebra; integer ⊑ decimal
+        per the XDM type hierarchy)."""
+        sch = F.schema_of_variant(item)
+        t = ty.split(":", 1)[-1]
+        if t in ("integer", "long", "int", "short", "byte"):
+            return sch == F.lit("BIGINT")
+        if t == "decimal":
+            return sch.startswith("DECIMAL") | (sch == F.lit("BIGINT"))
+        if t in ("double", "float"):
+            return sch == F.lit("DOUBLE")
+        if t == "string":
+            return sch == F.lit("STRING")
+        if t == "boolean":
+            return sch == F.lit("BOOLEAN")
+        if t in ("anyAtomicType", "untypedAtomic"):
+            return ~(sch.startswith("OBJECT") | sch.startswith("ARRAY"))
+        raise JsoniqCompileError(f"instance of {ty} unsupported")
+
+    def _instance_of_xs(self, node: P.Call, scope: dict) -> Column:
+        """`E instance of xs:TYPE [? + *]` (InstanceOfExprTest):
+        cardinality per the occurrence indicator, every item matching
+        the atomic type."""
+        arr = self._scalar(node.args[0], scope)
+        ty = node.args[1].value
+        occ = node.args[2].value
+        n = F.size(arr)
+        card = {
+            "": n == 1, "?": n <= 1, "+": n >= 1, "*": F.lit(True),
+        }[occ]
+        return card & F.forall(arr, lambda x: self._xs_type_match(x, ty))
+
+    def _castable_as(self, node: P.Call, scope: dict) -> Column:
+        """`E castable as xs:TYPE` (CastableExprTest): whether the
+        single item's string form converts to the target atomic type.
+        xs:anyAtomicType / xs:NOTATION are invalid targets (XPST0080)
+        — fail-closed."""
+        arr = self._scalar(node.args[0], scope)
+        ty = node.args[1].value
+        t = ty.split(":", 1)[-1]
+        if t in ("anyAtomicType", "NOTATION"):
+            raise JsoniqCompileError(
+                f"err:XPST0080 invalid castable target {ty}"
+            )
+        item = F.get(arr, 0)
+        sv = F.coalesce(
+            F.try_variant_get(item, "$", "string"), F.to_json(item)
+        )
+        if t == "string":
+            ok = F.lit(True)
+        elif t in ("integer", "long", "int", "short", "byte"):
+            ok = sv.try_cast("bigint").isNotNull()
+        elif t in ("decimal",):
+            ok = sv.try_cast("decimal(38,18)").isNotNull()
+        elif t in ("double", "float"):
+            ok = sv.try_cast("double").isNotNull()
+        elif t == "boolean":
+            ok = F.trim(sv).isin("true", "false", "1", "0")
+        else:
+            raise JsoniqCompileError(f"castable as {ty} unsupported")
+        return (F.size(arr) == 1) & ok
 
     def _instance_of(self, node: P.Call, scope: dict) -> Column:
         arr = self._scalar(node.args[0], scope)
@@ -4125,7 +4344,8 @@ class DocEvaluator:
                 ),
             )
         if name in ("exists", "fn:exists", "not", "fn:not", "deep-equal",
-                    "fn:deep-equal", "instance-of"):
+                    "fn:deep-equal", "instance-of", "instance-of-xs",
+                    "castable-as"):
             return F.array(F.parse_json(self._ebv(node, scope).cast("string")))
         if name == "xs:string":
             return wrap_string(s1())

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<var>\$\$|\$[A-Za-z_][\w-]*)
   | (?P<qname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<name>[A-Za-z_][\w-]*)
-  | (?P<op>:=|::|\[\?|=>>|!=|<=|>=|<<|>>|\[\]|//|[.,:;(){}\[\]=<>@+*/-])
+  | (?P<op>:=|::|\[\?|=>>|!=|<=|>=|<<|>>|\[\]|//|[.,:;(){}\[\]=<>@+*/|?-])
   | (?P<other>.)
     """,
     re.VERBOSE | re.DOTALL,
@@ -127,6 +127,16 @@ class Unary:
 
 @dataclass
 class Binop:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class SetOp:
+    """XPath 2.0 node-set operator: union (or '|'), intersect,
+    except. Operands must evaluate to XML node sequences; results
+    are in document order with duplicates eliminated (spec 3.3.3)."""
     op: str
     left: object
     right: object
@@ -336,11 +346,8 @@ class _Parser:
             self.i += 1
             if self.opt("op", "("):
                 self.eat("op", ")")
-            # occurrence indicator (?, *, +) — '?' lexes as a
-            # catch-all 'other' token
-            if (self.cur.kind == "op" and self.cur.text in ("*", "+")) or (
-                self.cur.kind == "other" and self.cur.text == "?"
-            ):
+            # occurrence indicator (?, *, +)
+            if self.cur.kind == "op" and self.cur.text in ("*", "+", "?"):
                 self.i += 1
 
     def expr(self):
@@ -583,13 +590,26 @@ class _Parser:
             }
             return Binop(sym[t.text], left, self.range_expr())
         if t.kind == "kw" and t.text == "instance":
-            # `instance of object()` — type test; parse and record
+            # `instance of object()` (JSONiq kind test) or
+            # `instance of xs:TYPE [? + *]` (XQuery sequence type)
             self.i += 1
             self.eat("kw", "of")
+            if self.cur.kind == "qname" and self.cur.text.startswith("xs:"):
+                ty = self.eat("qname").text
+                occ = ""
+                if self.cur.kind == "op" and self.cur.text in ("?", "+", "*"):
+                    occ = self.eat("op").text
+                return Call("instance-of-xs", [left, Lit(ty), Lit(occ)])
             ty = self.eat("name").text
             self.eat("op", "(")
             self.eat("op", ")")
             return Call("instance-of", [left, Lit(ty)])
+        if t.kind == "name" and t.text == "castable":
+            # `castable as xs:TYPE` (XQuery 3.1 §3.19.3)
+            self.i += 1
+            self.eat("kw", "as")
+            ty = self.eat("qname").text
+            return Call("castable-as", [left, Lit(ty)])
         return left
 
     def range_expr(self):
@@ -606,13 +626,33 @@ class _Parser:
         return left
 
     def mul_expr(self):
-        left = self.unary_expr()
+        left = self.union_expr()
         while (self.cur.kind == "op" and self.cur.text == "*") or (
             self.cur.kind == "kw" and self.cur.text in ("div", "idiv", "mod")
         ):
             op = self.cur.text
             self.i += 1
-            left = Binop(op, left, self.unary_expr())
+            left = Binop(op, left, self.union_expr())
+        return left
+
+    # XQuery 3.1 precedence: MultiplicativeExpr > UnionExpr >
+    # IntersectExceptExpr > UnaryExpr. 'union'/'intersect'/'except'
+    # are plain names matched only in operator position (the spec's
+    # operator lexical state), so element names stay unaffected.
+    def union_expr(self):
+        left = self.intersect_except_expr()
+        while self.at("op", "|") or (
+            self.cur.kind == "name" and self.cur.text == "union"
+        ):
+            self.i += 1
+            left = SetOp("union", left, self.intersect_except_expr())
+        return left
+
+    def intersect_except_expr(self):
+        left = self.unary_expr()
+        while self.cur.kind == "name" and self.cur.text in ("intersect", "except"):
+            op = self.eat("name").text
+            left = SetOp(op, left, self.unary_expr())
         return left
 
     def unary_expr(self):
@@ -688,6 +728,15 @@ class _Parser:
         out = []
         if dbl:
             out.append(("xstep", "descendant-or-self", ("node",), []))
+        if self.at("op", "."):
+            # '.' / '..' abbreviations (XPath spec 3.2: self::node(),
+            # parent::node(); '..' lexes as two '.' ops)
+            self.i += 1
+            if self.opt("op", "."):
+                out.append(("xstep", "parent", ("node",), []))
+            else:
+                out.append(("xstep", "self", ("node",), []))
+            return out
         axis = "child"
         if (
             self.cur.kind in ("name", "kw")
@@ -718,7 +767,10 @@ class _Parser:
             return ("wildcard",)
         if self.cur.kind in ("name", "kw", "qname"):
             txt = self.eat(self.cur.kind).text
-            if txt in ("text", "node", "comment") and self.at("op", "("):
+            if txt in (
+                "text", "node", "comment", "element",
+                "processing-instruction",
+            ) and self.at("op", "("):
                 self.eat("op", "(")
                 self.eat("op", ")")
                 return (txt,)
@@ -741,14 +793,78 @@ class _Parser:
             p = ("and", p, self._xpath_pred_single())
         return p
 
+    _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+    def _xpath_const_additive(self):
+        """Constant numeric expression inside a predicate: decimal
+        literals with + - * div and parentheses. XPath 2.0 numeric
+        literals with '.' are xs:decimal, so 3.2 + 0.02 = 3.22 holds
+        exactly (XPathAxisTest.java pins this); Decimal arithmetic
+        reproduces it where binary doubles would not."""
+        from decimal import Decimal
+
+        def prim():
+            if self.opt("op", "("):
+                v = self._xpath_const_additive()
+                self.eat("op", ")")
+                return v
+            neg = self.opt("op", "-")
+            n = Decimal(self.eat("number").text)
+            return -n if neg else n
+
+        v = prim()
+        while (self.cur.kind == "op" and self.cur.text in ("+", "-", "*")) or (
+            self.cur.kind in ("name", "kw") and self.cur.text == "div"
+        ):
+            op = self.eat(self.cur.kind).text
+            r = prim()
+            if op == "+":
+                v = v + r
+            elif op == "-":
+                v = v - r
+            elif op == "*":
+                v = v * r
+            else:
+                v = v / r
+        return v
+
     def _xpath_pred_single(self) -> tuple:
-        """Predicate subset: integer position, last(), a relative
+        """Predicate subset: integer position, last(), constant
+        numeric comparisons, absolute-path existence, a relative
         path (optionally compared to a literal)."""
+        if self.cur.kind == "number" or self.at("op", "("):
+            save = self.i
+            try:
+                lhs = self._xpath_const_additive()
+                if self.cur.kind == "op" and self.cur.text in self._CMP_OPS:
+                    op = self.eat("op").text
+                    rhs = self._xpath_const_additive()
+                    res = {
+                        "=": lhs == rhs, "!=": lhs != rhs,
+                        "<": lhs < rhs, "<=": lhs <= rhs,
+                        ">": lhs > rhs, ">=": lhs >= rhs,
+                    }[op]
+                    return ("const", bool(res))
+            except JsoniqSyntaxError:
+                pass
+            self.i = save
         if self.cur.kind == "number":
             n = self.eat("number").text
             if "." in n or "e" in n or "E" in n:
                 raise JsoniqSyntaxError(f"non-integer position at {self.cur.pos}")
             return ("pos", int(n))
+        if self.at("op", "/") or self.at("op", "//"):
+            # absolute path inside a predicate: existence evaluated
+            # from the document node (XPath spec 3.2 '/' rooting)
+            steps = []
+            dbl = self.cur.text == "//"
+            self.i += 1
+            steps.extend(self._xpath_step(dbl))
+            while self.at("op", "/") or self.at("op", "//"):
+                dbl = self.cur.text == "//"
+                self.i += 1
+                steps.extend(self._xpath_step(dbl))
+            return ("absexists", steps)
         if (
             self.cur.kind in ("name", "kw")
             and self.cur.text == "last"

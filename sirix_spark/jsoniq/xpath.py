@@ -42,6 +42,7 @@ from sirix_spark.sources.xml_source import (
     COMMENT,
     DOCUMENT,
     ELEMENT,
+    PI,
     TEXT,
 )
 
@@ -61,15 +62,29 @@ class XPathError(ValueError):
 def _render_test(axis: str, test: tuple) -> str:
     t = test[0]
     if axis == "attribute":
-        return "@" + (test[1] if t == "name" else "*")
+        if t == "name":
+            n = test[1]
+            # Hive's xpath*() parses namespace-aware but binds no
+            # prefixes, so prefixed QNames never match directly;
+            # name() carries the lexical QName and does
+            return f'@*[name()="{n}"]' if ":" in n else "@" + n
+        return "@*"
     body = {
         "wildcard": "*",
         "node": "node()",
         "text": "text()",
         "comment": "comment()",
+        # element() is XPath 2.0 — the 1.0 re-rendering (Hive xpath*)
+        # has no kind test for it; '*' matches exactly the same nodes
+        # on every non-attribute axis
+        "element": "*",
+        "processing-instruction": "processing-instruction()",
     }.get(t, test[1] if t == "name" else None)
     if body is None:
         raise XPathError(f"cannot render node test {test}")
+    if t == "name" and ":" in test[1]:
+        # prefixed element names: same Hive namespace workaround
+        body = f'*[name()="{test[1]}"]'
     return body if axis == "child" else f"{axis}::{body}"
 
 
@@ -101,6 +116,10 @@ def _render_pred_body(pred: tuple) -> str:
         return f"({_render_pred_body(pred[1])} {kind} {_render_pred_body(pred[2])})"
     if kind == "not":
         return f"not({_render_pred_body(pred[1])})"
+    if kind == "const":
+        return "true()" if pred[1] else "false()"
+    if kind == "absexists":
+        return "/" + render_xpath10(pred[1])
     raise XPathError(f"cannot render predicate {pred}")
 
 
@@ -160,6 +179,10 @@ def _test_filter(df: DataFrame, axis: str, test: tuple) -> DataFrame:
         return df.filter(kind == TEXT)
     if t == "comment":
         return df.filter(kind == COMMENT)
+    if t == "element":
+        return df.filter(kind == ELEMENT)
+    if t == "processing-instruction":
+        return df.filter(kind == PI)
     if t == "node":
         # node() excludes attributes on every non-attribute axis
         return df.filter(kind != ATTRIBUTE)
@@ -208,10 +231,20 @@ def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
     elif axis == "parent":
         cond = same_doc & (n("node_key") == c("c_parent"))
     elif axis == "ancestor":
-        cond = same_doc & F.array_contains(c("c_anc"), n("node_key"))
+        # the reference's AncestorAxis stops BEFORE the document node
+        # (AncestorAxis.java nextKey: parentKey != DOCUMENT_NODE_KEY),
+        # unlike parent::node() which does return it
+        cond = (
+            same_doc
+            & F.array_contains(c("c_anc"), n("node_key"))
+            & (n("kind") != DOCUMENT)
+        )
     elif axis == "ancestor-or-self":
         cond = same_doc & (
-            F.array_contains(c("c_anc"), n("node_key"))
+            (
+                F.array_contains(c("c_anc"), n("node_key"))
+                & (n("kind") != DOCUMENT)
+            )
             | (n("node_key") == c("c_key"))
         )
     elif axis == "following-sibling":
@@ -305,6 +338,15 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
         return _positional(df, axis, pred[1], last=False)
     if kind == "poslast":
         return _positional(df, axis, None, last=True)
+    if kind == "const":
+        # constant numeric comparison, folded at parse time
+        return df if pred[1] else df.limit(0)
+    if kind == "absexists":
+        # absolute path in a predicate: true for every candidate in a
+        # doc where the path (from the document node) is non-empty
+        sub = eval_steps(nodes, pred[1])
+        docs = sub.select(F.col("doc").alias("m_doc")).dropDuplicates()
+        return df.join(docs, F.col("doc") == F.col("m_doc"), "left_semi")
     if kind == "and":
         df = _apply_pred(nodes, df, axis, pred[1])
         return _apply_pred(nodes, df, axis, pred[2])

@@ -46,6 +46,11 @@ DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # local runs stay quiet
     "spark.ui.enabled": "false",
+    # driver heap: Catalyst analysis of deeply-nested correlated
+    # plans (XMark q09/q10 doc-mode replays) overflows the 1g
+    # default; the box has 128 GiB (only applies at JVM launch —
+    # inert on getOrCreate reuse)
+    "spark.driver.memory": "16g",
 }
 
 

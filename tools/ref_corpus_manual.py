@@ -1071,6 +1071,364 @@ CASES += [
        setup_py="xml_versioned"),
 ]
 
+# ----------------- sirix-core XPath-engine tests (round-4 verdict #4
+# mining: bundles/sirix-core/src/test/java/io/sirix/service/xml/
+# xpath/XPathAxisTest.java — the reference's own XPath-expression
+# engine over XmlDocumentCreator's standard document, keys 1..13).
+# Context-node moves (holder.moveTo(K)) are expressed as the absolute
+# path of node K; reverse-axis expectation arrays are re-sorted into
+# document order (the test's cursor-level arrays iterate reverse
+# document order; path results are document-ordered per spec).
+_XPA = "xpath/XPathAxisTest.java"
+_PA = _XD1 + "/p:a"
+CASES += [
+    # testSteps
+    _xkeys("Expr#rootBChildren", _XPA, "/p:a/b", "5 9"),
+    _xkeys("Expr#rootBCChildren", _XPA, "/p:a/b/c", "7 11"),
+    _xkeys("Expr#rootOnly", _XPA, "/p:a", "1"),
+    _xkeys("Expr#childAxisTwoSteps", _XPA, "/child::p:a/child::b", "5 9"),
+    _xkeys("Expr#childAxisThreeSteps", _XPA,
+           "/child::p:a/child::b/child::c", "7 11"),
+    # testAttributes
+    _xkeys("Expr#predAttrExists", _XPA, "/p:a[@i]", "1"),
+    _xkeys("Expr#attrStep", _XPA, "/p:a/@i", "3"),
+    _xkeys("Expr#attrOfAttrEmpty", _XPA, "/p:a/@i/@*", ""),
+    _xkeys("Expr#bWithPxAttr", _XPA, "/p:a/b[@p:x]", "9"),
+    _xkeys("Expr#predText", _XPA, "/p:a[text()]", "1"),
+    _xkeys("Expr#predElement", _XPA, "/p:a[element()]", "1"),
+    _xkeys("Expr#predNodeText", _XPA, "/p:a[node()/text()]", "1"),
+    _xkeys("Expr#predSelfNode", _XPA, "/p:a[./node()]", "1"),
+    _xkeys("Expr#predThreeDeepEmpty", _XPA,
+            "/p:a[./node()/node()/node()]", ""),
+    _xkeys("Expr#predAbsDescElement", _XPA, "/p:a[//element()]", "1"),
+    _xkeys("Expr#predAbsTextEmpty", _XPA, "/p:a[/text()]", ""),
+    _xkeys("Expr#constLt", _XPA, "/p:a[16<65]", "1"),
+    _xkeys("Expr#constGe", _XPA, "/p:a[13>=4]", "1"),
+    _xkeys("Expr#constGeDecimal", _XPA, "/p:a[13.0>=4]", "1"),
+    _xkeys("Expr#constEq", _XPA, "/p:a[4 = 4]", "1"),
+    _xkeys("Expr#constEqFalse", _XPA, "/p:a[3=4]", ""),
+    _xkeys("Expr#constDecimalNe", _XPA, "/p:a[3.2 = 3.22]", ""),
+    # 3.2 + 0.02 = 3.22 holds in xs:decimal arithmetic (XPath 2.0
+    # number-with-dot literals are decimals), not binary doubles
+    _xkeys("Expr#constDecimalAddExact", _XPA,
+           "/p:a[(3.2 + 0.02) = 3.22]", "1"),
+    _xkeys("Expr#attrValueEq", _XPA, '/p:a[@i = "j"]', "1"),
+    _xkeys("Expr#dosNodeAttrEq", _XPA,
+           '/descendant-or-self::node()[@p:x = "y"]', "9"),
+    _xkeys("Expr#attrValueMiss", _XPA, '/p:a[@i="k"]', ""),
+    _xkeys("Expr#bAttrValueEq", _XPA, '/p:a/b[@p:x="y"]', "9"),
+    # testNodeTests
+    _xkeys("Expr#paNodeChildren", _XPA, "/p:a/node()", "4 5 8 9 13"),
+    _xkeys("Expr#paTextChildren", _XPA, "/p:a/text()", "4 8 13"),
+    _xkeys("Expr#paBTextChildren", _XPA, "/p:a/b/text()", "6 12"),
+    _xkeys("Expr#paBNodeChildren", _XPA, "/p:a/b/node()", "6 7 11 12"),
+    # testDescendant
+    _xkeys("Expr#paDescB", _XPA, "/p:a//b", "5 9"),
+    _xkeys("Expr#descPa", _XPA, "//p:a", "1"),
+    _xkeys("Expr#dosPa", _XPA, "/descendant-or-self::p:a", "1"),
+    _xkeys("Expr#paDosB", _XPA, "/p:a/descendant-or-self::b", "5 9"),
+    _xkeys("Expr#paDescAxisB", _XPA, "/p:a/descendant::b", "5 9"),
+    _xkeys("Expr#paDescPaEmpty", _XPA, "/p:a/descendant::p:a", ""),
+    # testAncestor (context 11 = /p:a/b[2]/c, context 13 = 3rd text)
+    _xkeys("Expr#ancestorPaFromC2", _XPA, "/p:a/b[2]/c/ancestor::p:a", "1"),
+    _xkeys("Expr#ancestorPaFromText3", _XPA,
+           "/p:a/text()[3]/ancestor::p:a", "1"),
+    _xkeys("Expr#ancestorNodeFromC2", _XPA,
+           "/p:a/b[2]/c/ancestor::node()", "1 9"),
+    _xkeys("Expr#ancestorOrSelfFromC2", _XPA,
+           "/p:a/b[2]/c/ancestor-or-self::node()", "1 9 11"),
+    # testParent
+    _xkeys("Expr#parentPaFromB2", _XPA, "/p:a/b[2]/parent::p:a", "1"),
+    _xkeys("Expr#parentBFromC2", _XPA, "/p:a/b[2]/c/parent::b", "9"),
+    _xkeys("Expr#parentNodeFromC2", _XPA,
+           "/p:a/b[2]/c/parent::node()", "9"),
+    _xkeys("Expr#parentNodeFromText3", _XPA,
+           "/p:a/text()[3]/parent::node()", "1"),
+    # testPreceding
+    _xkeys("Expr#precedingSiblingFromText3", _XPA,
+           "/p:a/text()[3]/preceding-sibling::node()", "4 5 8 9"),
+    # testSelf
+    _xkeys("Expr#selfPa", _XPA, "/p:a/self::p:a", "1"),
+    _xkeys("Expr#selfBFromB2", _XPA, "/p:a/b[2]/self::b", "9"),
+    _xkeys("Expr#dotNodeFromC2Empty", _XPA, "/p:a/b[2]/c/./node()", ""),
+    _xkeys("Expr#selfNodeFromC2", _XPA, "/p:a/b[2]/c/self::node()", "11"),
+    _xkeys("Expr#dotBNode", _XPA, "/p:a/./b/node()", "6 7 11 12"),
+    # testDupElemination
+    _xkeys("Expr#childParentDedup", _XPA,
+           "/p:a/child::node()/parent::node()", "1"),
+    # testUnabbreviate (context node 1 = /p:a)
+    _xkeys("Expr#childStar", _XPA, "/p:a/child::*", "5 9"),
+    _xkeys("Expr#childTextUnabbr", _XPA, "/p:a/child::text()", "4 8 13"),
+    _xkeys("Expr#attributeAxisI", _XPA, "/p:a/attribute::i", "3"),
+    _xkeys("Expr#attributeAxisStar", _XPA, "/p:a/attribute::*", "3"),
+    _xkeys("Expr#selfBlauEmpty", _XPA, "/p:a/self::blau", ""),
+    _xkeys("Expr#bAttrAxisPred", _XPA,
+           '/p:a/child::b[attribute::p:x = "y"]', "9"),
+    _xkeys("Expr#bChildCPred", _XPA, "/p:a/child::b[child::c]", "5 9"),
+    _xkeys("Expr#starTextOrC", _XPA, "/p:a/child::*[text() or c]", "5 9"),
+    # testMultiExpr: comma sequences concatenate WITHOUT dedup across
+    # branches (XQuery sequence semantics; only per-path steps dedup)
+    _c("XPathExpr#multiBBB", _XPA,
+       f"for $n in ({_PA}/b, {_PA}/b, {_PA}/b) return sdb:nodekey($n)",
+       "5 9 5 9 5 9", setup_py="xml_versioned"),
+    _c("XPathExpr#multiMixed", _XPA,
+       f"for $n in ({_PA}/b/c, {_PA}, {_XD1}//c) return sdb:nodekey($n)",
+       "7 11 1 7 11", setup_py="xml_versioned"),
+    # the test's middle expectation (4 8 13 6 12) is the legacy
+    # cursor's step-nesting order for //text(); XPath 2.0 path
+    # results are document order (4 6 8 12 13) — re-sorted like the
+    # reverse-axis arrays above
+    _c("XPathExpr#multiTextsAndElements", _XPA,
+       f"for $n in ({_PA}/b/text(), {_XD1}//text(), "
+       f"{_XD1}/descendant-or-self::element()) return sdb:nodekey($n)",
+       "6 12 4 6 8 12 13 1 5 7 9 11", setup_py="xml_versioned"),
+    # original context = node 5 (first b): '/p:a/b/c, ., .., .//text()'
+    _c("XPathExpr#multiFromFirstB", _XPA,
+       f"for $n in ({_XD1}/p:a/b/c, {_PA}/b[1], "
+       f"{_PA}/b[1]/parent::node(), {_PA}/b[1]//text()) "
+       "return sdb:nodekey($n)",
+       "7 11 5 1 6", setup_py="xml_versioned"),
+    _c("XPathExpr#multiUnabbrAbs", _XPA,
+       f"for $n in ({_PA}/child::*[text() or c], {_XD1}/node(), "
+       f"{_XD1}//c) return sdb:nodekey($n)",
+       "5 9 1 7 11", setup_py="xml_versioned"),
+    # testCount
+    _c("XPathExpr#countAllNodes", _XPA,
+       f"fn:count({_XD1}//node())", "10", setup_py="xml_versioned"),
+    # testAttributes' value-comparison checker ("descendant-or-self::
+    # node()/@p:x = 'y'" is true): pinned as the count of matching
+    # nodes (existential semantics made explicit)
+    _c("XPathExpr#attrGeneralCompare", _XPA,
+       f"fn:count({_XD1}/descendant-or-self::node()[@p:x = 'y'])",
+       "1", setup_py="xml_versioned"),
+]
+
+# ----- xpath/expr/{Union,Intersect,Except}AxisTest.java: the node-set
+# operators. The tests' expectation arrays are cursor evaluation
+# order; XPath 2.0 set-op results are document order with duplicates
+# eliminated (spec 3.3.3) — arrays re-sorted accordingly. Context
+# node 1 is expressed as the absolute path /p:a.
+_XSU = "xpath/expr/UnionAxisTest.java"
+_XSI = "xpath/expr/IntersectAxisTest.java"
+_XSE = "xpath/expr/ExceptAxisTest.java"
+
+
+def _xset(name, source, expr, expected):
+    return _c(
+        f"XPathSetOp{name}", source,
+        f"for $n in ({expr}) return sdb:nodekey($n)",
+        expected, setup_py="xml_versioned",
+    )
+
+
+CASES += [
+    _xset("#unionKeyword", _XSU,
+          f"{_PA}/child::node()/parent::node() union {_PA}/child::node()",
+          "1 4 5 8 9 13"),
+    _xset("#unionBar", _XSU,
+          f"{_PA}/child::node()/parent::node() | {_PA}/child::node()",
+          "1 4 5 8 9 13"),
+    _xset("#unionThreeWay", _XSU,
+          f"{_PA}/child::node()/parent::node() | {_PA}/child::node() "
+          f"| {_PA}/self::node()",
+          "1 4 5 8 9 13"),
+    # parent::node() of the root element is the document node (key 0)
+    _xset("#unionWithDocumentNode", _XSU,
+          f"{_PA}/child::node()/parent::node() | {_PA}/child::node() "
+          f"| {_PA}/self::node() union {_PA}/parent::node()",
+          "0 1 4 5 8 9 13"),
+    _xset("#unionMixedAxes", _XSU,
+          f"{_PA}/b/preceding::node() union {_PA}/text() "
+          f"| {_PA}/descendant::node()",
+          "4 5 6 7 8 9 11 12 13"),
+    _xset("#unionAncestorsAllNodes", _XSU,
+          f"{_XD1}//c/ancestor::node() | {_XD1}//node()",
+          "1 4 5 6 7 8 9 11 12 13"),
+    _xset("#intersectChildB", _XSI,
+          f"{_PA}/child::node() intersect {_PA}/b", "5 9"),
+    _xset("#intersectThreeWay", _XSI,
+          f"{_PA}/child::node() intersect {_PA}/b intersect "
+          f"{_PA}/child::node()[@p:x]", "9"),
+    _xset("#intersectAttrAxisPred", _XSI,
+          f"{_PA}/child::node() intersect "
+          f"{_PA}/child::node()[attribute::p:x]", "9"),
+    _xset("#intersectParentSelf", _XSI,
+          f"{_PA}/child::node()/parent::node() intersect "
+          f"{_PA}/self::node()", "1"),
+    _xset("#intersectAllTexts", _XSI,
+          f"{_XD1}//node() intersect {_XD1}//text()", "4 6 8 12 13"),
+    _xset("#intersectPrecedingTexts", _XSI,
+          f"{_PA}/b/preceding::node() intersect {_PA}/text()", "4 8"),
+    _xset("#exceptChildB", _XSE,
+          f"{_PA}/child::node() except {_PA}/b", "4 8 13"),
+    _xset("#exceptAttrPred", _XSE,
+          f"{_PA}/child::node() except "
+          f"{_PA}/child::node()[attribute::p:x]", "4 5 8 13"),
+    _xset("#exceptSelfEmpty", _XSE,
+          f"{_PA}/child::node()/parent::node() except {_PA}/self::node()",
+          ""),
+    _xset("#exceptTexts", _XSE,
+          f"{_XD1}//node() except {_XD1}//text()", "1 5 7 9 11"),
+    _xset("#exceptPrecedingTexts", _XSE,
+          f"{_PA}/b/preceding::node() except {_PA}/text()", "5 6 7"),
+]
+
+# ----- xpath/expr boolean / conditional / quantified tests. The
+# idiv-by-zero pair (AndExprTest axis5/axis6) is omitted: the
+# reference short-circuits `false and (3 idiv 0 = 1)` while Spark's
+# ANSI mode raises eagerly on both — XQuery 1.0 §3.8.1 allows either
+# evaluation strategy, so only the error-or-false split differs.
+
+
+def _xb(name, source, expr, expected):
+    return _c(f"XPathBool{name}", source, expr, expected,
+              setup_py="xml_versioned")
+
+
+CASES += [
+    _xb("#andNodesTrue", "xpath/expr/AndExprTest.java",
+        f"{_PA}/text() and {_PA}/node()", "true"),
+    _xb("#andNodesFalse", "xpath/expr/AndExprTest.java",
+        f"{_PA}/comment() and {_PA}/node()", "false"),
+    _xb("#andValuesTrue", "xpath/expr/AndExprTest.java",
+        "1 eq 1 and 2 eq 2", "true"),
+    _xb("#andValuesFalse", "xpath/expr/AndExprTest.java",
+        "1 eq 1 and 2 eq 3", "false"),
+    _xb("#orNodesTrue", "xpath/expr/OrExprTest.java",
+        f"{_PA}/text() or {_PA}/node()", "true"),
+    _xb("#orNodesMixed", "xpath/expr/OrExprTest.java",
+        f"{_PA}/comment() or {_PA}/node()", "true"),
+    _xb("#orValuesTrue", "xpath/expr/OrExprTest.java",
+        "1 eq 1 or 2 eq 2", "true"),
+    _xb("#orValuesMixed", "xpath/expr/OrExprTest.java",
+        "1 eq 1 or 2 eq 3", "true"),
+    _xb("#generalEqDecimal", "xpath/expr/CompAxisTest.java",
+        "1.0 = 1.0", "true"),
+    _xb("#generalLtSequences", "xpath/expr/CompAxisTest.java",
+        "(1, 2, 3) < (2, 3)", "true"),
+    _xb("#generalGtSequencesFalse", "xpath/expr/CompAxisTest.java",
+        "(1, 2, 3) > (3, 4)", "false"),
+    # IfAxisTest (context node 1): branches are node sequences
+    _xb("#ifTextThenSelf", "xpath/expr/IfAxisTest.java",
+        f"for $n in (if ({_PA}/text()) then {_PA}/self::node() "
+        f"else {_PA}/child::node()) return sdb:nodekey($n)", "1"),
+    _xb("#ifNodeThenSelf", "xpath/expr/IfAxisTest.java",
+        f"for $n in (if ({_PA}/node()) then {_PA}/self::node() "
+        f"else {_PA}/child::node()) return sdb:nodekey($n)", "1"),
+    _xb("#ifNoPiElseChildren", "xpath/expr/IfAxisTest.java",
+        f"for $n in (if ({_PA}/processing-instruction()) "
+        f"then {_PA}/self::node() "
+        f"else {_PA}/child::node()) return sdb:nodekey($n)",
+        "4 5 8 9 13"),
+    # Some/EveryExprTest ('attribute::attribute()' = any attribute,
+    # expressed as @*)
+    _xb("#someChildHasI", "xpath/expr/SomeExprTest.java",
+        f"some $c in {_XD1}/node() satisfies $c/@i", "true"),
+    _xb("#someChildHasAbc", "xpath/expr/SomeExprTest.java",
+        f"some $c in {_XD1}/node() satisfies $c/@abc", "false"),
+    _xb("#someGrandchildHasAttr", "xpath/expr/SomeExprTest.java",
+        f"some $c in {_PA}/node() satisfies $c/@*", "true"),
+    _xb("#everyChildHasI", "xpath/expr/EveryExprTest.java",
+        f"every $c in {_XD1}/node() satisfies $c/@i", "true"),
+    _xb("#everyChildHasAbc", "xpath/expr/EveryExprTest.java",
+        f"every $c in {_XD1}/node() satisfies $c/@abc", "false"),
+    _xb("#everyElementHasAttr", "xpath/expr/EveryExprTest.java",
+        f"every $c in {_PA}/child::element() satisfies $c/@*", "false"),
+    _xb("#everyElementHasC", "xpath/expr/EveryExprTest.java",
+        f"every $c in {_PA}/child::element() satisfies $c/child::c",
+        "true"),
+    # FunctionAxisTest
+    _xb("#fnCountTexts", "xpath/FunctionsTest.java",
+        f"fn:count({_PA}/text())", "3"),
+    # the value is the attribute's string-value "j"; string ATOMICS
+    # serialize JSON-quoted at this surface (XML node items print raw)
+    _xb("#fnStringAttr", "xpath/expr/FunctionAxisTest.java",
+        f"fn:string({_PA}/attribute::*)", '"j"'),
+]
+
+# ----- xpath/expr/InstanceOfExprTest + CastableExprTest (the XQuery
+# sequence-type / castable surface — round-4 verdict "what's missing"
+# #1). The '10.0 castable as xs:anyAtomicType' case is XPST0080 in
+# the reference and fail-closed (raises) here — not pinnable as a
+# string output.
+CASES += [
+    _c("XPathType#intInstanceOfInteger",
+       "xpath/expr/InstanceOfExprTest.java",
+       "1 instance of xs:integer", "true"),
+    _c("XPathType#stringNotInteger", "xpath/expr/InstanceOfExprTest.java",
+       '"hallo" instance of xs:integer', "false"),
+    _c("XPathType#stringOptional", "xpath/expr/InstanceOfExprTest.java",
+       '"hallo" instance of xs:string ?', "true"),
+    _c("XPathType#stringOneOrMore", "xpath/expr/InstanceOfExprTest.java",
+       '"hallo" instance of xs:string +', "true"),
+    _c("XPathType#stringZeroOrMore", "xpath/expr/InstanceOfExprTest.java",
+       '"hallo" instance of xs:string *', "true"),
+    _c("XPathType#pairNotSingleInteger",
+       "xpath/expr/InstanceOfExprTest.java",
+       "(1, 2) instance of xs:integer", "false"),
+    _c("XPathType#pairOneOrMoreIntegers",
+       "xpath/expr/InstanceOfExprTest.java",
+       "(1, 2) instance of xs:integer +", "true"),
+    _c("XPathType#intCastableDecimal", "xpath/expr/CastableExprTest.java",
+       "1 castable as xs:decimal", "true"),
+    _c("XPathType#stringCastableString",
+       "xpath/expr/CastableExprTest.java",
+       '"hello" castable as xs:string', "true"),
+    _c("XPathType#helloNotCastableDecimal",
+       "xpath/expr/CastableExprTest.java",
+       '"hello" castable as xs:decimal', "false"),
+]
+
+# ----- xpath/FunctionsTest.java (query-surface fn: calls over the
+# standard document; string ATOMICS serialize JSON-quoted, element
+# items serialize as subtree XML without inherited xmlns
+# declarations — both conventions documented above. Omitted legacy
+# quirks: fn:sum(5)="1", fn:empty(/p:a)="true", fn:string over a
+# two-node sequence — XPath 2.0 contradicts the legacy engine there.)
+_XFT = "xpath/FunctionsTest.java"
+CASES += [
+    _c("XPathFn#booleanZero", _XFT, "fn:boolean(0)", "false"),
+    _c("XPathFn#booleanOne", _XFT, "boolean(1)", "true"),
+    _c("XPathFn#countDescendantPaB", _XFT,
+       f"fn:count({_XD1}//p:a/b)", "2", setup_py="xml_versioned"),
+    _c("XPathFn#commentSyntax", _XFT, "2 (: this is a comment :)", "2"),
+    _xkeys("Fn#predNodeNode", _XFT, "/p:a[./node()/node()]", "1"),
+    _xkeys("Fn#predSelfText", _XFT, "/p:a[./text()]", "1"),
+    _c("XPathFn#notDescendantB", _XFT,
+       f"fn:not({_XD1}//b)", "false", setup_py="xml_versioned"),
+    _c("XPathFn#maxLiterals", _XFT, "fn:max((2, 1, 5, 4, 3))", "5"),
+    _c("XPathFn#minLiterals", _XFT, "fn:min((2, 1, 5, 4, 3))", "1"),
+    _c("XPathFn#existsLiterals", _XFT,
+       "fn:exists(('a', 'b', 'c'))", "true"),
+    _c("XPathFn#substringAfter", _XFT,
+       'fn:substring-after("query", "u")', '"ery"'),
+    _c("XPathFn#substringBefore", _XFT,
+       'fn:substring-before("query", "r")', '"que"'),
+    _c("XPathFn#numberFromString", _XFT, "fn:number('29.99')", "29.99"),
+    _c("XPathFn#distinctValues", _XFT,
+       "fn:distinct-values(('a', 'a'))", '"a"'),
+    _c("XPathFn#lastB", _XFT, f"{_XD1}//b[last()]",
+       '<b p:x="y"><c/>bar</b>', setup_py="xml_versioned"),
+    _c("XPathFn#oneOrMoreNodes", _XFT,
+       f"fn:one-or-more({_XD1}//b/c)", "<c/><c/>",
+       setup_py="xml_versioned"),
+    _c("XPathFn#exactlyOneString", _XFT,
+       'fn:exactly-one("a")', '"a"'),
+    _c("XPathFn#zeroOrOneString", _XFT,
+       'fn:zero-or-one("a")', '"a"'),
+]
+
+# ----- xpath/filter/DubFilterTest.java (duplicate elimination across
+# multi-step paths; reverse-axis arrays re-sorted to document order)
+CASES += [
+    _xkeys("Dub#followingSiblingsOfBs", "xpath/filter/DubFilterTest.java",
+           "/p:a/b/following-sibling::node()", "8 9 13"),
+    _xkeys("Dub#precedingOfBs", "xpath/filter/DubFilterTest.java",
+           "/p:a/b/preceding::node()", "4 5 6 7 8"),
+    _xkeys("Dub#ancestorsOfCs", "xpath/filter/DubFilterTest.java",
+           "//c/ancestor::node()", "1 5 9"),
+]
+
 # ------------------- XmlWtx keyed write transactions (XmlNodeTrx)
 # The versioned fixture above is now BUILT through the keyed write
 # transaction (store/xmlwtx.py), replicating XmlNodeTrxImpl's key
@@ -1581,8 +1939,18 @@ def _setup_xmark(spark, store):
 
 SETUPS["xmark"] = _setup_xmark
 
+# q09/q10 (triple-nested correlated joins) exceed 8 minutes in the
+# doc-mode engine even with a 16g driver — byte parity for them is
+# NOT claimed by the default replay; set SIRIX_SPARK_CORPUS_HEAVY=1
+# to include them. The other 18 replay byte-for-byte.
+_XMARK_SLOW = (9, 10)
+
 if os.path.isdir(_XMARK_DIR):
     for _n in range(1, 21):
+        if _n in _XMARK_SLOW and not os.environ.get(
+            "SIRIX_SPARK_CORPUS_HEAVY"
+        ):
+            continue
         with open(f"{_XMARK_DIR}/queries/fndoc/q{_n:02d}.xq") as _f:
             _q = _f.read()
         with open(f"{_XMARK_DIR}/results/q{_n:02d}.out") as _f:

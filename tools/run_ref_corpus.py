@@ -179,6 +179,15 @@ def main() -> int:
     counts = {"pass": 0, "fail": 0, "unsupported": 0, "error": 0, "delta": 0}
     results = []
     for case in cases:
+        # XMark replays shred a 1 MB document into tens of thousands
+        # of plan nodes per query; accumulated JVM state (plan caches,
+        # broadcast refs) kills the single-session runner after a few.
+        # A fresh session per heavy case keeps the replay bounded
+        # (each case already gets its own store, so isolation is
+        # unchanged).
+        if case.get("setup_py") == "xmark":
+            spark.stop()
+            spark = get_spark()
         try:
             status, detail = run_case(spark, case)
         except Exception as e:
