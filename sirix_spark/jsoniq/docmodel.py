@@ -1040,7 +1040,7 @@ class DocEvaluator:
                 stream["__ord"] == packed[tord],
                 "left",
             ).drop(tord)
-            return out.withColumn(
+            out = out.withColumn(
                 f"a_{c.var}",
                 F.coalesce(
                     F.col(f"a_{c.var}"),
@@ -1049,6 +1049,17 @@ class DocEvaluator:
                     ),
                 ),
             )
+            if isinstance(v, P.Flwor) and _free_vars(v) & set(scope.keys()):
+                # a CORRELATED sub-FLWOR multiplies the outer plan
+                # into every downstream branch — Catalyst re-analyzes
+                # (and Spark re-executes) the whole lineage per use,
+                # and triple-nested XMark shapes (q08/q09/q10) blow
+                # past driver heap at analysis time. Materialize the
+                # packed binding once and cut the lineage here; the
+                # packed stream is one row per outer tuple — small by
+                # construction.
+                out = out.localCheckpoint(eager=True)
+            return out
         # scalar let: a single value column (json text form,
         # order-preserving for constructed objects)
         txt = self._value_text(v, scope)

@@ -1939,10 +1939,12 @@ def _setup_xmark(spark, store):
 
 SETUPS["xmark"] = _setup_xmark
 
-# q09/q10 (triple-nested correlated joins) exceed 8 minutes in the
-# doc-mode engine even with a 16g driver — byte parity for them is
-# NOT claimed by the default replay; set SIRIX_SPARK_CORPUS_HEAVY=1
-# to include them. The other 18 replay byte-for-byte.
+# q09/q10 are kept out of the default replay on RUNTIME (not
+# correctness): with the correlated-let lineage checkpoint
+# (docmodel._let) q09 completes and MATCHES byte-for-byte in ~4.5
+# min (was OOM); q10's per-category 11-element construction still
+# exceeds ~10 min. Set SIRIX_SPARK_CORPUS_HEAVY=1 to include both.
+# The other 18 replay byte-for-byte in the default run.
 _XMARK_SLOW = (9, 10)
 
 if os.path.isdir(_XMARK_DIR):
