@@ -2982,6 +2982,13 @@ class DocEvaluator:
             stream["__ord"] == packed[tord],
             "left",
         ).drop(tord)
+        if self._is_nodeseq_expr(expr) or isinstance(expr, P.Flwor):
+            # an XPath/FLWOR enclosed expression chains a full
+            # shred+aggregate+join pipeline onto the stream; a
+            # constructor with many such templates (XMark q10 has 11)
+            # compounds them into one enormous plan re-analyzed per
+            # branch — cut the lineage after each (one row per tuple)
+            joined = joined.localCheckpoint(eager=True)
         arr = F.coalesce(
             F.col(ca),
             F.array().cast(
@@ -3158,18 +3165,32 @@ class DocEvaluator:
         esc = path.replace("\\", "\\\\").replace("'", "\\'")
         return F.expr(f"{fn}({col}, '{esc}')")
 
-    def _scalar_xpath(self, node: P.Path, scope: dict) -> Column:
+    def _scalar_xpath(
+        self, node: P.Path, scope: dict, lexical: bool = False
+    ) -> Column:
         """XPath steps in a VALUE context (where clauses, arithmetic,
         function args): array<variant> of the matches' atomized
         values. Text and attribute matches carry their values;
         bare-element matches count/exist correctly (entries present)
         but atomize via _xpath_string_first at the zero-or-one/
-        string()/data() call sites."""
+        string()/data() call sites. lexical=True keeps each value's
+        LEXICAL form as a string variant (fn:data's untypedAtomic —
+        '9876.00' must serialize with its trailing zeros, which the
+        numeric-coercing variant parse normalizes away)."""
         from sirix_spark.jsoniq.xpath import render_xpath10
 
         col, prefix = self._xpath_base_col(node, scope)
         path = prefix + render_xpath10(node.steps)
         raw = self._xpath_sql(col, "xpath", path)
+        if lexical:
+            return F.transform(
+                raw,
+                lambda x: F.try_variant_get(
+                    F.parse_json(F.to_json(F.struct(x.alias("v")))),
+                    "$.v",
+                    "variant",
+                ),
+            )
         return F.transform(raw, self._xml_atom)
 
     def _xpath_string_first(self, node: P.Path, scope: dict) -> Column:
@@ -4008,9 +4029,10 @@ class DocEvaluator:
             a = node.args[0]
             if self._is_xpath_path(a):
                 if name in ("data", "fn:data"):
-                    # atomize EVERY match (q10's fn:data($t/profile/
-                    # @income) over attribute-final paths)
-                    return self._scalar_xpath(a, scope)
+                    # atomize EVERY match in its LEXICAL form (q10's
+                    # fn:data($t/profile/@income) serializes the
+                    # untypedAtomic '9876.00' verbatim)
+                    return self._scalar_xpath(a, scope, lexical=True)
                 return self._xpath_string_first(a, scope)
             if self._is_xpath_call(a):
                 return self._scalar(a, scope)

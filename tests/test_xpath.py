@@ -134,3 +134,86 @@ def test_cas_index_range_scan(spark, tmp_path):
     # no separator (the rule the reference's XMark goldens pin —
     # results/q14.out has zero double-spaces across 40+ text items)
     assert ev.execute(q) == "159"
+
+
+# ---- round-5 surface: node-set operators, sequence types, EBV over
+# stored docs, quantified-over-nodes, node-branch conditionals
+# (reference: sirix-core xpath/expr/{Union,Intersect,Except,If,Some,
+# Every,InstanceOf,Castable}*Test.java — the corpus XPathSetOp*/
+# XPathBool*/XPathType* suites replay the originals; these pin the
+# evaluator shapes for fast regression)
+@pytest.fixture(scope="module")
+def xev(spark, tmp_path_factory):
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+
+    store = DocumentStore(
+        spark, str(tmp_path_factory.mktemp("xpath_r5_store"))
+    )
+    ev = DocEvaluator(spark, store)
+    ev.execute("xml:store('db','r','" + XML.replace("'", "''") + "')")
+    return lambda q: DocEvaluator(spark, store).execute(q)
+
+
+_D = "xml:doc('db','r')"
+_PA = _D + "/p:a"
+
+R5_CASES = [
+    # node-set operators: document order, duplicates eliminated
+    (f"for $n in ({_PA}/child::node()/parent::node() union "
+     f"{_PA}/child::node()) return sdb:nodekey($n)", "1 4 5 8 9 13"),
+    (f"for $n in ({_D}//node() intersect {_D}//text()) "
+     "return sdb:nodekey($n)", "4 6 8 12 13"),
+    (f"for $n in ({_PA}/child::node() except {_PA}/b) "
+     "return sdb:nodekey($n)", "4 8 13"),
+    # sequence types + castable
+    ("1 instance of xs:integer", "true"),
+    ('"hallo" instance of xs:integer', "false"),
+    ("(1, 2) instance of xs:integer +", "true"),
+    ("1 castable as xs:decimal", "true"),
+    ('"hello" castable as xs:decimal', "false"),
+    # EBV over stored-doc paths; quantified over node sources
+    (f"{_PA}/text() and {_PA}/node()", "true"),
+    (f"{_PA}/comment() or {_PA}/node()", "true"),
+    (f"some $c in {_D}/node() satisfies $c/@i", "true"),
+    (f"every $c in {_PA}/child::element() satisfies $c/child::c",
+     "true"),
+    # conditional with node-sequence branches
+    (f"for $n in (if ({_PA}/processing-instruction()) then "
+     f"{_PA}/self::node() else {_PA}/child::node()) "
+     "return sdb:nodekey($n)", "4 5 8 9 13"),
+    # '.'/'..' abbreviations, element() kind test, const predicates
+    (f"for $n in {_PA}/b[2]/c/./self::node() return sdb:nodekey($n)",
+     "11"),
+    (f"for $n in {_PA}/b[2]/c/.. return sdb:nodekey($n)", "9"),
+    (f"fn:count({_PA}[element()])", "1"),
+    (f"fn:count({_PA}[(3.2 + 0.02) = 3.22])", "1"),
+    (f"fn:count({_PA}[3.2 = 3.22])", "0"),
+]
+
+
+@pytest.mark.parametrize(
+    "q,want", R5_CASES, ids=[c[0][:48] for c in R5_CASES]
+)
+def test_round5_surface(xev, q, want):
+    assert xev(q) == want
+
+
+def test_fn_data_keeps_lexical_form(spark, tmp_path):
+    """fn:data returns untypedAtomic — '9876.00' serializes with its
+    trailing zeros (XMark q10's <revenu> golden), while comparisons
+    on the same attribute still coerce numerically."""
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path))
+    DocEvaluator(spark, store).execute(
+        "xml:store('db','m','<p income=\"9876.00\"/>')"
+    )
+    ev = lambda q: DocEvaluator(spark, store).execute(q)  # noqa: E731
+    assert ev(
+        "for $t in xml:doc('db','m')/p return <x>{fn:data($t/@income)}</x>"
+    ) == "<x>9876.00</x>"
+    assert ev(
+        "fn:count(xml:doc('db','m')/p[@income = '9876.00'])"
+    ) == "1"

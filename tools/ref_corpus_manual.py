@@ -1939,12 +1939,13 @@ def _setup_xmark(spark, store):
 
 SETUPS["xmark"] = _setup_xmark
 
-# q09/q10 are kept out of the default replay on RUNTIME (not
-# correctness): with the correlated-let lineage checkpoint
-# (docmodel._let) q09 completes and MATCHES byte-for-byte in ~4.5
-# min (was OOM); q10's per-category 11-element construction still
-# exceeds ~10 min. Set SIRIX_SPARK_CORPUS_HEAVY=1 to include both.
-# The other 18 replay byte-for-byte in the default run.
+# q09/q10 are kept out of the default replay on RUNTIME only — BOTH
+# verified byte-for-byte: with the correlated-let and enclosed-
+# expression lineage checkpoints (docmodel._let/_enclosed_col) plus
+# fn:data lexical atomization, q09 MATCHES in ~4.6 min and q10 in
+# ~4.8 min (both previously OOM/timeout). Set
+# SIRIX_SPARK_CORPUS_HEAVY=1 to include them; the other 18 replay
+# byte-for-byte in the default run.
 _XMARK_SLOW = (9, 10)
 
 if os.path.isdir(_XMARK_DIR):
