@@ -193,6 +193,9 @@ class DocEvaluator:
         # compiles UDFs through Brackit with shadowing-safe inlining)
         self.udfs: dict[str, P.FunDecl] = {}
         self._udf_depth = 0
+        # scalar-XPath document text, bound once per (db, res, rev)
+        # as a shared literal Column (see _xpath_base_col)
+        self._xtext_lits: dict[tuple, Column] = {}
 
     def _xml_register(
         self, db: str, res: str, rev: int, text: str, kmap: list | None
@@ -1194,7 +1197,10 @@ class DocEvaluator:
             # `if (text()) then . else child::node()`): the
             # condition's EBV gates each stream tuple into exactly
             # one branch, then the branches union (disjoint tuples)
-            cond = self._ebv(node.cond, scope)
+            # NULL EBV (e.g. a general comparison whose per-item
+            # predicate is null) must route to the ELSE branch, not
+            # vanish from both — coalesce to false before filtering
+            cond = F.coalesce(self._ebv(node.cond, scope), F.lit(False))
             then_seq = self._expr_seq(node.then, stream.filter(cond), scope)
             else_seq = self._expr_seq(
                 node.orelse, stream.filter(~cond), scope
@@ -1206,6 +1212,8 @@ class DocEvaluator:
                 then_seq.stored or else_seq.stored,
                 tuple(then_seq.handles) + tuple(else_seq.handles),
                 "many",
+                xml=tuple(dict.fromkeys(then_seq.xml + else_seq.xml)),
+                xn=then_seq.xn or else_seq.xn,
             )
         if isinstance(node, P.Flwor):
             inner_scope = {"__outer": scope}
@@ -1316,19 +1324,43 @@ class DocEvaluator:
             )
         left = self._seq_core(node.left, stream, scope)
         right = self._seq_core(node.right, stream, scope)
+        # node identity = (__ord, __h): __ord alone is stream-prefix +
+        # shredder node_key, which collides across operands rooted at
+        # DIFFERENT documents/revisions (xml:doc('db','r1')//b union
+        # xml:doc('db','r2')//b — overlapping key spaces); __h carries
+        # the per-(db,res,rev) registry id for stored docs and is null
+        # (on both sides alike) only for inline same-base shreds,
+        # where the __ord prefix already discriminates.
         if node.op == "union":
             df = left.df.unionByName(
                 right.df, allowMissingColumns=True
-            ).dropDuplicates(["__ord"])
+            ).dropDuplicates(["__ord", "__h"])
         else:
-            r = right.df.select(F.col("__ord").alias("__rord")).dropDuplicates()
+            r = (
+                right.df.select(
+                    F.col("__ord").alias("__rord"),
+                    F.col("__h").alias("__rh"),
+                ).dropDuplicates()
+            )
             how = "left_semi" if node.op == "intersect" else "left_anti"
-            df = left.df.join(r, F.col("__ord") == F.col("__rord"), how)
+            df = left.df.join(
+                r,
+                (F.col("__ord") == F.col("__rord"))
+                & F.col("__h").eqNullSafe(F.col("__rh")),
+                how,
+            )
         return Seq(
             df,
             left.stored or right.stored,
             tuple(left.handles) + tuple(right.handles),
             "many",
+            # results are XML NODES — keep the node-serialization
+            # facts so adjacent elements don't pick up atomics' space
+            # separators (except/intersect results come from LEFT)
+            xml=tuple(dict.fromkeys(left.xml + right.xml))
+            if node.op == "union"
+            else left.xml,
+            xn=(left.xn or right.xn) if node.op == "union" else left.xn,
         )
 
     def _flwor_correlated(self, f: P.Flwor, stream: DataFrame, scope: dict) -> Seq:
@@ -1437,21 +1469,31 @@ class DocEvaluator:
             # member iteration == the [] unbox step
             return self._seq_core(P.Path(node.args[0], [("unbox",)]), stream, scope)
         if name in ("jn:size", "size"):
-            # jn:size(array) = member count: count the unboxed seq
+            # jn:size(array) = member count PER STREAM TUPLE: a global
+            # agg(count) would return one total across all tuples in a
+            # multi-tuple FLWOR (for $d ... return jn:size($d.a)) and
+            # lose correlation/order. Tag each tuple with its own
+            # __ord, count the unboxed members per tag, and left-join
+            # back so empty arrays count 0 and order survives.
+            tagged = stream.withColumn("__tid", F.col("__ord"))
             sub = self._seq_core(
-                P.Path(node.args[0], [("unbox",)]), stream, scope
+                P.Path(node.args[0], [("unbox",)]), tagged, scope
             )
-            cnt = sub.df.agg(F.count(F.lit(1)).alias("__c"))
+            cnt = sub.df.groupBy("__tid").agg(F.count(F.lit(1)).alias("__c"))
             df = (
-                cnt.withColumn("__ord", F.array().cast("array<bigint>"))
+                stream.join(cnt, F.col("__ord") == F.col("__tid"), "left")
+                .drop("__tid")
                 .withColumn("__k", F.lit(None).cast("bigint"))
                 .withColumn("__h", F.lit(None).cast("int"))
                 .withColumn("__r", F.lit(None).cast("int"))
                 .withColumn("__sz", F.lit(None).cast("bigint"))
-                .withColumn("__j", F.col("__c").cast("string"))
+                .withColumn(
+                    "__j",
+                    F.coalesce(F.col("__c"), F.lit(0)).cast("string"),
+                )
                 .drop("__c")
             )
-            return Seq(df.select("__ord", *ITEM_COLS), False, (), "one")
+            return Seq(df, False, (), "one")
         if name in ("jn:keys", "keys"):
             # distinct field names across the argument's objects,
             # first-appearance order, deduped PER stream tuple (the
@@ -3111,7 +3153,9 @@ class DocEvaluator:
             ),
         )
 
-    def _xpath_base_col(self, node: P.Path, scope: dict) -> tuple[str, str]:
+    def _xpath_base_col(
+        self, node: P.Path, scope: dict
+    ) -> tuple[str | Column, str]:
         """(SQL column reference, path prefix) for a scalar XPath over
         a bound XML item: the item's serialized text evaluates with
         Spark's built-in Hive xpath*() (JVM-side, per-row) — document
@@ -3119,8 +3163,13 @@ class DocEvaluator:
         base = node.base
         if isinstance(base, P.Call) and base.name in ("xml:doc", "xml:open"):
             # stored-resource base in a value context: the revision's
-            # serialized text is known at compile time — inline it as
-            # a SQL string literal (document-relative, so no prefix)
+            # serialized text is known at compile time. Bind it ONCE
+            # per (db,res,rev) as a shared literal Column — splicing
+            # the escaped text into every call site's SQL string
+            # re-reads the file per reference and pushes megabytes
+            # through the SQL parser per expression (XMark-scale docs
+            # blow up the driver). The cached Column's underlying
+            # Literal node is shared across all call sites.
             lits = [a.value for a in base.args if isinstance(a, P.Lit)]
             if len(lits) == len(base.args) and len(lits) in (2, 3):
                 from sirix_spark.store.xmlstore import XmlStore
@@ -3131,9 +3180,12 @@ class DocEvaluator:
                     if len(lits) == 3
                     else xs.latest_revision(lits[0], lits[1])
                 )
-                text = xs.read_text(lits[0], lits[1], rev)
-                esc = text.replace("\\", "\\\\").replace("'", "\\'")
-                return f"'{esc}'", ""
+                key = (lits[0], lits[1], rev)
+                colref = self._xtext_lits.get(key)
+                if colref is None:
+                    colref = F.lit(xs.read_text(lits[0], lits[1], rev))
+                    self._xtext_lits[key] = colref
+                return colref, ""
         if not isinstance(base, P.Var):
             raise JsoniqCompileError(
                 "scalar XPath needs a variable base, got "
@@ -3161,7 +3213,12 @@ class DocEvaluator:
         return f"`j_{base.name}`", prefix
 
     @staticmethod
-    def _xpath_sql(col: str, fn: str, path: str) -> Column:
+    def _xpath_sql(col: str | Column, fn: str, path: str) -> Column:
+        if isinstance(col, Column):
+            # pre-bound document text (stored-resource base): call the
+            # Hive xpath builtin with the shared literal Column — no
+            # SQL-parser round trip over the document text
+            return F.call_function(fn, col, F.lit(path))
         esc = path.replace("\\", "\\\\").replace("'", "\\'")
         return F.expr(f"{fn}({col}, '{esc}')")
 
@@ -4652,15 +4709,33 @@ class DocEvaluator:
             def _is_empty(e):
                 return isinstance(e, P.SeqCtor) and not e.items
 
+            # NULL EBV takes the else branch (never drops the tuple)
+            cond = F.coalesce(self._ebv(ret.cond, scope), F.lit(False))
             if _is_empty(ret.orelse):
                 return self._project_return(
-                    stream.filter(self._ebv(ret.cond, scope)), scope, ret.then
+                    stream.filter(cond), scope, ret.then
                 )
             if _is_empty(ret.then):
                 return self._project_return(
-                    stream.filter(~self._ebv(ret.cond, scope)),
-                    scope,
-                    ret.orelse,
+                    stream.filter(~cond), scope, ret.orelse
+                )
+            if self._is_nodeseq_expr(ret.then) or self._is_nodeseq_expr(
+                ret.orelse
+            ):
+                # node-sequence branches in return position: split the
+                # tuple stream per the condition, keep node identity
+                # and XML serialization facts from both branches
+                t = self._project_return(stream.filter(cond), scope, ret.then)
+                e = self._project_return(
+                    stream.filter(~cond), scope, ret.orelse
+                )
+                return Seq(
+                    t.df.unionByName(e.df, allowMissingColumns=True),
+                    t.stored or e.stored,
+                    tuple(t.handles) + tuple(e.handles),
+                    "many",
+                    xml=tuple(dict.fromkeys(t.xml + e.xml)),
+                    xn=t.xn or e.xn,
                 )
         if isinstance(ret, P.Var) and ret.name in scope and scope[ret.name].get("kind") == "seq":
             # sequence-valued let in return position: explode its

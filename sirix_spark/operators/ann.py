@@ -137,11 +137,17 @@ def assignment_margin(
     ~0.5 (BENCH_NOTES recall table), information-theoretically
     unavoidable for ANY pruning index. One map-only aggregation over
     the broadcast centroid array — scales like the assignment pass."""
+    if len(centroids) < 2:
+        # a single cell has no 2nd-best similarity (element_at(top2,2)
+        # is NULL → avg NULL → float(None) TypeError); one cell means
+        # no pruning is possible, so report zero margin → exhaustive
+        return 0.0
     carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(carr, lambda c: cosine(F.col(emb_col), c))
     top2 = F.slice(F.reverse(F.array_sort(sims)), 1, 2)
     m = F.element_at(top2, 1) - F.element_at(top2, 2)
-    return float(df.select(F.avg(m)).first()[0])
+    avg = df.select(F.avg(m)).first()[0]
+    return 0.0 if avg is None else float(avg)
 
 
 # Below this mean margin the index build pins route="exhaustive":

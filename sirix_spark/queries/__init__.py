@@ -30,59 +30,47 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-5 rotation (round-4 verdict #3, final rotation): ALL 23
-# never-driver-windowed entries get rows this round —
-# jsoniq_let_conditional/string_filter/count/array_minmax,
-# events_filter_project, training_corpus_filter, quality_score,
+# Round-6 rotation (round-5 verdict #6: max driver-row age ≤4
+# rounds). The 12 entries whose last driver row was round 1–2 rotate
+# IN: cube_counts, sum_qty, avg_qty, compound_filter_count,
+# set_union, set_intersect, set_except, array_size, array_explode,
+# json_construct, left_outer_join, top_events_per_user. Rotating OUT
+# 12 entries that went driver-green in round 5 itself (freshest
+# rows; every family keeps an in-window representative):
 # lang_id, fingerprint, hash_sample, stratified_sample,
-# length_histogram, fuzzy_verify_pairs, scalar_functions2, stats_agg,
-# above_avg_orders, null_group_key, decimal_overflow_sum,
-# quantified_some_every, deep_equal_count, conditional_exprs,
-# multimodal_filter_decode, doc_shred_path_stats — so the
-# never-windowed count drops to 0 (PARITY.md ledger). Multi-round-
-# green staples rotate OUT (group_by_2keys, count_distinct,
-# computed_agg, grouping_sets, jsoniq_filter_project/group_count/
-# join/quantified, shipping_priority, revenue_by_priority,
-# previous_next_event, item_history, running_sum, json_deref_sum,
-# text_profile, doc_collection_cas_scan, jaccard, simhash,
-# embedding_near_dup, multimodal_features, scalar_functions,
-# null_semantics, rollup_counts); every family keeps an in-window
-# representative and ALL entries stay oracle-checked every round by
-# tools/check_oracle.py.
+# length_histogram (text keeps quality_score), jsoniq_string_filter,
+# jsoniq_count, jsoniq_array_minmax (string entry keeps
+# jsoniq_let_conditional/all_times/udf_pricing), above_avg_orders,
+# quantified_some_every, deep_equal_count, conditional_exprs
+# (semantics keeps scalar_functions2/stats_agg/null_group_key/
+# decimal_overflow_sum). ALL entries stay oracle-checked every round
+# by tools/check_oracle.py.
 PRIORITY: tuple[str, ...] = (
     # flagship aggregation
     "pricing_summary",
-    # JSONiq string entry point (never-windowed batch + keeps)
+    # JSONiq string entry point
     "jsoniq_let_conditional",
-    "jsoniq_string_filter",
-    "jsoniq_count",
-    "jsoniq_array_minmax",
     "jsoniq_all_times_store",
     "jsoniq_udf_pricing",
     # scans / filters / projections
     "events_filter_project",
     "training_corpus_filter",
-    # LLM-pipeline: text analysis (never-windowed batch)
+    "compound_filter_count",
+    # LLM-pipeline: text analysis
     "quality_score",
-    "lang_id",
-    "fingerprint",
-    "hash_sample",
-    "stratified_sample",
-    "length_histogram",
     "fuzzy_verify_pairs",
-    # §2.10 semantics corners (never-windowed batch)
+    # §2.10 semantics corners
     "scalar_functions2",
     "stats_agg",
-    "above_avg_orders",
     "null_group_key",
     "decimal_overflow_sum",
-    "quantified_some_every",
-    "deep_equal_count",
-    "conditional_exprs",
-    # LLM-pipeline: multimodal + document-mode (never-windowed batch)
+    # LLM-pipeline: multimodal + document-mode
     "multimodal_filter_decode",
     "doc_shred_path_stats",
-    # §2.4 grouping-sets family representative
+    # §2.4 aggregates (rotated-in round-1 staples + grouping family)
+    "sum_qty",
+    "avg_qty",
+    "cube_counts",
     "grouping_sets_counts",
     # §2.6 covered projection / §2.5 aggregates
     "covered_projection",
@@ -94,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "full_outer_summary",
     "asof_join_orders_events",
     "anti_join_customers",
+    "left_outer_join",
     # §2.7 temporal family
     "valid_at",
     "snapshot_diff",
@@ -102,9 +91,16 @@ PRIORITY: tuple[str, ...] = (
     # §2.5 windows
     "ntile_value_quartiles",
     "moving_avg_per_user",
+    "top_events_per_user",
     # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
+    "array_size",
+    "array_explode",
+    "json_construct",
     "set_ops",
+    "set_union",
+    "set_intersect",
+    "set_except",
     "xml_path_filter",
     # LLM-pipeline: dedup + similarity
     "exact_dedup",
