@@ -376,22 +376,34 @@ class DocEvaluator:
         f: P.Flwor,
         stream: DataFrame | None = None,
         scope: dict | None = None,
+        at_unit: bool | None = None,
     ) -> Seq:
         # a nested FLWOR in return position continues the SAME tuple
         # stream (per-tuple iteration semantics)
+        # at_unit: the stream provably has exactly ONE tuple (fresh
+        # unit, only let-clauses so far) — bindings made here are
+        # stream-CONSTANT, which is what lets a correlated sub-FLWOR
+        # over them decorrelate into a hash join (_decorrelated_seq).
+        # `let … return let …` chains propagate it through the nested
+        # return-position FLWOR (_project_return passes it back).
+        if at_unit is None:
+            at_unit = stream is None
         if stream is None:
             stream = self._unit()
         scope = dict(scope) if scope else {}
         for c in f.clauses:
             if isinstance(c, P.ForClause):
                 stream = self._for(stream, scope, c)
+                at_unit = False
             elif isinstance(c, P.WindowClause):
                 stream = self._window(stream, scope, c)
+                at_unit = False
             else:
-                stream = self._let(stream, scope, c)
+                stream = self._let(stream, scope, c, at_unit=at_unit)
         if f.where is not None:
             stream = stream.filter(self._ebv(f.where, scope))
         if f.group_by:
+            at_unit = False
             stream = self._group_by(stream, scope, f.group_by)
             for c in f.post_group:
                 if isinstance(c, P.LetClause):
@@ -424,7 +436,7 @@ class DocEvaluator:
             stream = stream.withColumn(
                 "__ord", F.array(F.row_number().over(w).cast("bigint"))
             )
-        return self._project_return(stream, scope, f.ret)
+        return self._project_return(stream, scope, f.ret, at_unit=at_unit)
 
     def _group_by(
         self, stream: DataFrame, scope: dict, group_by: list
@@ -918,7 +930,13 @@ class DocEvaluator:
             return None
         return self.handles.add(self.store.doc(h0.db, h0.res, target))
 
-    def _let(self, stream: DataFrame, scope: dict, c: P.LetClause) -> DataFrame:
+    def _let(
+        self,
+        stream: DataFrame,
+        scope: dict,
+        c: P.LetClause,
+        at_unit: bool = False,
+    ) -> DataFrame:
         v = c.value
         # single-URI doc() that names a stored XML resource (XMark's
         # `let $auction := doc("auction.xml")`): rewrite to xml:doc
@@ -1012,7 +1030,14 @@ class DocEvaluator:
             self._ctor_n = getattr(self, "_ctor_n", 0) + 1
             tord = f"__tord{self._ctor_n}"
             tagged = stream.withColumn(tord, F.col("__ord"))
-            sub = self._expr_seq(v, tagged, scope)
+            sub = None
+            if isinstance(v, P.Flwor) and _free_vars(v) & set(scope.keys()):
+                # correlated sub-FLWOR over a stream-constant source:
+                # decorrelate to a hash join instead of per-binding
+                # evaluation (XMark q08-q12's nested-FLWOR shape)
+                sub = self._decorrelated_seq(v, tagged, scope, tord)
+            if sub is None:
+                sub = self._expr_seq(v, tagged, scope)
             packed = (
                 sub.df.groupBy(tord)
                 .agg(
@@ -1037,6 +1062,7 @@ class DocEvaluator:
                 "xml": getattr(sub, "xml", ()),
                 "xn": getattr(sub, "xn", False),
                 "xdoc": getattr(sub, "xdoc", False),
+                "static": at_unit,
             }
             out = stream.join(
                 F.broadcast(packed),
@@ -1054,19 +1080,20 @@ class DocEvaluator:
             )
             if isinstance(v, P.Flwor) and _free_vars(v) & set(scope.keys()):
                 # a CORRELATED sub-FLWOR multiplies the outer plan
-                # into every downstream branch — Catalyst re-analyzes
-                # (and Spark re-executes) the whole lineage per use,
-                # and triple-nested XMark shapes (q08/q09/q10) blow
-                # past driver heap at analysis time. Materialize the
-                # packed binding once and cut the lineage here; the
-                # packed stream is one row per outer tuple — small by
-                # construction.
-                out = out.localCheckpoint(eager=True)
+                # into every downstream branch — Catalyst/AQE
+                # re-analyze the whole tree per use, and triple-nested
+                # XMark shapes blow past driver heap (or spend minutes
+                # in AdaptiveSparkPlanExec tree walks) at analysis
+                # time. Materialize the packed binding once and cut
+                # the lineage here — the packed stream is one row per
+                # outer tuple, and on the decorrelated path producing
+                # it is one hash join, so the cut is cheap.
+                out = self._cut_lineage(out)
             return out
         # scalar let: a single value column (json text form,
         # order-preserving for constructed objects)
         txt = self._value_text(v, scope)
-        scope[c.var] = {"kind": "scalar"}
+        scope[c.var] = {"kind": "scalar", "static": at_unit}
         kcol, hcol, rcol, scol, jcol = self._var_cols(c.var)
         return (
             stream.withColumn(jcol, txt)
@@ -1110,6 +1137,265 @@ class DocEvaluator:
         ):
             return True
         return False
+
+    def _serialize_call_seq(
+        self, node: P.Call, stream: DataFrame, scope: dict
+    ) -> Seq:
+        """sdb:serialize(doc [, {options}]) / sdb:serialize-records(
+        doc, n [, {options}]) — the reference's JsonSerializer /
+        JsonRecordSerializer option surface (service/json/serialize/
+        JsonSerializer.java:68; JsonRecordSerializer.java) exposed at
+        the query level so the serializer goldens replay through the
+        string entry. Options (literal object): maxLevel, maxNodes,
+        maxChildren, startNodeKey, withMetaData, nodeKeyMetaData,
+        nodeKeyAndChildCountMetaData, revisions:[a,b]."""
+        from sirix_spark.store.docserialize import (
+            serialize_records,
+            serialize_resource,
+            serialize_revisions,
+        )
+
+        records = node.name == "sdb:serialize-records"
+        args = list(node.args)
+        base = args.pop(0)
+        if not (isinstance(base, P.Call) and base.name in ("jn:doc", "doc")):
+            raise JsoniqCompileError(f"{node.name} needs a jn:doc source")
+        nrec = None
+        if records:
+            if not args or not isinstance(args[0], P.Lit):
+                raise JsoniqCompileError(
+                    "sdb:serialize-records needs a literal record count"
+                )
+            nrec = int(args.pop(0).value)
+        opts: dict = {}
+        if args:
+            oc = args.pop(0)
+            if not isinstance(oc, P.ObjectCtor):
+                raise JsoniqCompileError(
+                    f"{node.name} options must be a literal object"
+                )
+            for e in oc.entries:
+                if e[0] != "pair" or not isinstance(e[1], P.Lit):
+                    raise JsoniqCompileError(
+                        f"{node.name} options must be literal pairs"
+                    )
+                k, vexpr = e[1].value, e[2]
+                if isinstance(vexpr, P.Lit):
+                    opts[k] = vexpr.value
+                elif isinstance(vexpr, P.ArrayCtor) and all(
+                    isinstance(i, P.Lit) for i in vexpr.items
+                ):
+                    opts[k] = [i.value for i in vexpr.items]
+                else:
+                    raise JsoniqCompileError(
+                        f"{node.name} option {k} must be literal"
+                    )
+        meta = None
+        if opts.get("withMetaData"):
+            meta = "full"
+        elif opts.get("nodeKeyAndChildCountMetaData"):
+            meta = "nodekey-childcount"
+        elif opts.get("nodeKeyMetaData"):
+            meta = "nodekey"
+        lits = [a.value for a in base.args if isinstance(a, P.Lit)]
+        if len(lits) != len(base.args) or len(lits) not in (2, 3):
+            raise JsoniqCompileError(f"{node.name} needs literal (db, res)")
+        if opts.get("revisions") is not None:
+            a, b = (int(x) for x in opts["revisions"])
+            txt = serialize_revisions(
+                [
+                    (r, self.store.doc(lits[0], lits[1], r).rows())
+                    for r in range(a, b + 1)
+                ]
+            )
+        else:
+            rev = int(lits[2]) if len(lits) == 3 else None
+            rows = self.store.doc(lits[0], lits[1], rev).rows()
+            if records:
+                txt = serialize_records(
+                    rows,
+                    nrec,
+                    start_node_key=opts.get("startNodeKey"),
+                    max_level=opts.get("maxLevel"),
+                    meta=meta,
+                )
+            else:
+                txt = serialize_resource(
+                    rows,
+                    max_level=opts.get("maxLevel"),
+                    max_nodes=opts.get("maxNodes"),
+                    max_children=opts.get("maxChildren"),
+                    start_node_key=opts.get("startNodeKey"),
+                    meta=meta,
+                )
+        df = stream
+        for col, t in zip(
+            ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
+        ):
+            df = df.withColumn(col, F.lit(None).cast(t))
+        df = df.withColumn("__j", F.lit(txt))
+        return Seq(df, False, (), "one")
+
+    # ----------------------------------------------- lineage + decorrelation
+    @staticmethod
+    def _lineage_strategy(master: str, checkpoint_dir: str | None) -> str:
+        """Which lineage-cut mechanism is safe for this deployment.
+
+        localCheckpoint caches blocks on executors with NO
+        recomputation path — an executor loss mid-query kills the job
+        unrecoverably, fine on local[n] only. Non-local masters use a
+        reliable checkpoint dir when configured
+        (spark.sirix.checkpointDir), else a 2×-replicated disk persist
+        that survives a single executor loss."""
+        if master.startswith("local"):
+            return "local-checkpoint"
+        return "reliable-checkpoint" if checkpoint_dir else "persist-disk-2"
+
+    def _cut_lineage(self, df: DataFrame) -> DataFrame:
+        """Materialize + truncate plan lineage, cluster-safely."""
+        sc = self.spark.sparkContext
+        try:
+            ck = self.spark.conf.get("spark.sirix.checkpointDir")
+        except Exception:
+            ck = None
+        strat = self._lineage_strategy(sc.master, ck)
+        if strat == "local-checkpoint":
+            return df.localCheckpoint(eager=True)
+        if strat == "reliable-checkpoint":
+            if sc.getCheckpointDir() is None:
+                sc.setCheckpointDir(ck)
+            return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY_2)
+        out.count()
+        return out
+
+    def _decorrelated_seq(
+        self, v: P.Flwor, tagged: DataFrame, scope: dict, tord: str
+    ) -> Seq | None:
+        """Lower a correlated sub-FLWOR bound by `let` to a HASH JOIN.
+
+        Shape: `let $x := for $t in SRC [let ...] where OUT = INN
+        return R` where SRC, the lets and R reference only $t-side
+        and stream-CONSTANT ("static") outer bindings, and the where
+        is one general `=` with one side evaluable on the outer
+        stream and the other on the inner items. The reference runs
+        this shape through Brackit's generic pipeline (XMark q08-q12,
+        node/SirixXMarkTest.java); evaluating it per outer binding
+        context multiplies plans and payloads by the outer
+        cardinality. Instead:
+
+        1. evaluate (for + lets + return) ONCE on a one-row slice of
+           the stream (static bindings are constant per row);
+        2. explode both sides' comparison atoms, join on a canonical
+           key (numeric-promoted, else string — never narrower than
+           general-comparison equality), re-verify each candidate
+           pair with the EXACT _atom_cmp semantics;
+        3. emit matched items keyed by the outer tuple's order vector
+           — the caller's per-tuple packing is unchanged.
+
+        Returns None (caller falls back to correlated evaluation)
+        whenever the shape or the static-binding requirements don't
+        hold — fail-closed, never mis-executes."""
+        if v.group_by or v.order_by or v.post_group or v.where is None:
+            return None
+        if not v.clauses or not isinstance(v.clauses[0], P.ForClause):
+            return None
+        fc = v.clauses[0]
+        if fc.pos_var:
+            return None
+        if not all(isinstance(cl, P.LetClause) for cl in v.clauses[1:]):
+            return None
+        w = v.where
+        if not (isinstance(w, P.Binop) and w.op == "eq"):
+            return None
+
+        inner_bound = {fc.var} | {cl.var for cl in v.clauses[1:]}
+        outer_names = {k for k in scope if not k.startswith("__")}
+
+        def is_static(name: str) -> bool:
+            info = scope.get(name)
+            if not isinstance(info, dict):
+                return False
+            return info.get("kind") == "handle" or bool(info.get("static"))
+
+        # everything except the where must be inner/static-only
+        rest = P.Flwor(clauses=v.clauses, where=None, ret=v.ret)
+        if not all(is_static(n) for n in _free_vars(rest)):
+            return None
+        lf, rf = _free_vars(w.left), _free_vars(w.right)
+        if lf & inner_bound and not (rf & inner_bound):
+            inner_expr, outer_expr = w.left, w.right
+            outer_f = rf
+        elif rf & inner_bound and not (lf & inner_bound):
+            inner_expr, outer_expr = w.right, w.left
+            outer_f = lf
+        else:
+            return None
+        if not outer_f <= outer_names:
+            return None
+
+        statics = [n for n in outer_names if is_static(n)]
+        needed: list[str] = []
+        for n in statics:
+            for cn in (f"a_{n}", *self._var_cols(n)):
+                if cn in tagged.columns:
+                    needed.append(cn)
+        try:
+            unit = tagged.select(
+                F.array().cast("array<bigint>").alias("__ord"),
+                *dict.fromkeys(needed),
+            ).limit(1)
+            iscope = {n: scope[n] for n in statics}
+            istream = self._for(unit, iscope, fc)
+            for cl in v.clauses[1:]:
+                istream = self._let(istream, iscope, cl)
+            r_seq = self._project_return(istream, iscope, v.ret)
+            r_df = r_seq.df
+            # the inner key must be computable on the result rows
+            for n in _free_vars(inner_expr) & inner_bound:
+                if any(c not in r_df.columns for c in self._var_cols(n)):
+                    return None
+            ik = self._scalar(inner_expr, iscope)
+            ok = self._scalar(outer_expr, scope)
+        except Exception:
+            return None  # fail-closed: correlated path handles it
+
+        def canon(vcol: Column) -> Column:
+            d = F.try_variant_get(vcol, "$", "double")
+            s = F.try_variant_get(vcol, "$", "string")
+            return F.when(
+                d.isNotNull(), F.concat(F.lit("n:"), d.cast("string"))
+            ).otherwise(F.concat(F.lit("s:"), s))
+
+        i_side = r_df.select(
+            F.col("__ord").alias("__iord"),
+            *[F.col(c).alias(f"__i_{c}") for c in ITEM_COLS],
+            F.explode(ik).alias("__ival"),
+        ).withColumn("__ikey", canon(F.col("__ival")))
+        o_side = tagged.select(
+            F.col(tord).alias("__otord"), F.explode(ok).alias("__oval")
+        ).withColumn("__okey", canon(F.col("__oval")))
+        pairs = (
+            o_side.join(i_side, F.col("__okey") == F.col("__ikey"), "inner")
+            .filter(self._atom_cmp(F.col("__oval"), F.col("__ival"), "eq"))
+            .dropDuplicates(["__otord", "__iord"])
+        )
+        items = pairs.select(
+            F.col("__otord").alias(tord),
+            F.concat(F.col("__otord"), F.col("__iord")).alias("__ord"),
+            *[F.col(f"__i_{c}").alias(c) for c in ITEM_COLS],
+        )
+        return Seq(
+            items,
+            r_seq.stored,
+            r_seq.handles,
+            "many",
+            xml=getattr(r_seq, "xml", ()),
+            xn=getattr(r_seq, "xn", False),
+            xdoc=getattr(r_seq, "xdoc", False),
+        )
 
     # --------------------------------------------------- sequence exprs
     def _expr_seq(
@@ -1574,6 +1860,8 @@ class DocEvaluator:
                 .withColumn("__sz", F.lit(None).cast("bigint"))
             )
             return Seq(df, False, (), inner.card)
+        if name in ("sdb:serialize", "sdb:serialize-records"):
+            return self._serialize_call_seq(node, stream, scope)
         if name == "sdb:level-order":
             return self._level_order_seq(node, stream, scope)
         if name in ("jn:valid-at", "jn:open-bitemporal"):
@@ -3030,7 +3318,7 @@ class DocEvaluator:
             # constructor with many such templates (XMark q10 has 11)
             # compounds them into one enormous plan re-analyzed per
             # branch — cut the lineage after each (one row per tuple)
-            joined = joined.localCheckpoint(eager=True)
+            joined = self._cut_lineage(joined)
         arr = F.coalesce(
             F.col(ca),
             F.array().cast(
@@ -3837,52 +4125,56 @@ class DocEvaluator:
         txt = txt.otherwise(_emit_dbl(dexpr.cast("double")))
         return F.array(F.parse_json(txt))
 
+    @staticmethod
+    def _atom_cmp(l: Column, r: Column, op: str) -> Column:
+        """One atom pair under XQuery general-comparison rules.
+
+        xs:decimal comparisons stay EXACT when both operands are
+        exact numerics (DECIMAL/BIGINT variants): a double
+        round-trip would collapse 1000.25000000000001 onto
+        1000.25 (scan/DecimalDoubleCollisionTest — the
+        reference's typed tags keep them distinct). A double on
+        either side demotes the pair to double comparison, per
+        the XQuery numeric promotion rules."""
+        import operator
+
+        ld = F.try_variant_get(l, "$", "double")
+        rd = F.try_variant_get(r, "$", "double")
+        ls = F.try_variant_get(l, "$", "string")
+        rs = F.try_variant_get(r, "$", "string")
+        pyop = {
+            "eq": operator.eq,
+            "ne": operator.ne,
+            "lt": operator.lt,
+            "le": operator.le,
+            "gt": operator.gt,
+            "ge": operator.ge,
+        }[op]
+        lsch = F.schema_of_variant(l)
+        rsch = F.schema_of_variant(r)
+        ldec = F.try_variant_get(l, "$", "decimal(38,18)")
+        rdec = F.try_variant_get(r, "$", "decimal(38,18)")
+        exact = (
+            (lsch.startswith("DECIMAL") | (lsch == F.lit("BIGINT")))
+            & (rsch.startswith("DECIMAL") | (rsch == F.lit("BIGINT")))
+            & ldec.isNotNull()
+            & rdec.isNotNull()
+        )
+        num = ld.isNotNull() & rd.isNotNull()
+        return (
+            F.when(exact, pyop(ldec, rdec))
+            .when(num, pyop(ld, rd))
+            .otherwise(pyop(ls, rs))
+        )
+
     def _compare(self, node: P.Binop, scope: dict) -> Column:
         """XQuery general comparison: existential over both sides."""
         larr = self._scalar(node.left, scope)
         rarr = self._scalar(node.right, scope)
         op = node.op
-
-        def one(l, r):
-            ld = F.try_variant_get(l, "$", "double")
-            rd = F.try_variant_get(r, "$", "double")
-            ls = F.try_variant_get(l, "$", "string")
-            rs = F.try_variant_get(r, "$", "string")
-            import operator
-
-            pyop = {
-                "eq": operator.eq,
-                "ne": operator.ne,
-                "lt": operator.lt,
-                "le": operator.le,
-                "gt": operator.gt,
-                "ge": operator.ge,
-            }[op]
-            # xs:decimal comparisons stay EXACT when both operands are
-            # exact numerics (DECIMAL/BIGINT variants): a double
-            # round-trip would collapse 1000.25000000000001 onto
-            # 1000.25 (scan/DecimalDoubleCollisionTest — the
-            # reference's typed tags keep them distinct). A double on
-            # either side demotes the pair to double comparison, per
-            # the XQuery numeric promotion rules.
-            lsch = F.schema_of_variant(l)
-            rsch = F.schema_of_variant(r)
-            ldec = F.try_variant_get(l, "$", "decimal(38,18)")
-            rdec = F.try_variant_get(r, "$", "decimal(38,18)")
-            exact = (
-                (lsch.startswith("DECIMAL") | (lsch == F.lit("BIGINT")))
-                & (rsch.startswith("DECIMAL") | (rsch == F.lit("BIGINT")))
-                & ldec.isNotNull()
-                & rdec.isNotNull()
-            )
-            num = ld.isNotNull() & rd.isNotNull()
-            return (
-                F.when(exact, pyop(ldec, rdec))
-                .when(num, pyop(ld, rd))
-                .otherwise(pyop(ls, rs))
-            )
-
-        return F.exists(larr, lambda l: F.exists(rarr, lambda r: one(l, r)))
+        return F.exists(
+            larr, lambda l: F.exists(rarr, lambda r: self._atom_cmp(l, r, op))
+        )
 
     # -------------------------------------------------- effective bool
     def _ebv(self, node, scope: dict) -> Column:
@@ -4700,7 +4992,9 @@ class DocEvaluator:
         return tuple(range(len(self.handles._list)))
 
     # ------------------------------------------------------- projection
-    def _project_return(self, stream: DataFrame, scope: dict, ret) -> Seq:
+    def _project_return(
+        self, stream: DataFrame, scope: dict, ret, at_unit: bool = False
+    ) -> Seq:
         if isinstance(ret, P.IfExpr):
             # `if (C) then E else ()` in return position acts as a
             # per-tuple filter and must keep E's node identity (the
@@ -4766,7 +5060,9 @@ class DocEvaluator:
             )
         if isinstance(ret, P.Flwor):
             # nested FLWOR: continue iterating the same tuple stream
-            return self._flwor(ret, stream, scope)
+            # (at_unit propagates so `let … return let …` chains keep
+            # marking stream-constant bindings as static)
+            return self._flwor(ret, stream, scope, at_unit=at_unit)
         if isinstance(ret, P.SeqCtor):
             parts = []
             for i, item in enumerate(ret.items):
