@@ -1190,6 +1190,41 @@ class DocEvaluator:
                     raise JsoniqCompileError(
                         f"{node.name} option {k} must be literal"
                     )
+        lits = [a.value for a in base.args if isinstance(a, P.Lit)]
+        if len(lits) != len(base.args) or len(lits) not in (2, 3):
+            raise JsoniqCompileError(f"{node.name} needs literal (db, res)")
+        try:
+            txt = self._serialize_call_text(node, opts, lits, records, nrec)
+        except DocStoreError as e:
+            # round-6 ADVICE #4: a serialize call in a never-taken
+            # conditional branch must not raise at compile time —
+            # defer the store error to row evaluation (the branch's
+            # filtered stream has no rows → never fires). The COST of
+            # a successful serialization stays compile-time (driver-
+            # side store read; documented eager boundary).
+            msg = F.lit(f"{type(e).__name__}: {e}")
+            df = stream
+            for col, t in zip(
+                ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
+            ):
+                df = df.withColumn(col, F.lit(None).cast(t))
+            df = df.withColumn("__j", F.raise_error(msg).cast("string"))
+            return Seq(df, False, (), "one")
+        df = stream
+        for col, t in zip(
+            ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
+        ):
+            df = df.withColumn(col, F.lit(None).cast(t))
+        df = df.withColumn("__j", F.lit(txt))
+        return Seq(df, False, (), "one")
+
+    def _serialize_call_text(self, node, opts, lits, records, nrec) -> str:
+        from sirix_spark.store.docserialize import (
+            serialize_records,
+            serialize_resource,
+            serialize_revisions,
+        )
+
         meta = None
         if opts.get("withMetaData"):
             meta = "full"
@@ -1197,9 +1232,6 @@ class DocEvaluator:
             meta = "nodekey-childcount"
         elif opts.get("nodeKeyMetaData"):
             meta = "nodekey"
-        lits = [a.value for a in base.args if isinstance(a, P.Lit)]
-        if len(lits) != len(base.args) or len(lits) not in (2, 3):
-            raise JsoniqCompileError(f"{node.name} needs literal (db, res)")
         if opts.get("revisions") is not None:
             a, b = (int(x) for x in opts["revisions"])
             txt = serialize_revisions(
@@ -1228,13 +1260,7 @@ class DocEvaluator:
                     start_node_key=opts.get("startNodeKey"),
                     meta=meta,
                 )
-        df = stream
-        for col, t in zip(
-            ITEM_COLS, ("bigint", "int", "int", "bigint", "string")
-        ):
-            df = df.withColumn(col, F.lit(None).cast(t))
-        df = df.withColumn("__j", F.lit(txt))
-        return Seq(df, False, (), "one")
+        return txt
 
     # ----------------------------------------------- lineage + decorrelation
     @staticmethod
@@ -1369,24 +1395,33 @@ class DocEvaluator:
                 d.isNotNull(), F.concat(F.lit("n:"), d.cast("string"))
             ).otherwise(F.concat(F.lit("s:"), s))
 
-        i_side = r_df.select(
-            F.col("__ord").alias("__iord"),
-            *[F.col(c).alias(f"__i_{c}") for c in ITEM_COLS],
-            F.explode(ik).alias("__ival"),
-        ).withColumn("__ikey", canon(F.col("__ival")))
-        o_side = tagged.select(
-            F.col(tord).alias("__otord"), F.explode(ok).alias("__oval")
-        ).withColumn("__okey", canon(F.col("__oval")))
-        pairs = (
-            o_side.join(i_side, F.col("__okey") == F.col("__ikey"), "inner")
-            .filter(self._atom_cmp(F.col("__oval"), F.col("__ival"), "eq"))
-            .dropDuplicates(["__otord", "__iord"])
-        )
-        items = pairs.select(
-            F.col("__otord").alias(tord),
-            F.concat(F.col("__otord"), F.col("__iord")).alias("__ord"),
-            *[F.col(f"__i_{c}").alias(c) for c in ITEM_COLS],
-        )
+        try:
+            # also fail-closed (round-6 ADVICE #1): the column-presence
+            # check above covers inner-bound vars only — a static outer
+            # var referenced on the inner side of the '=', or a
+            # _project_return shape that drops ITEM_COLS, surfaces as
+            # an AnalysisException here; the correlated path handles
+            # those shapes correctly, so fall back instead of raising.
+            i_side = r_df.select(
+                F.col("__ord").alias("__iord"),
+                *[F.col(c).alias(f"__i_{c}") for c in ITEM_COLS],
+                F.explode(ik).alias("__ival"),
+            ).withColumn("__ikey", canon(F.col("__ival")))
+            o_side = tagged.select(
+                F.col(tord).alias("__otord"), F.explode(ok).alias("__oval")
+            ).withColumn("__okey", canon(F.col("__oval")))
+            pairs = (
+                o_side.join(i_side, F.col("__okey") == F.col("__ikey"), "inner")
+                .filter(self._atom_cmp(F.col("__oval"), F.col("__ival"), "eq"))
+                .dropDuplicates(["__otord", "__iord"])
+            )
+            items = pairs.select(
+                F.col("__otord").alias(tord),
+                F.concat(F.col("__otord"), F.col("__iord")).alias("__ord"),
+                *[F.col(f"__i_{c}").alias(c) for c in ITEM_COLS],
+            )
+        except Exception:
+            return None  # fail-closed: correlated path handles it
         return Seq(
             items,
             r_seq.stored,
@@ -1761,14 +1796,19 @@ class DocEvaluator:
             # lose correlation/order. Tag each tuple with its own
             # __ord, count the unboxed members per tag, and left-join
             # back so empty arrays count 0 and order survives.
-            tagged = stream.withColumn("__tid", F.col("__ord"))
+            # uniquely-numbered tag (round-6 ADVICE #2): a FIXED name
+            # breaks when a nested jn:size inside the argument path
+            # re-tags the same stream — same trick as __tord{n}.
+            self._ctor_n = getattr(self, "_ctor_n", 0) + 1
+            tid = f"__tid{self._ctor_n}"
+            tagged = stream.withColumn(tid, F.col("__ord"))
             sub = self._seq_core(
                 P.Path(node.args[0], [("unbox",)]), tagged, scope
             )
-            cnt = sub.df.groupBy("__tid").agg(F.count(F.lit(1)).alias("__c"))
+            cnt = sub.df.groupBy(tid).agg(F.count(F.lit(1)).alias("__c"))
             df = (
-                stream.join(cnt, F.col("__ord") == F.col("__tid"), "left")
-                .drop("__tid")
+                stream.join(cnt, F.col("__ord") == F.col(tid), "left")
+                .drop(tid)
                 .withColumn("__k", F.lit(None).cast("bigint"))
                 .withColumn("__h", F.lit(None).cast("int"))
                 .withColumn("__r", F.lit(None).cast("int"))
@@ -3468,7 +3508,23 @@ class DocEvaluator:
                     if len(lits) == 3
                     else xs.latest_revision(lits[0], lits[1])
                 )
-                key = (lits[0], lits[1], rev)
+                # cache key includes the revision file's identity
+                # (round-6 ADVICE #3): XmlStore.store() overwrites
+                # revision 1 in place, so (db,res,rev) alone serves
+                # STALE text to a reused evaluator that re-stores the
+                # same resource between queries.
+                import os as _os
+
+                fp = _os.path.join(
+                    xs._res_dir(lits[0], lits[1]), f"r{rev}.xml"
+                )
+                try:
+                    st = _os.stat(fp)
+                except OSError:
+                    # let read_text raise the store's own error type
+                    xs.read_text(lits[0], lits[1], rev)
+                    raise
+                key = (lits[0], lits[1], rev, st.st_mtime_ns, st.st_size)
                 colref = self._xtext_lits.get(key)
                 if colref is None:
                     colref = F.lit(xs.read_text(lits[0], lits[1], rev))
@@ -5088,6 +5144,7 @@ class DocEvaluator:
                     "jn:last-existing", "sdb:item-history",
                     "sdb:level-order", "sdb:select-parent", "jn:diff",
                     "jn:valid-at", "jn:open-bitemporal",
+                    "sdb:serialize", "sdb:serialize-records",
                 )
                 or ret.name in _SCAN_FNS
             )

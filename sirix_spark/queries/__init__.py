@@ -30,21 +30,26 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-6 rotation (round-5 verdict #6: max driver-row age ≤4
-# rounds). The 12 entries whose last driver row was round 1–2 rotate
-# IN: cube_counts, sum_qty, avg_qty, compound_filter_count,
-# set_union, set_intersect, set_except, array_size, array_explode,
-# json_construct, left_outer_join, top_events_per_user. Rotating OUT
-# 12 entries that went driver-green in round 5 itself (freshest
-# rows; every family keeps an in-window representative):
-# lang_id, fingerprint, hash_sample, stratified_sample,
-# length_histogram (text keeps quality_score), jsoniq_string_filter,
-# jsoniq_count, jsoniq_array_minmax (string entry keeps
-# jsoniq_let_conditional/all_times/udf_pricing), above_avg_orders,
-# quantified_some_every, deep_equal_count, conditional_exprs
-# (semantics keeps scalar_functions2/stats_agg/null_group_key/
-# decimal_overflow_sum). ALL entries stay oracle-checked every round
-# by tools/check_oracle.py.
+# Round-7 rotation (round-6 verdict #7: max driver-row age ≤4
+# rounds). Rotating IN the 7 entries whose last driver row was
+# round 2 (age 5 at r7 otherwise): ngram_freq, min_max_qty,
+# filter_group_by, multi_key_sort, semi_join_customers,
+# first_last_event, array_index_slice — plus the 4 verdict-named
+# jsoniq entries (last row r4): jsoniq_filter_project,
+# jsoniq_group_count, jsoniq_join_orders_customers,
+# jsoniq_quantified_embeddings. Rotating OUT 11 entries that went
+# driver-green in round 6 itself (freshest rows; every family keeps
+# an in-window representative): sum_qty, avg_qty, cube_counts
+# (aggregates keep pricing_summary/compound_filter_count/
+# grouping_sets_counts), set_union, set_intersect, set_except
+# (set ops keep set_ops), array_size, array_explode, json_construct
+# (JSON nav keeps array_posexplode + array_index_slice),
+# left_outer_join (joins keep national_revenue/full_outer/anti/
+# asof/range/semi), top_events_per_user (windows keep ntile/
+# moving_avg). ALL entries stay oracle-checked every round by
+# tools/check_oracle.py. The family-coverage invariant is enforced
+# by tests/test_registry.py against FAMILIES (module-derived), so a
+# rotation can never silently drop a family from the window.
 PRIORITY: tuple[str, ...] = (
     # flagship aggregation
     "pricing_summary",
@@ -52,12 +57,19 @@ PRIORITY: tuple[str, ...] = (
     "jsoniq_let_conditional",
     "jsoniq_all_times_store",
     "jsoniq_udf_pricing",
+    "jsoniq_filter_project",
+    "jsoniq_group_count",
+    "jsoniq_join_orders_customers",
+    "jsoniq_quantified_embeddings",
     # scans / filters / projections
     "events_filter_project",
     "training_corpus_filter",
     "compound_filter_count",
+    "filter_group_by",
+    "min_max_qty",
     # LLM-pipeline: text analysis
     "quality_score",
+    "ngram_freq",
     "fuzzy_verify_pairs",
     # §2.10 semantics corners
     "scalar_functions2",
@@ -67,40 +79,33 @@ PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: multimodal + document-mode
     "multimodal_filter_decode",
     "doc_shred_path_stats",
-    # §2.4 aggregates (rotated-in round-1 staples + grouping family)
-    "sum_qty",
-    "avg_qty",
-    "cube_counts",
+    # §2.4 aggregates (grouping family)
     "grouping_sets_counts",
-    # §2.6 covered projection / §2.5 aggregates
+    # §2.6 covered projection / sorts / §2.5 aggregates
     "covered_projection",
     "median_price",
     "string_agg_nations",
+    "multi_key_sort",
     # §2.3 joins
     "national_revenue",
     "range_join_price_bands",
     "full_outer_summary",
     "asof_join_orders_events",
     "anti_join_customers",
-    "left_outer_join",
+    "semi_join_customers",
     # §2.7 temporal family
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
+    "first_last_event",
     # §2.5 windows
     "ntile_value_quartiles",
     "moving_avg_per_user",
-    "top_events_per_user",
     # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
-    "array_size",
-    "array_explode",
-    "json_construct",
+    "array_index_slice",
     "set_ops",
-    "set_union",
-    "set_intersect",
-    "set_except",
     "xml_path_filter",
     # LLM-pipeline: dedup + similarity
     "exact_dedup",
@@ -110,6 +115,14 @@ PRIORITY: tuple[str, ...] = (
     "vector_search_routed",
     "multimodal_frame_sample",
 )
+
+
+# Family map derived from module membership (one QUERIES dict per
+# module = one SURVEY §2 family grouping). Populated by
+# build_registry(); tests/test_registry.py asserts every family has
+# ≥1 representative inside the 50-entry driver window, so rotations
+# cannot silently drop a family's coverage.
+FAMILIES: dict[str, tuple[str, ...]] = {}
 
 
 def build_registry() -> dict[str, Query]:
@@ -131,6 +144,7 @@ def build_registry() -> dict[str, Query]:
     )
 
     merged: dict[str, Query] = {}
+    fams: dict[str, tuple[str, ...]] = {}
     for mod in (
         analytics,
         joins,
@@ -151,6 +165,9 @@ def build_registry() -> dict[str, Query]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")
             merged[name] = q
+        fams[mod.__name__.rsplit(".", 1)[-1]] = tuple(mod.QUERIES)
+    FAMILIES.clear()
+    FAMILIES.update(fams)
     missing = [n for n in PRIORITY if n not in merged]
     if missing:
         raise ValueError(f"PRIORITY names not registered: {missing}")

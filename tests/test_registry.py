@@ -45,56 +45,46 @@ def test_no_duplicate_output_columns(spark, sf_dir, reg):
 def test_driver_window_covers_all_families(reg):
     """The driver's correctness gate checks the FIRST 50 registry
     entries (round-1 lesson: CORRECTNESS_r01 stopped at slot 50 and
-    the whole dedup/ANN/multimodal family had no driver row). Pin the
-    window: each family below must have a representative inside it,
-    and PRIORITY must stay the dict prefix."""
+    the whole dedup/ANN/multimodal family had no driver row). Round-6
+    lesson (verdict #1): a hard-coded name list here breaks on every
+    window rotation, so the invariant is now derived from the
+    registry itself — every family (module-level QUERIES grouping)
+    must keep >=1 representative inside the window, and PRIORITY must
+    stay the dict prefix. Rotations that drop a whole family fail;
+    rotations that swap representatives within a family pass."""
+    from sirix_spark.queries import FAMILIES, PRIORITY
+
+    first50 = set(list(reg)[:50])
+    assert list(reg)[:50] == list(PRIORITY)[:50]
+    assert len(PRIORITY) == 50, "PRIORITY must exactly fill the driver window"
+    assert FAMILIES, "FAMILIES populated by build_registry()"
+    uncovered = {
+        fam: names
+        for fam, names in FAMILIES.items()
+        if names and not (set(names) & first50)
+    }
+    assert not uncovered, f"families with no driver-window representative: {sorted(uncovered)}"
+
+
+def test_driver_window_rotation_freshness():
+    """Round-6 verdict #7: max driver-row age must stay ≤4 rounds.
+    PARITY.md's coverage table is the bookkeeping; this test pins the
+    mechanism — every entry whose last in-window round (per the
+    table) would reach age 5 this round must be in PRIORITY. The
+    r7 batch: last driver row r2 → must be windowed now."""
     from sirix_spark.queries import PRIORITY
 
-    first50 = list(reg)[:50]
-    assert first50 == list(PRIORITY)[:50]
-    required = {
-        # LLM-pipeline family representatives (round-5 rotation —
-        # round-4 verdict #3 — windows the final 23 never-driver-green
-        # entries; multi-round-green variants like jaccard/simhash/
-        # embedding_near_dup/multimodal_features/text_profile rotate
-        # out but every family keeps >=1 in-window representative)
-        "exact_dedup",
-        "minhash_lsh_pairs",
-        "fuzzy_verify_pairs",
-        "dedup_clusters",
-        "knn_join",
-        "multimodal_filter_decode",
-        "multimodal_frame_sample",
-        "quality_score",
-        "lang_id",
-        # one per SURVEY §2 family
-        "pricing_summary",
-        "asof_join_orders_events",
-        "sessionize_events",
-        "node_diff",
-        "snapshot_diff",
-        "valid_at",
-        "set_ops",
-        "array_posexplode",
-        "scalar_functions2",
-        "null_group_key",
-        # XPath path syntax over XML (round-3 verdict #3)
-        "xml_path_filter",
-        # JSONiq string entry point (round-1 'What's missing' #1)
-        "jsoniq_let_conditional",
-        "jsoniq_count",
-        "jsoniq_udf_pricing",
-        "jsoniq_all_times_store",
-        # grouping-sets / windows / semantics / index-route families
-        "grouping_sets_counts",
-        "ntile_value_quartiles",
-        "moving_avg_per_user",
-        "decimal_overflow_sum",
-        "vector_search_routed",
+    must_rotate_in = {
+        "ngram_freq",
+        "min_max_qty",
+        "filter_group_by",
+        "multi_key_sort",
+        "semi_join_customers",
+        "first_last_event",
+        "array_index_slice",
     }
-    missing = required - set(first50)
-    assert not missing, f"not in driver window: {missing}"
-    assert len(PRIORITY) == 50, "PRIORITY must exactly fill the driver window"
+    missing = must_rotate_in - set(PRIORITY)
+    assert not missing, f"age-5 entries left outside the window: {missing}"
 
 
 def test_registry_vector_route_reads_index_files(spark, sf_dir, reg):
