@@ -154,6 +154,39 @@ def assignment_margin(
 # midpoint of the measured fixtures (0.45 clustered / 0.15 random),
 # biased low so genuinely clusterable corpora keep the fast path.
 STRUCTURE_MARGIN_MIN = 0.25
+# At or above this margin the corpus is decisively clustered and the
+# default nprobe=2 probe holds recall@10 ≥ 0.97 (BENCH_NOTES round-4
+# recall table, clustered fixture).
+STRUCTURE_MARGIN_STRONG = 0.45
+
+
+def margin_to_nprobe(margin: float, n_cells: int) -> int | None:
+    """Continuous margin→nprobe routing (the HNSW recall/speed trade
+    analog, HnswGraph.java:24 — round-5/6 verdict ask). The BENCH_NOTES
+    round-4 recall table measures recall@10 on mid-structure data
+    recovering with wider probes (nprobe=4 → 0.65, nprobe=8 → 0.83 on
+    the structureless fixture; 1.0 from nprobe=4 on the clustered
+    one), so instead of the binary exhaustive/nprobe=2 guard:
+
+    - margin < 0.25: None — no usable structure, pruning halves
+      recall; caller pins route='exhaustive'.
+    - 0.25 ≤ margin < 0.45: linear ramp 8 → 4; mid-structure corpora
+      pay a wider (but still pruned) probe instead of a full scan.
+    - margin ≥ 0.45: 2 — the measured-0.97-recall default.
+
+    Always capped at n_cells (an all-cells probe is exhaustive)."""
+    if margin < STRUCTURE_MARGIN_MIN:
+        return None
+    if margin >= STRUCTURE_MARGIN_STRONG:
+        return min(2, n_cells)
+    import math
+
+    span = STRUCTURE_MARGIN_STRONG - STRUCTURE_MARGIN_MIN
+    np_f = 8.0 - (margin - STRUCTURE_MARGIN_MIN) / span * 4.0
+    # ceil, not round: the band exists to protect recall — always err
+    # toward the wider probe (measured: the half-clustered fixture at
+    # nprobe=6 sits exactly AT 0.90 recall@10; 7 clears it)
+    return min(math.ceil(np_f), n_cells)
 
 
 # ---------- random-hyperplane LSH -----------------------------------

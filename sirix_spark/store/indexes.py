@@ -173,10 +173,10 @@ class ProjectionIndexes:
           (table, plane, dim) so only the shape goes in the catalog.
         """
         from sirix_spark.operators.ann import (
-            STRUCTURE_MARGIN_MIN,
             assignment_margin,
             ivf_assign,
             lsh_signature,
+            margin_to_nprobe,
             train_centroids,
         )
         from sirix_spark.store.store import RECORD_KEY
@@ -202,13 +202,20 @@ class ProjectionIndexes:
             # exhaustive at BUILD time and record the decision + the
             # statistic in the catalog entry (the index manifest)
             margin = assignment_margin(base, centroids, column)
-            if margin < STRUCTURE_MARGIN_MIN:
+            # continuous margin→nprobe routing (round-6 verdict #4):
+            # below the floor the route pins exhaustive; above it the
+            # catalog records the recall-calibrated probe width so
+            # searches without an explicit nprobe serve at the
+            # measured ≥0.9-recall setting for this corpus's structure
+            rec_nprobe = margin_to_nprobe(margin, n_cells)
+            if rec_nprobe is None:
                 route = "exhaustive"
             params = {
                 "centroids": centroids,
                 "dim": dim,
                 "n_cells": n_cells,
                 "structure_margin": round(margin, 4),
+                "recommended_nprobe": rec_nprobe,
             }
         elif method == "lsh":
             sig = lsh_signature(base, dim, n_tables, n_planes, column)
@@ -251,7 +258,7 @@ class ProjectionIndexes:
         k: int = 10,
         column: str = "embedding",
         revision: int | None = None,
-        nprobe: int = 2,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """kNN with auto-routing: serve from a built vector index when
         one covers (column, revision), else exact brute force over the
@@ -273,6 +280,14 @@ class ProjectionIndexes:
         idx = self.find_vector_index(db, res, column, revision)
         spark = self.store.spark
 
+        if nprobe is None:
+            # auto: the build-time margin→nprobe recommendation from
+            # the catalog (continuous structure routing); 2 (the
+            # strong-structure default) when the index predates the
+            # recommendation or the route is pinned exhaustive
+            nprobe = (
+                idx.get("params", {}).get("recommended_nprobe") or 2
+            ) if idx is not None else 2
         if (
             idx is not None
             and idx.get("route") == "exhaustive"

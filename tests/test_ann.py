@@ -224,3 +224,108 @@ def test_structure_guard_routes_by_fixture(spark, sf_dir):
     )
     served = idx.vector_search("g", "clu", qc, k=5, nprobe=2)
     assert "vidx_ann" in served._jdf.queryExecution().executedPlan().toString()
+
+
+def test_continuous_margin_routing_half_clustered(spark):
+    """Round-6 verdict #4: continuous margin->nprobe routing. On a
+    NEW half-clustered fixture (margin in the [0.25, 0.45) band) the
+    build must keep route='ivf' with a recall-calibrated
+    recommended_nprobe in the catalog, and the AUTO search
+    (nprobe=None) must hold recall@10 >= 0.9 while scanning < 50% of
+    the corpus (probed-cell row count vs exhaustive)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from sirix_spark.functions.similarity import cosine as _cos
+    from sirix_spark.operators.ann import (
+        ivf_probe_cells,
+        margin_to_nprobe,
+    )
+    from sirix_spark.store.indexes import ProjectionIndexes
+    from sirix_spark.store.store import VersionedStore
+    from tools.ann_recall import half_clustered_fixture
+
+    half = half_clustered_fixture(spark, n=500, dim=64).drop("label").cache()
+    st = VersionedStore(spark, tempfile.mkdtemp())
+    st.store("g", "half", half, key="vec_id")
+    idx = ProjectionIndexes(st)
+    e = idx.create_vector_index("g", "half", "ann", n_cells=16, method="ivf")
+    # route + margin + recommendation all land in the catalog entry
+    assert e["route"] == "ivf", e["params"]
+    margin = e["params"]["structure_margin"]
+    assert 0.25 <= margin < 0.45, margin
+    rec_np = e["params"]["recommended_nprobe"]
+    assert rec_np == margin_to_nprobe(margin, 16)
+    assert 4 <= rec_np <= 8, rec_np
+
+    q = half.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).cache()
+    # scan-cost bound: rows in the probed cells < 50% of the corpus
+    probed = ivf_probe_cells(q, e["params"]["centroids"], rec_np)
+    cells = {c for r in probed.select("probe_cells").collect() for c in r[0]}
+    corpus = spark.read.parquet(e["path"])
+    per_q = (
+        probed.select(F.explode("probe_cells").alias("cell"))
+        .join(corpus.groupBy("cell").count(), "cell")
+        .agg(F.sum("count"))
+        .first()[0]
+    )
+    n_q = q.count()
+    total = half.count()
+    assert per_q / n_q < 0.5 * total, (
+        f"avg probed rows {per_q / n_q:.0f} not < 50% of {total}"
+    )
+
+    # AUTO search (no nprobe) serves from the index at the
+    # recommendation and holds recall@10 >= 0.9 vs exact brute force
+    served = idx.vector_search("g", "half", q, k=10)
+    assert "vidx_ann" in served._jdf.queryExecution().executedPlan().toString()
+    # NB: vector_search serves the corpus INCLUDING the query point
+    # (queries here are corpus vectors), so the exact oracle must too
+    # — excluding self caps measurable recall at 9/10 by construction
+    truth = (
+        half.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "vec_id",
+            F.round(_cos(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("r") <= 10)
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("truth"))
+    )
+    got = served.groupBy("query_id").agg(
+        F.collect_set("record_key").alias("got")
+    )
+    rec = (
+        truth.join(got, "query_id")
+        .select(
+            (F.size(F.array_intersect("truth", "got")) / F.size("truth")).alias("r")
+        )
+        .agg(F.avg("r"))
+        .first()[0]
+    )
+    assert rec >= 0.9, f"auto-routed recall@10 {rec:.3f} < 0.9 (nprobe={rec_np})"
+
+
+def test_margin_to_nprobe_mapping():
+    from sirix_spark.operators.ann import margin_to_nprobe
+
+    assert margin_to_nprobe(0.10, 16) is None  # structureless
+    assert margin_to_nprobe(0.249, 16) is None
+    assert margin_to_nprobe(0.25, 16) == 8  # band floor: widest probe
+    assert margin_to_nprobe(0.35, 16) == 6  # mid-band (recall-first ceil)
+    assert margin_to_nprobe(0.449, 16) == 5  # band ceiling
+    assert margin_to_nprobe(0.45, 16) == 2  # strong structure
+    assert margin_to_nprobe(0.90, 16) == 2
+    assert margin_to_nprobe(0.30, 4) == 4  # capped at n_cells
+    assert margin_to_nprobe(0.90, 1) == 1

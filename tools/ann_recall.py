@@ -95,6 +95,29 @@ def recall_table(spark, sf_dir: str) -> dict:
     return out
 
 
+def half_clustered_fixture(
+    spark, n: int = 500, dim: int = 64, n_clusters: int = 10
+):
+    """Mid-structure embeddings: same md5-seeded unit centers as
+    clustered_fixture but with ~0.85 noise norm — measured assignment
+    margin ≈ 0.36, inside the continuous-routing band [0.25, 0.45)
+    where margin_to_nprobe widens the probe (≈6 of 16 cells) instead
+    of the strong-structure nprobe=2 or a full exhaustive scan."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, n)
+    vecs = centers[labels] + (0.85 / np.sqrt(dim)) * rng.randn(n, dim)
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
 def clustered_fixture(spark, n: int = 500, dim: int = 64, n_clusters: int = 10):
     """Deterministic clustered embeddings (Gaussian blobs around
     md5-seeded unit centers). The sf embeddings fixture is i.i.d.

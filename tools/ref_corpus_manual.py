@@ -1939,21 +1939,23 @@ def _setup_xmark(spark, store):
 
 SETUPS["xmark"] = _setup_xmark
 
-# q09/q10 are kept out of the default replay on RUNTIME only — BOTH
-# verified byte-for-byte: with the correlated-let and enclosed-
-# expression lineage checkpoints (docmodel._let/_enclosed_col) plus
-# fn:data lexical atomization, q09 MATCHES in ~4.6 min and q10 in
-# ~4.8 min (both previously OOM/timeout). Set
-# SIRIX_SPARK_CORPUS_HEAVY=1 to include them; the other 18 replay
-# byte-for-byte in the default run.
-_XMARK_SLOW = (9, 10)
-
+# All 20 XMark queries replay byte-for-byte in the DEFAULT run —
+# the round-7 runtime gate (_XMARK_SLOW) is GONE. Measured idle on
+# this box, 1.2 MB auction.xml: q09 ≈ 30 s and q10 ≈ 33 s (round 6:
+# 156 s / 186 s; rounds 3-5: 4.6 / 4.8 min). What fixed them, in
+# order of impact: (1) unit-level XML path lets ($ca/$ei) cut their
+# lineage after packing — pre-cut, every downstream reference
+# re-inlined the axis-join + subtree-serialize subplan (q09's first
+# checkpoint plan was 14k lines / 1.8k joins and took ~90 s to
+# materialize); (2) text()-final constructor templates compile to
+# JVM-side Hive xpath() over the item's serialized subtree
+# (docmodel._enclosed_text_fast) — q10's 11 templates each paid an
+# ~14 s axis-join + localCheckpoint pipeline; (3) the remaining
+# packings are cut every third (docmodel._maybe_cut_packed), which
+# bounds the plan-doubling growth that otherwise melts the driver's
+# per-DataFrame analysis walks.
 if os.path.isdir(_XMARK_DIR):
     for _n in range(1, 21):
-        if _n in _XMARK_SLOW and not os.environ.get(
-            "SIRIX_SPARK_CORPUS_HEAVY"
-        ):
-            continue
         with open(f"{_XMARK_DIR}/queries/fndoc/q{_n:02d}.xq") as _f:
             _q = _f.read()
         with open(f"{_XMARK_DIR}/results/q{_n:02d}.out") as _f:
