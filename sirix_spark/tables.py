@@ -34,6 +34,26 @@ BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
 _FACT_TABLES = ("lineitem", "orders", "events")
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Size-aware cache partitioning (round-6 verdict #3, the asof_join
+# drift): every cached partition costs a fixed per-task overhead in
+# EVERY downstream shuffle map stage (task launch + one shuffle
+# file + index write) — profiled at ~250 ms run / ~75 ms shuffle
+# write PER TASK on sub-10k-row partitions. At sf0.1, caching 100k
+# events across 32 partitions made asof_join's map side 64 tiny
+# tasks ≈ 0.6 s of pure overhead; 8 partitions → 0.44 s total, and
+# the same cache at 1000× rows hits the defaultParallelism ceiling
+# and behaves exactly as before. Target keeps ≥20k rows per cached
+# partition, capped at defaultParallelism.
+_CACHE_TARGET_ROWS = 20_000
+# …EXCEPT tables whose consumers do heavy PER-ROW compute (documents
+# feeds shingling/minhash/edit-distance; embeddings feeds
+# 64-dim cosine math): row count understates their work, and
+# collapsing 5k documents to 1 partition serialized the whole dedup
+# family (measured: minhash_signatures 0.33 s → 0.67 s,
+# jaccard_near_dup 0.88 s → 2.2 s). These keep the fixed dim-table
+# parallelism regardless of row count.
+_COMPUTE_HEAVY = ("documents", "embeddings")
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -61,8 +81,17 @@ def _load_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (sf_dir, name)
     if key not in _CACHE:
         df = _load_raw(spark, sf_dir, name)
-        n = spark.sparkContext.defaultParallelism if name in _FACT_TABLES else 8
-        df = df.repartition(n).persist()
+        cap = (
+            spark.sparkContext.defaultParallelism
+            if name in _FACT_TABLES
+            else 8
+        )
+        if name in _COMPUTE_HEAVY:
+            parts = cap
+        else:
+            rows = df.count()  # parquet-metadata count: cheap
+            parts = min(cap, -(-rows // _CACHE_TARGET_ROWS) or 1)
+        df = df.repartition(parts).persist()
         df.count()
         _CACHE[key] = df
     return _CACHE[key]

@@ -76,3 +76,16 @@ def test_minhash_is_map_only(spark, sf_dir):
     # signature computation must not shuffle (no Exchange operator).
     plan = explain_str(q("minhash_signatures", spark, sf_dir), "simple")
     assert "Exchange" not in plan
+
+
+def test_asof_join_single_exchange_partitioned_window(spark, sf_dir):
+    """Round-6 verdict #3 done-criterion: the as-of join stays the
+    one-shuffle union+window form — exactly ONE Exchange (the hash
+    partition on the join key) and a WindowExec that is PARTITIONED
+    (a partition-less window moves everything to one task)."""
+    plan = explain_str(q("asof_join_orders_events", spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan
+    # the window spec partitions by the key column k
+    assert "windowspecdefinition(k#" in plan, plan
