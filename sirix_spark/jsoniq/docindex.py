@@ -64,6 +64,12 @@ _CAS_KINDS = {
     "xs:double": "number",
     "xs:float": "number",
     "xs:boolean": "boolean",
+    # ISO-8601 Z-normalized instants order lexicographically, so the
+    # string comparison path IS the chronological comparison (the
+    # reference's valid-time auto CAS indexes are Str-keyed too —
+    # BitemporalIndexStressTest's createCASFilter(Set.of(...), new
+    # Str("2022-01-01T00:00:00Z"), GREATER_OR_EQUAL, ...))
+    "xs:dateTime": "string",
 }
 
 

@@ -155,8 +155,16 @@ class Seq:
         xml: tuple[int, ...] = (),
         xn: bool = False,
         xdoc: bool = False,
+        atomic: bool = False,
     ):
         self.df = df
+        # XDM-atomic sequence (scalar-compiler output): the final
+        # serializer prints string atomics RAW, without JSON quotes
+        # (Brackit StringSerializer; NativeImageSmokeTest goldens) —
+        # JSON string ITEMS stay quoted. Internal __j text keeps the
+        # typed JSON form either way, so group-by/join semantics
+        # (18 vs "18") are unaffected.
+        self.atomic = atomic
         self.stored = stored  # items have node identity
         self.handles = handles  # static doc-handle ids present
         self.card = card  # 'one' | 'many'
@@ -263,9 +271,16 @@ class DocEvaluator:
         """XQuery serialization: a single space separates adjacent
         ATOMIC values; XML node items (flagged __xn) serialize
         adjacent with no separator (the XMark goldens pin both —
-        q02.out's elements abut, q18.out's decimals are spaced)."""
+        q02.out's elements abut, q18.out's decimals are spaced).
+        XDM string ATOMICS (flagged __at by the scalar compiler)
+        print raw, without their JSON quotes — Brackit's
+        StringSerializer behavior (NativeImageSmokeTest.java:
+        concat('Hello',' ','World') → Hello World). JSON string
+        ITEMS (derefs/unboxes) never carry the flag and keep the
+        quoted JSON form the JsonIntegrationTest goldens pin."""
         df = seq.df
         has_xn = "__xn" in df.columns
+        atomic = getattr(seq, "atomic", False)
         cols = ["__j"] + (["__xn"] if has_xn else [])
         rows = df.orderBy("__ord").select(*cols).collect()
         parts: list[str] = []
@@ -276,7 +291,10 @@ class DocEvaluator:
             node = bool(r["__xn"]) if has_xn else False
             if parts:
                 parts.append("" if (node or prev_node) else " ")
-            parts.append(r["__j"])
+            j = r["__j"]
+            if atomic and j.startswith('"'):
+                j = json.loads(j)
+            parts.append(j)
             prev_node = node
         return "".join(parts)
 
@@ -1591,8 +1609,10 @@ class DocEvaluator:
             return self._seq_from_scalar(arr, stream)
         if isinstance(node, P.SeqCtor):
             parts = []
+            part_atomic: list[bool] = []
             for i, item in enumerate(node.items):
                 s = self._expr_seq(item, stream, scope)
+                part_atomic.append(getattr(s, "atomic", False))
                 parts.append(
                     s.df.withColumn(
                         "__ord",
@@ -1607,7 +1627,9 @@ class DocEvaluator:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
-            return Seq(df, False, (), "many")
+            return Seq(
+                df, False, (), "many", atomic=all(part_atomic)
+            )
         raise JsoniqCompileError(
             f"unsupported sequence expression {type(node).__name__}"
         )
@@ -1760,7 +1782,7 @@ class DocEvaluator:
             .withColumn("__j", F.to_json(F.col("__v")))
             .drop("__p", "__v")
         )
-        return Seq(df, False, (), "many")
+        return Seq(df, False, (), "many", atomic=True)
 
     def _handle_root_seq(self, hid: int, stream: DataFrame) -> Seq:
         h = self.handles.get(hid)
@@ -5294,7 +5316,7 @@ class DocEvaluator:
             .withColumn("__j", F.to_json(F.col("__v")))
             .drop("__p", "__v")
         )
-        return Seq(df, False, (), "many")
+        return Seq(df, False, (), "many", atomic=True)
 
 
 _SCAN_FNS = (

@@ -39,6 +39,8 @@ _SIDE_EFFECT_FNS = {
     "jn:drop-resource",
     "jn:create-projection-index",
     "jn:drop-projection-index",
+    "jn:create-valid-time-index",
+    "jn:drop-valid-time-index",
     "sdb:commit",
 }
 
@@ -355,6 +357,24 @@ class _PyInterp:
             db = self._one(self.eval(node.args[0], env))
             res = self._one(self.eval(node.args[1], env))
             texts = [it.value for it in self.eval(node.args[2], env)]
+            # optional 4th arg: createNew boolean (default true —
+            # replace the collection); optional 5th arg: options
+            # object with commitMessage / commitTimestamp / author
+            # (json/Store.java + LoadIntegrationTest.java)
+            create_new = True
+            if len(node.args) > 3:
+                v = self._one(self.eval(node.args[3], env))
+                if v is not None:
+                    create_new = bool(v)
+            opts: dict = {}
+            if len(node.args) > 4:
+                o = self._one(self.eval(node.args[4], env))
+                if isinstance(o, dict):
+                    opts = o
+            kw = {
+                "message": opts.get("commitMessage"),
+                "commit_ts": opts.get("commitTimestamp"),
+            }
             put = (
                 self.ev.store.store
                 if name in ("jn:store", "store")
@@ -362,13 +382,17 @@ class _PyInterp:
             )
             if res is None:
                 # collection form jn:store(db, (), (doc, doc, …)) —
-                # auto-named resources (BasicJsonDBStore.createCollection)
+                # auto-named resources (BasicJsonDBStore.
+                # createCollection); createNew=false ADDS to the
+                # existing collection instead of replacing it
+                if create_new and self.ev.store.resources(db):
+                    self.ev.store.drop_database(db)
                 start = len(self.ev.store.resources(db))
                 for i, t in enumerate(texts):
-                    put(db, f"resource{start + i + 1}", t)
+                    put(db, f"resource{start + i + 1}", t, **kw)
             else:
                 for t in texts:
-                    put(db, res, t)
+                    put(db, res, t, **kw)
             return []
         if name in ("xml:store", "xml:load"):
             # io/Store.java (xml:store): store serialized XML as a new
@@ -500,6 +524,19 @@ class _PyInterp:
             return [PyItem(min(vals) if short == "min" else max(vals))]
         if name.startswith("jn:create-") and name.endswith("-index"):
             return self._create_index(node, env)
+        if name.startswith("jn:drop-") and name.endswith("-index"):
+            # generic index drop (jn:drop-valid-time-index and the
+            # cas/path/name family): remove the kind's definitions
+            # from the catalog; jn:valid-at and the scans fall back
+            # to the node-table path and stay correct
+            kind = name[len("jn:drop-"):-len("-index")]
+            it = self.eval(node.args[0], env)[0]
+            h = self._handle(it.hid)
+            number = None
+            if len(node.args) > 1:
+                number = int(self._one(self.eval(node.args[1], env)))
+            self.ev.store.drop_index(h.db, h.res, kind, number)
+            return [PyItem(True)]
         if name == "xml:doc":
             # opaque XML-resource reference for the DDL shapes below
             db = self._one(self.eval(node.args[0], env))
@@ -549,6 +586,24 @@ class _PyInterp:
         content_type = None
         paths: tuple[str, ...] = ()
         rest = node.args[1:]
+        if kind == "valid-time":
+            # jn:create-valid-time-index($doc) — the VALIDTIME
+            # interval index over the resource's configured
+            # validTimePaths (ValidTimeIndexDropTest.java /
+            # ValidTimeIndexEndToEndTest.java). No path args: the
+            # paths come from the resource config; creating without
+            # a valid-time config is an error, as in the reference.
+            cfg = self.ev.store.valid_time_config(h.db, h.res)
+            if not cfg:
+                raise JsoniqCompileError(
+                    "jn:create-valid-time-index needs validTimePaths "
+                    "resource config"
+                )
+            n = self.ev.store.create_index(
+                h.db, h.res, "valid-time", None,
+                (f"//[]/{cfg['from']}", f"//[]/{cfg['to']}"),
+            )
+            return [PyItem(n)]
         if kind == "cas":
             content_type = self._one(self.eval(rest[0], env))
             rest = rest[1:]

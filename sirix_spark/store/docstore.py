@@ -156,9 +156,17 @@ class DocumentStore:
         text: str,
         author: str | None = None,
         author_id: str | None = None,
+        message: str | None = None,
+        commit_ts: str | None = None,
     ) -> int:
         """jn:store — create the resource at revision 1 (the text is
-        validated/canonicalized through one parse)."""
+        validated/canonicalized through one parse). `message` /
+        `commit_ts` are the reference's jn:store/jn:load option-object
+        fields commitMessage / commitTimestamp
+        (json/BasicJsonDBStore options; LoadIntegrationTest.java) —
+        recorded in the revision entry, where commit_ts overrides the
+        wall-clock committed_at so jn:open(point-in-time) sees the
+        caller-declared instant."""
         from sirix_spark.store.docnodes import dumps_doc, loads_doc
 
         canon = dumps_doc(loads_doc(text))
@@ -176,7 +184,9 @@ class DocumentStore:
             db,
             res,
             {
-                "revisions": [self._rev_entry(1, author, author_id)],
+                "revisions": [
+                    self._rev_entry(1, author, author_id, message, commit_ts)
+                ],
                 "indexes": [],
                 # the reference's monotonic nodeKey counter: never
                 # reused, advanced by every insert (stable identity
@@ -186,11 +196,20 @@ class DocumentStore:
         )
         return 1
 
-    def load(self, db: str, res: str, uri: str) -> int:
+    def load(
+        self,
+        db: str,
+        res: str,
+        uri: str,
+        message: str | None = None,
+        commit_ts: str | None = None,
+    ) -> int:
         """jn:load — read a JSON file (file:// URI or path)."""
         path = uri[7:] if uri.startswith("file://") else uri
         with open(path, encoding="utf-8-sig") as f:
-            return self.store(db, res, f.read())
+            return self.store(
+                db, res, f.read(), message=message, commit_ts=commit_ts
+            )
 
     # the reference's default commit user (Databases.openJsonDatabase
     # without an explicit User — GetAuthorName.java serves "admin")
@@ -199,14 +218,30 @@ class DocumentStore:
 
     @staticmethod
     def _rev_entry(
-        n: int, author: str | None = None, author_id: str | None = None
+        n: int,
+        author: str | None = None,
+        author_id: str | None = None,
+        message: str | None = None,
+        commit_ts: str | None = None,
     ) -> dict:
-        return {
+        committed = datetime.now(timezone.utc).isoformat()
+        if commit_ts:
+            # commitTimestamp option: naive timestamps are UTC (the
+            # reference parses LocalDateTime and stores it as the
+            # revision instant)
+            dt = datetime.fromisoformat(commit_ts.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            committed = dt.isoformat()
+        entry = {
             "revision": n,
-            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "committed_at": committed,
             "author": author or DocumentStore.DEFAULT_AUTHOR,
             "author_id": author_id or DocumentStore.DEFAULT_AUTHOR_ID,
         }
+        if message is not None:
+            entry["message"] = message
+        return entry
 
     def rev_entry(self, db: str, res: str, revision: int) -> dict:
         for e in self._read_manifest(db, res)["revisions"]:

@@ -1341,9 +1341,10 @@ CASES += [
     _xb("#fnCountTexts", "xpath/FunctionsTest.java",
         f"fn:count({_PA}/text())", "3"),
     # the value is the attribute's string-value "j"; string ATOMICS
-    # serialize JSON-quoted at this surface (XML node items print raw)
+    # now print RAW (round-7 Brackit StringSerializer parity —
+    # NativeImageSmoke goldens; XML node items printed raw already)
     _xb("#fnStringAttr", "xpath/expr/FunctionAxisTest.java",
-        f"fn:string({_PA}/attribute::*)", '"j"'),
+        f"fn:string({_PA}/attribute::*)", "j"),
 ]
 
 # ----- xpath/expr/InstanceOfExprTest + CastableExprTest (the XQuery
@@ -1401,21 +1402,21 @@ CASES += [
     _c("XPathFn#existsLiterals", _XFT,
        "fn:exists(('a', 'b', 'c'))", "true"),
     _c("XPathFn#substringAfter", _XFT,
-       'fn:substring-after("query", "u")', '"ery"'),
+       'fn:substring-after("query", "u")', 'ery'),
     _c("XPathFn#substringBefore", _XFT,
-       'fn:substring-before("query", "r")', '"que"'),
+       'fn:substring-before("query", "r")', 'que'),
     _c("XPathFn#numberFromString", _XFT, "fn:number('29.99')", "29.99"),
     _c("XPathFn#distinctValues", _XFT,
-       "fn:distinct-values(('a', 'a'))", '"a"'),
+       "fn:distinct-values(('a', 'a'))", "a"),
     _c("XPathFn#lastB", _XFT, f"{_XD1}//b[last()]",
        '<b p:x="y"><c/>bar</b>', setup_py="xml_versioned"),
     _c("XPathFn#oneOrMoreNodes", _XFT,
        f"fn:one-or-more({_XD1}//b/c)", "<c/><c/>",
        setup_py="xml_versioned"),
     _c("XPathFn#exactlyOneString", _XFT,
-       'fn:exactly-one("a")', '"a"'),
+       'fn:exactly-one("a")', 'a'),
     _c("XPathFn#zeroOrOneString", _XFT,
-       'fn:zero-or-one("a")', '"a"'),
+       'fn:zero-or-one("a")', 'a'),
 ]
 
 # ----- xpath/filter/DubFilterTest.java (duplicate elimination across

@@ -194,11 +194,15 @@ def main() -> int:
 
     spark = get_spark()
     from tools.ref_corpus_manual import CASES as MANUAL_CASES
+    from tools.ref_corpus_r7 import CASES as R7_CASES
     from tools.ref_corpus_serializer import CASES as SER_CASES
     from tools.ref_corpus_sweep import extract_sweep_cases
 
     corpus = extract_corpus()
-    cases = corpus["cases"] + MANUAL_CASES + SER_CASES + extract_sweep_cases()
+    cases = (
+        corpus["cases"] + MANUAL_CASES + SER_CASES + extract_sweep_cases()
+        + R7_CASES
+    )
     if args.only:
         cases = [c for c in cases if args.only.lower() in c["name"].lower()]
 
