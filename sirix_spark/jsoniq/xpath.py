@@ -400,18 +400,81 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
     )
 
 
+def _chain_len(steps: list, i: int) -> int:
+    """Length of the maximal predicate-less child::name run at i
+    (unprefixed names only — prefixed QNames go through the generic
+    name workaround)."""
+    j = i
+    while j < len(steps):
+        _, axis, test, preds = steps[j]
+        if (
+            axis == "child"
+            and test[0] == "name"
+            and ":" not in test[1]
+            and not preds
+        ):
+            j += 1
+        else:
+            break
+    return j - i
+
+
+def _child_chain_join(
+    nodes: DataFrame, frontier: DataFrame, names: list[str]
+) -> DataFrame:
+    """Collapse a run of predicate-less child::name steps into ONE
+    equi-join on the shredder's materialized path column — the Spark
+    analog of the reference's path-summary PCR filter (a CAS/path
+    scan narrows to path-class numbers instead of walking child axes,
+    index/path/summary/PathSummaryReader.java). /site/people/person
+    is 3 axis joins (3 broadcast stages + dedups) on the generic
+    path; here it is one hash join: result.path == frontier.path +
+    '/site/people/person', same doc, inside the frontier's pre-order
+    interval (which also rejects text/attr contexts — their
+    descendant_count is 0). kind==ELEMENT excludes text nodes, which
+    inherit their parent ELEMENT's path."""
+    extras = [c for c in frontier.columns if c.startswith("o_")]
+    ctx = frontier.select(
+        F.col("doc").alias("c_doc"),
+        F.col("node_key").alias("c_key"),
+        F.col("descendant_count").alias("c_dc"),
+        F.col("path").alias("c_path"),
+        *extras,
+    )
+    suffix = "/" + "/".join(names)
+    cond = (
+        (F.col("doc") == F.col("c_doc"))
+        & (F.col("kind") == ELEMENT)
+        & (F.col("path") == F.concat(F.col("c_path"), F.lit(suffix)))
+        & (F.col("node_key") > F.col("c_key"))
+        & (F.col("node_key") <= F.col("c_key") + F.col("c_dc"))
+    )
+    out = nodes.join(ctx, cond, "inner")
+    return out.select(*NODE_COLS, *extras)
+
+
 def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None) -> DataFrame:
     """Apply a parsed xstep list to the node table. Returns the final
     frontier (node rows, deduped, any order — document order is
-    node_key order within each doc)."""
+    node_key order within each doc). Maximal runs of predicate-less
+    child::name steps collapse into one path-equality hash join (see
+    _child_chain_join)."""
     if frontier is None:
         frontier = initial_frontier(nodes)
     frontier = frontier.select(*[c for c in frontier.columns if c in NODE_COLS or c.startswith("o_")])
-    for step in steps:
-        _, axis, test, preds = step
-        frontier = _test_filter(_axis_join(nodes, frontier, axis), axis, test)
-        for p in preds:
-            frontier = _apply_pred(nodes, frontier, axis, p)
+    i = 0
+    while i < len(steps):
+        run = _chain_len(steps, i)
+        if run >= 2:
+            names = [steps[k][2][1] for k in range(i, i + run)]
+            frontier = _child_chain_join(nodes, frontier, names)
+            i += run
+        else:
+            _, axis, test, preds = steps[i]
+            frontier = _test_filter(_axis_join(nodes, frontier, axis), axis, test)
+            for p in preds:
+                frontier = _apply_pred(nodes, frontier, axis, p)
+            i += 1
         dedup_keys = ["doc", "node_key"] + [
             c for c in frontier.columns if c.startswith("o_")
         ]
