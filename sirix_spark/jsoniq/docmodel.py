@@ -205,6 +205,13 @@ class DocEvaluator:
         # as a shared literal Column (see _xpath_base_col)
         self._xtext_lits: dict[tuple, Column] = {}
 
+    # documents up to this many bytes shred DRIVER-side (expat +
+    # one Arrow batch): the mapInPandas round trip ships the text in
+    # the task binary and pays worker/Arrow startup — measured 7.3 s
+    # vs 1.2 s on XMark's 1.2 MB auction.xml (52k nodes). Larger
+    # documents keep the distributed shredder.
+    _DRIVER_SHRED_MAX = 8 << 20
+
     def _xml_register(
         self, db: str, res: str, rev: int, text: str, kmap: list | None
     ) -> int:
@@ -214,15 +221,74 @@ class DocEvaluator:
         from sirix_spark.sources.xml_source import shred_xml
 
         xid = len(self.xml_docs)
-        src = self.spark.createDataFrame(
-            [(str(xid), text)], "doc string, xml string"
-        )
-        nodes = shred_xml(src).persist()
+        nodes = None
+        if len(text) <= self._DRIVER_SHRED_MAX:
+            nodes = self._driver_shred(str(xid), text)
+        if nodes is None:
+            src = self.spark.createDataFrame(
+                [(str(xid), text)], "doc string, xml string"
+            )
+            nodes = shred_xml(src)
+        nodes = nodes.persist()
         self.xml_docs.append(
             {"nodes": nodes, "kmap": kmap, "db": db, "res": res, "rev": rev}
         )
         self._xml_doc_ids[key] = xid
         return xid
+
+    def _driver_shred(self, doc: str, text: str) -> DataFrame | None:
+        """Small-document fast path: expat-shred on the driver, spill
+        the node table to a temp parquet, and read it back as a real
+        file scan. Returns None (distributed fallback) on any
+        conversion trouble.
+
+        Why parquet and not createDataFrame: a LocalRelation embeds
+        all 52k rows in the logical plan, so EVERY downstream job
+        re-serializes the node table into its task binary (measured:
+        q01 23 s → 70 s). A parquet scan keeps the plan a file
+        reference; the mapInPandas fallback's plan likewise embeds
+        the raw 1.2 MB text and pays worker startup (7.3 s vs 1.2 s
+        total for this path on XMark's auction.xml)."""
+        try:
+            import tempfile
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from sirix_spark.sources.xml_source import _shred_one
+
+            rows = _shred_one(doc, text)
+            cols = {
+                k: [r[k] for r in rows]
+                for k in (
+                    "doc", "node_key", "parent_key", "kind", "name",
+                    "value", "pos", "level", "path",
+                    "descendant_count", "ancestors",
+                )
+            }
+            table = pa.table(
+                cols,
+                schema=pa.schema(
+                    [
+                        ("doc", pa.string()),
+                        ("node_key", pa.int64()),
+                        ("parent_key", pa.int64()),
+                        ("kind", pa.string()),
+                        ("name", pa.string()),
+                        ("value", pa.string()),
+                        ("pos", pa.int32()),
+                        ("level", pa.int32()),
+                        ("path", pa.string()),
+                        ("descendant_count", pa.int64()),
+                        ("ancestors", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+            d = tempfile.mkdtemp(prefix="xmlshred_")
+            pq.write_table(table, f"{d}/nodes.parquet")
+            return self.spark.read.parquet(d)
+        except Exception:
+            return None
 
     def _xml_nodes_all(self, xids: tuple[int, ...]) -> DataFrame:
         dfs = [self.xml_docs[x]["nodes"] for x in sorted(set(xids))]
