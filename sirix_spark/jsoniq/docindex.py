@@ -64,11 +64,12 @@ _CAS_KINDS = {
     "xs:double": "number",
     "xs:float": "number",
     "xs:boolean": "boolean",
-    # ISO-8601 Z-normalized instants order lexicographically, so the
-    # string comparison path IS the chronological comparison (the
-    # reference's valid-time auto CAS indexes are Str-keyed too —
-    # BitemporalIndexStressTest's createCASFilter(Set.of(...), new
-    # Str("2022-01-01T00:00:00Z"), GREATER_OR_EQUAL, ...))
+    # stored as string nodes, compared as instants (see scan below):
+    # lexicographic order only matches chronological order for
+    # uniformly Z-normalized equal-precision strings; values with
+    # numeric offsets (+01:00) or mixed fractional-second precision
+    # need the typed comparison the reference's dateTime CAS keys get
+    # (round-7 ADVICE #2).
     "xs:dateTime": "string",
 }
 
@@ -139,6 +140,12 @@ def scan_index_seq(ev, node: P.Call, stream, scope):
                     F.concat(F.lit('{"v":'), F.col("n_json"), F.lit("}")), "$.v"
                 )
                 lit = F.lit(str(value))
+                if idx.content_type == "xs:dateTime":
+                    # typed instant comparison: both sides normalize
+                    # to UTC timestamps (offset-aware, precision-free)
+                    # instead of lexicographic strings
+                    col = col.cast("timestamp")
+                    lit = lit.cast("timestamp")
             ops = {
                 "==": col == lit, "!=": col != lit,
                 "<": col < lit, "<=": col <= lit,
@@ -150,14 +157,21 @@ def scan_index_seq(ev, node: P.Call, stream, scope):
             if idx.content_type == "xs:integer":
                 cond = cond & ~F.col("n_json").contains(".")
         else:
-            lo = float(_lit_value(ev, node.args[2], scope))
-            hi = float(_lit_value(ev, node.args[3], scope))
             inc_lo = bool(_lit_value(ev, node.args[4], scope))
             inc_hi = bool(_lit_value(ev, node.args[5], scope))
             pf = _paths_arg(ev, node.args[6] if len(node.args) > 6 else None, scope)
             if pf:
                 cond = cond & _path_cond(pf)
-            col = F.col("n_json").cast("double")
+            if idx.content_type == "xs:dateTime":
+                lo = F.lit(str(_lit_value(ev, node.args[2], scope))).cast("timestamp")
+                hi = F.lit(str(_lit_value(ev, node.args[3], scope))).cast("timestamp")
+                col = F.get_json_object(
+                    F.concat(F.lit('{"v":'), F.col("n_json"), F.lit("}")), "$.v"
+                ).cast("timestamp")
+            else:
+                lo = F.lit(float(_lit_value(ev, node.args[2], scope)))
+                hi = F.lit(float(_lit_value(ev, node.args[3], scope)))
+                col = F.col("n_json").cast("double")
             cond = cond & (col >= lo if inc_lo else col > lo)
             cond = cond & (col <= hi if inc_hi else col < hi)
     elif name == "jn:scan-name-index":

@@ -31,8 +31,11 @@ transactional interpreter in sirix_spark/jsoniq/docupdates.py.
 
 from __future__ import annotations
 
+import atexit
 import json
+import logging
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from sirix_spark.jsoniq import parser as P
@@ -40,6 +43,23 @@ from sirix_spark.jsoniq.compiler import JsoniqCompileError
 from sirix_spark.store.docstore import DocHandle, DocStoreError, DocumentStore
 
 ITEM_COLS = ("__k", "__h", "__r", "__sz", "__j")
+
+_LOG = logging.getLogger(__name__)
+
+# Driver-shred spill dirs (one per registered small XML document);
+# removed at interpreter exit — Spark holds open file scans on them
+# for the life of the session, so per-query cleanup isn't safe.
+_SHRED_DIRS: list[str] = []
+
+
+def _cleanup_shred_dirs() -> None:
+    import shutil
+
+    while _SHRED_DIRS:
+        shutil.rmtree(_SHRED_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_shred_dirs)
 
 
 def _iso_epoch(s: str) -> float:
@@ -222,7 +242,18 @@ class DocEvaluator:
 
         xid = len(self.xml_docs)
         nodes = None
-        if len(text) <= self._DRIVER_SHRED_MAX:
+        # The driver-shred fast path spills to a DRIVER-LOCAL temp dir;
+        # executors on a non-local master cannot read it (the failure
+        # surfaces at job execution, past this try/except), so the fast
+        # path is local-mode only — mirroring _lineage_strategy's
+        # master gate. Cluster deployments take the distributed
+        # mapInPandas shredder, which is correct everywhere. (A shared
+        # spark.sirix.checkpointDir could host the spill, but it may be
+        # an hdfs:// URI that pyarrow can't write without extra fs
+        # plumbing — not worth it for an 8 MB-max document.)
+        if len(text) <= self._DRIVER_SHRED_MAX and (
+            self.spark.sparkContext.master.startswith("local")
+        ):
             nodes = self._driver_shred(str(xid), text)
         if nodes is None:
             src = self.spark.createDataFrame(
@@ -285,6 +316,7 @@ class DocEvaluator:
                 ),
             )
             d = tempfile.mkdtemp(prefix="xmlshred_")
+            _SHRED_DIRS.append(d)
             pq.write_table(table, f"{d}/nodes.parquet")
             return self.spark.read.parquet(d)
         except Exception:
@@ -1508,8 +1540,13 @@ class DocEvaluator:
                     return None
             ik = self._scalar(inner_expr, iscope)
             ok = self._scalar(outer_expr, scope)
-        except Exception:
-            return None  # fail-closed: correlated path handles it
+        except (AnalysisException, JsoniqCompileError) as e:
+            # fail-closed: the correlated path handles these shapes.
+            # Narrowed from bare Exception (round-7 ADVICE #4) so a
+            # genuine regression in this path raises instead of
+            # silently degrading to the slow correlated fallback.
+            _LOG.debug("decorrelation fell back (inner compile): %s", e)
+            return None
 
         def canon(vcol: Column) -> Column:
             d = F.try_variant_get(vcol, "$", "double")
@@ -1543,8 +1580,13 @@ class DocEvaluator:
                 F.concat(F.col("__otord"), F.col("__iord")).alias("__ord"),
                 *[F.col(f"__i_{c}").alias(c) for c in ITEM_COLS],
             )
-        except Exception:
-            return None  # fail-closed: correlated path handles it
+        except AnalysisException as e:
+            # fail-closed on the expected shapes only (round-7 ADVICE
+            # #4): a static outer var on the inner side of '=' or a
+            # _project_return that drops ITEM_COLS surfaces here as an
+            # AnalysisException; anything else is a real bug and raises.
+            _LOG.debug("decorrelation fell back (pair build): %s", e)
+            return None
         return Seq(
             items,
             r_seq.stored,

@@ -380,13 +380,17 @@ class _PyInterp:
                 if name in ("jn:store", "store")
                 else self.ev.store.load
             )
+            # createNew=true REPLACES the whole collection in BOTH the
+            # res=() and the explicit-resource forms (Store.java:112
+            # routes createIfNotExists straight to store.create(coll,
+            # …), which removes an existing database); createNew=false
+            # ADDS into the existing collection (Store.java:116-118).
+            if create_new and self.ev.store.resources(db):
+                self.ev.store.drop_database(db)
             if res is None:
                 # collection form jn:store(db, (), (doc, doc, …)) —
-                # auto-named resources (BasicJsonDBStore.
-                # createCollection); createNew=false ADDS to the
-                # existing collection instead of replacing it
-                if create_new and self.ev.store.resources(db):
-                    self.ev.store.drop_database(db)
+                # auto-named resources (BasicJsonDBStore
+                # .createCollection)
                 start = len(self.ev.store.resources(db))
                 for i, t in enumerate(texts):
                     put(db, f"resource{start + i + 1}", t, **kw)

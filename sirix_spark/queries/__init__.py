@@ -30,26 +30,29 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-7 rotation (round-6 verdict #7: max driver-row age ≤4
-# rounds). Rotating IN the 7 entries whose last driver row was
-# round 2 (age 5 at r7 otherwise): ngram_freq, min_max_qty,
-# filter_group_by, multi_key_sort, semi_join_customers,
-# first_last_event, array_index_slice — plus the 4 verdict-named
-# jsoniq entries (last row r4): jsoniq_filter_project,
-# jsoniq_group_count, jsoniq_join_orders_customers,
-# jsoniq_quantified_embeddings. Rotating OUT 11 entries that went
-# driver-green in round 6 itself (freshest rows; every family keeps
-# an in-window representative): sum_qty, avg_qty, cube_counts
-# (aggregates keep pricing_summary/compound_filter_count/
-# grouping_sets_counts), set_union, set_intersect, set_except
-# (set ops keep set_ops), array_size, array_explode, json_construct
-# (JSON nav keeps array_posexplode + array_index_slice),
-# left_outer_join (joins keep national_revenue/full_outer/anti/
-# asof/range/semi), top_events_per_user (windows keep ntile/
-# moving_avg). ALL entries stay oracle-checked every round by
-# tools/check_oracle.py. The family-coverage invariant is enforced
-# by tests/test_registry.py against FAMILIES (module-derived), so a
-# rotation can never silently drop a family from the window.
+# Round-8 rotation (rotation policy: max driver-row age ≤4 rounds,
+# PARITY.md "Driver-window coverage by round"). Rotating IN the 9
+# entries whose last driver row was round 3 (age 5 at r8 otherwise):
+# filter_count, group_by_count (analytics), customers_per_region
+# (joins), dense_rank_orders, all_times (temporal),
+# json_field_filter (json_nav), token_count (text),
+# minhash_signatures (dedup), cosine_topk (similarity). Rotating
+# OUT 9 entries that went driver-green in round 7 itself (freshest
+# rows; every family keeps an in-window representative):
+# min_max_qty, filter_group_by, multi_key_sort (analytics keeps
+# pricing_summary/compound_filter_count + the two incoming),
+# semi_join_customers (joins keep national_revenue/full_outer/anti/
+# asof/range + incoming customers_per_region), first_last_event
+# (temporal keeps valid_at/sessionize + incoming dense_rank/
+# all_times), array_index_slice (json_nav keeps array_posexplode +
+# incoming json_field_filter), ngram_freq (text keeps quality_score
+# + incoming token_count), jsoniq_filter_project, jsoniq_group_count
+# (jsoniq keeps let_conditional/all_times_store/udf_pricing/
+# join_orders_customers/quantified_embeddings). ALL entries stay
+# oracle-checked every round by tools/check_oracle.py. The
+# family-coverage invariant is enforced by tests/test_registry.py
+# against FAMILIES (module-derived), so a rotation can never
+# silently drop a family from the window.
 PRIORITY: tuple[str, ...] = (
     # flagship aggregation
     "pricing_summary",
@@ -57,19 +60,17 @@ PRIORITY: tuple[str, ...] = (
     "jsoniq_let_conditional",
     "jsoniq_all_times_store",
     "jsoniq_udf_pricing",
-    "jsoniq_filter_project",
-    "jsoniq_group_count",
     "jsoniq_join_orders_customers",
     "jsoniq_quantified_embeddings",
     # scans / filters / projections
     "events_filter_project",
     "training_corpus_filter",
     "compound_filter_count",
-    "filter_group_by",
-    "min_max_qty",
+    "filter_count",
+    "group_by_count",
     # LLM-pipeline: text analysis
     "quality_score",
-    "ngram_freq",
+    "token_count",
     "fuzzy_verify_pairs",
     # §2.10 semantics corners
     "scalar_functions2",
@@ -85,33 +86,35 @@ PRIORITY: tuple[str, ...] = (
     "covered_projection",
     "median_price",
     "string_agg_nations",
-    "multi_key_sort",
     # §2.3 joins
     "national_revenue",
     "range_join_price_bands",
     "full_outer_summary",
     "asof_join_orders_events",
     "anti_join_customers",
-    "semi_join_customers",
+    "customers_per_region",
     # §2.7 temporal family
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
-    "first_last_event",
+    "all_times",
     # §2.5 windows
     "ntile_value_quartiles",
     "moving_avg_per_user",
+    "dense_rank_orders",
     # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
-    "array_index_slice",
+    "json_field_filter",
     "set_ops",
     "xml_path_filter",
     # LLM-pipeline: dedup + similarity
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_signatures",
     "dedup_clusters",
     "knn_join",
+    "cosine_topk",
     "vector_search_routed",
     "multimodal_frame_sample",
 )

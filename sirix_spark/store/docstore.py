@@ -338,6 +338,7 @@ class DocumentStore:
         keys: list[int] | None = None,
         author: str | None = None,
         author_id: str | None = None,
+        message: str | None = None,
     ) -> int:
         """sdb:commit — write a new revision (same content unless an
         update supplies new text; index creation commits this way).
@@ -358,7 +359,7 @@ class DocumentStore:
         self._write_revision(db, res, n, text, keys=keys)
         if keys is not None:
             m["next_key"] = max(m.get("next_key", 1), max(keys, default=0) + 1)
-        m["revisions"].append(self._rev_entry(n, author, author_id))
+        m["revisions"].append(self._rev_entry(n, author, author_id, message))
         self._write_manifest(db, res, m)
         return n
 

@@ -284,14 +284,15 @@ class DocWtx:
         return self
 
     # ----------------------------------------------------------- commit
-    def commit(self) -> int:
+    def commit(self, message: str | None = None) -> int:
         if self.root is None:
             raise DocStoreError("nothing to commit")
         text = dumps_doc(tree_value(self.root))
         keys = tree_keys(self.root)
         if not self.store.exists(self.db, self.res):
             rev = self.store.store(
-                self.db, self.res, text, self.author, self.author_id
+                self.db, self.res, text, self.author, self.author_id,
+                message=message,
             )
             # store() numbered sequentially; overwrite with our keys
             # if they differ (they don't for a fresh resource — fresh
@@ -304,4 +305,5 @@ class DocWtx:
         return self.store.commit(
             self.db, self.res, text, keys=keys,
             author=self.author, author_id=self.author_id,
+            message=message,
         )

@@ -52,7 +52,20 @@ _CACHE_TARGET_ROWS = 20_000
 # family (measured: minhash_signatures 0.33 s → 0.67 s,
 # jaccard_near_dup 0.88 s → 2.2 s). These keep the fixed dim-table
 # parallelism regardless of row count.
+#
+# MAINTENANCE INVARIANT (round-7 verdict design nit): this list is
+# NAME-BASED — when a new table joins TABLES, decide explicitly
+# whether its consumers are compute-per-row-bound (shingling, vector
+# math, decode UDFs → add it here) or scan-bound (leave it out). A
+# compute-heavy table silently left out gets row-count partitioning
+# and serializes its whole query family at small SF, exactly the
+# regression the r6 dedup measurements above pinned. The assert in
+# _load_cached keeps this list from drifting out of TABLES.
 _COMPUTE_HEAVY = ("documents", "embeddings")
+assert set(_COMPUTE_HEAVY) <= set(TABLES), (
+    "_COMPUTE_HEAVY names a table absent from TABLES — "
+    "update both together"
+)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

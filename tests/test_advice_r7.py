@@ -49,9 +49,13 @@ def test_decorrelation_fail_closed_falls_back(spark, docstore, monkeypatch):
     run(
         spark,
         docstore,
+        # createNew=false — a second jn:store into the same collection
+        # with the default createNew=true REPLACES the collection
+        # (Store.java:112 → BasicJsonDBStore.createCollection →
+        # removeIfExisting), wiping o.jn
         "jn:store('d','i.jn','"
         '[{"ref":1,"x":"a"},{"ref":2,"x":"b"},{"ref":2,"x":"c"}]'
-        "')",
+        "', false())",
     )
     q = (
         "for $o in jn:doc('d','o.jn')[] "
@@ -69,9 +73,17 @@ def test_decorrelation_fail_closed_falls_back(spark, docstore, monkeypatch):
         # only the decorrelated pair-construction compares the
         # exploded __oval/__ival columns; the correlated fallback
         # path must keep working, so raise for that call shape only.
+        # AnalysisException is the expected failure shape the guard
+        # stays closed on (round-7 ADVICE #4 narrowed it from bare
+        # Exception — an unexpected error type now propagates, see
+        # tests/test_advice_r8.py).
+        from pyspark.errors import AnalysisException
+
         if "__oval" in str(a) or "__ival" in str(b):
             calls["n"] += 1
-            raise RuntimeError("injected: join-side construction failure")
+            raise AnalysisException(
+                "injected: join-side construction failure"
+            )
         return orig(a, b, op)
 
     # _atom_cmp(__oval, __ival) is called INSIDE the pair-construction

@@ -137,7 +137,7 @@ def test_numeric_vs_string_key_promotion(spark, docstore):
     )
     DocEvaluator(spark, docstore).execute(
         'jn:store(\'d\',\'i.jn\',\'[{"ik":"1","v":"a"},'
-        '{"ik":"2","v":"b"},{"ik":"1.0","v":"c"}]\')'
+        '{"ik":"2","v":"b"},{"ik":"1.0","v":"c"}]\', false())'
     )
     q = (
         "let $inner := jn:doc('d','i.jn')[] return "

@@ -71,17 +71,19 @@ def test_driver_window_rotation_freshness():
     PARITY.md's coverage table is the bookkeeping; this test pins the
     mechanism — every entry whose last in-window round (per the
     table) would reach age 5 this round must be in PRIORITY. The
-    r7 batch: last driver row r2 → must be windowed now."""
+    r8 batch: last driver row r3 → must be windowed now."""
     from sirix_spark.queries import PRIORITY
 
     must_rotate_in = {
-        "ngram_freq",
-        "min_max_qty",
-        "filter_group_by",
-        "multi_key_sort",
-        "semi_join_customers",
-        "first_last_event",
-        "array_index_slice",
+        "filter_count",
+        "group_by_count",
+        "customers_per_region",
+        "dense_rank_orders",
+        "all_times",
+        "json_field_filter",
+        "token_count",
+        "minhash_signatures",
+        "cosine_topk",
     }
     missing = must_rotate_in - set(PRIORITY)
     assert not missing, f"age-5 entries left outside the window: {missing}"
