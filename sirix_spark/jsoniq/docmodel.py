@@ -345,6 +345,37 @@ class DocEvaluator:
         )
 
     # ------------------------------------------------------------ entry
+    def _doc_conf(self):
+        """Session-conf scope for doc-at-a-time execution. A document
+        query compiles to tens of small exchanges; AQE's default
+        parallelismFirst=true keeps ~defaultParallelism tiny
+        partitions per exchange for parallelism a one-document stage
+        can't use, multiplying task overhead across the many stages.
+        Size-based coalescing (Spark's own recommended setting) is
+        scoped here rather than session-wide so the analytics bench
+        keeps its parallelism-first defaults; at collection scale the
+        64 MB advisory size still yields full parallelism. Measured
+        on XMark idle: q01 6.6→4.0 s; q09/q10 ~1 s better each."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+            try:
+                prev = self.spark.conf.get(key)
+            except Exception:
+                prev = None
+            self.spark.conf.set(key, "false")
+            try:
+                yield
+            finally:
+                if prev is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, prev)
+
+        return scope()
+
     def execute(self, query: str) -> str:
         """Run one query; return the reference-serialized output."""
         from sirix_spark.jsoniq.docupdates import (
@@ -353,14 +384,16 @@ class DocEvaluator:
         )
 
         ast = P.parse(query)
-        if has_side_effects(ast):
-            return run_transaction(self, ast)
-        seq = self.compile(ast)
-        return self.serialize(seq)
+        with self._doc_conf():
+            if has_side_effects(ast):
+                return run_transaction(self, ast)
+            seq = self.compile(ast)
+            return self.serialize(seq)
 
     def execute_df(self, query: str) -> DataFrame:
         """Run a read query; return (ord, item) rows in order."""
-        seq = self.compile(P.parse(query))
+        with self._doc_conf():
+            seq = self.compile(P.parse(query))
         return seq.df.orderBy("__ord").select(
             F.col("__ord").alias("ord"), F.col("__j").alias("item")
         )
@@ -446,7 +479,8 @@ class DocEvaluator:
         return '{"rest":[' + ",".join(parts) + "]}"
 
     def execute_rest(self, query: str) -> str:
-        return self.serialize_rest(self.compile(P.parse(query)))
+        with self._doc_conf():
+            return self.serialize_rest(self.compile(P.parse(query)))
 
     # ---------------------------------------------------------- streams
     def _unit(self) -> DataFrame:
@@ -1218,8 +1252,11 @@ class DocEvaluator:
                 # (14k lines, 1.8k joins) and spent ~90 s per
                 # materialization re-running the serialize cascade.
                 # Cutting here makes each downstream use a LogicalRDD
-                # scan; the cut itself is one row per outer tuple.
-                out = self._cut_lineage(out)
+                # scan; the cut itself is one row per outer tuple —
+                # and LAZY (_share_lineage): the packed stream
+                # materializes once inside the final job instead of
+                # paying an eager job per binding.
+                out = self._share_lineage(out)
             else:
                 # plain seq-let packings still double the plan — count
                 # them against the packing budget (see _maybe_cut_packed)
@@ -1422,13 +1459,23 @@ class DocEvaluator:
         after every packing (the pre-round-7 rule for XPath/FLWOR
         templates) bounds growth but pays a localCheckpoint per
         template — ~12 × 8-14 s on XMark-scale docs. Compromise: a
-        packing counter, cut every third packing (plan ≤ 8× the base
-        between cuts), reset on any cut. Small queries (1-2 packings)
-        never pay a cut at all."""
+        packing counter historically cut every third packing. Round
+        8: the cut is LAZY (_share_lineage — a LogicalRDD leaf that
+        materializes ONCE inside the final job, no eager job) and
+        fires on EVERY packing. The every-third budget was tuned for
+        eager cuts and interacted badly with the round-8 pipeline
+        shares: those reset the packing counter, so the budget never
+        fired, and a packed sequence whose plan holds an expensive
+        scalar template (XMark q07's 207 KB xpath-count Generate)
+        was re-inlined — and RE-EVALUATED — into every downstream
+        branch (q07: 18.5 s → 470+ s). A leaf per packing bounds
+        every downstream reference to one evaluation."""
+        import os as _os
+
+        budget = int(_os.environ.get("SIRIX_PACK_BUDGET", "1"))
         self._pack_n = getattr(self, "_pack_n", 0) + 1
-        if self._pack_n >= 3:
-            self._pack_n = 0
-            return self._cut_lineage(df)
+        if self._pack_n >= budget:
+            return self._share_lineage(df)
         return df
 
     def _cut_lineage(self, df: DataFrame) -> DataFrame:
@@ -1451,6 +1498,40 @@ class DocEvaluator:
         out = df.persist(StorageLevel.DISK_ONLY_2)
         out.count()
         return out
+
+    def _share_lineage(self, df: DataFrame) -> DataFrame:
+        """Replace a subplan that downstream code will reference
+        SEVERAL times with one shared leaf, WITHOUT running a job.
+
+        Every xpath pipeline embeds its base stream 2× (the frontier
+        translation and the origin join-back) and its result frontier
+        2× (distinct-node serialization and the hit fan-out), so
+        chained pipelines grow the logical plan ~3-4× per hop —
+        XMark q01's final plan reached 180 joins / ~40 MB task
+        binaries, and the residual ~10 s/query constant was
+        adjudicated as serialization of that duplicated plan text
+        (BENCH_NOTES.md round-7 ledger). A LAZY localCheckpoint
+        compiles the subtree once and hands back a LogicalRDD leaf:
+        the duplicated references now share the leaf (bounded plan
+        text, one analysis walk) and the RDD materializes once, on
+        first use — no extra eager job, unlike _cut_lineage, which
+        was MEASURED WORSE when charged per pipeline (q10 29→41 s).
+        All axis joins carry a same-doc equality key, so losing leaf
+        statistics cannot degrade them to cartesian plans; worst case
+        the (small) node-table side broadcasts instead of the
+        frontier. Cluster-safely: non-local masters fall back to the
+        eager _cut_lineage (reliable checkpoint / replicated persist)
+        because lazy localCheckpoint blocks have no recomputation
+        path there."""
+        self._pack_n = 0  # a share-cut also truncates packing growth
+        sc = self.spark.sparkContext
+        try:
+            ck = self.spark.conf.get("spark.sirix.checkpointDir")
+        except Exception:
+            ck = None
+        if self._lineage_strategy(sc.master, ck) == "local-checkpoint":
+            return df.localCheckpoint(eager=False)
+        return self._cut_lineage(df)
 
     def _decorrelated_seq(
         self, v: P.Flwor, tagged: DataFrame, scope: dict, tord: str
@@ -2448,6 +2529,10 @@ class DocEvaluator:
                 bdf = bdf.drop(c)
         w = Window.orderBy(F.col("__ord"))
         bdf = bdf.withColumn("__xid", F.row_number().over(w).cast("bigint"))
+        # bdf is referenced twice below (frontier translation + the
+        # origin join-back) and carries the WHOLE upstream pipeline —
+        # share it as one leaf so chained pipelines stop compounding.
+        bdf = self._share_lineage(bdf)
         nodes = self._xml_nodes_all(base.xml)
         kmdf = self._xml_keymap_df(base.xml)
         # context keys arrive as STABLE nodeKeys; translate back to
@@ -2477,6 +2562,9 @@ class DocEvaluator:
             "inner",
         ).select(*NODE_COLS, "o_xid")
         fr = eval_steps(nodes, steps, frontier=frontier)
+        # fr is referenced twice (distinct-node serialization + the
+        # hit fan-out) — share the step-chain plan as one leaf too
+        fr = self._share_lineage(fr)
         # serialize each DISTINCT result node once, then fan back out
         # to the (origin, node) pairs
         ser = serialize_result(
@@ -2539,10 +2627,15 @@ class DocEvaluator:
         bdf = base.df.withColumn(
             "__xid", F.row_number().over(w).cast("string")
         )
+        # bdf feeds BOTH the shredder (whose node table every axis
+        # join references) and the final origin join — share it, and
+        # the shredded node table itself, as leaves
+        bdf = self._share_lineage(bdf)
         nodes = shred_xml(
             bdf.select(F.col("__xid").alias("doc"), F.col("__j").alias("xml"))
         )
-        fr = eval_steps(nodes, node.steps)
+        nodes = self._share_lineage(nodes)
+        fr = self._share_lineage(eval_steps(nodes, node.steps))
         ser = serialize_result(nodes, fr).withColumnRenamed("doc", "__xdoc")
         joined = bdf.join(ser, F.col("__xid") == F.col("__xdoc"), "inner")
         # node identity: shredder enumeration index, translated

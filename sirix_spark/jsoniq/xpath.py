@@ -374,7 +374,8 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
         sub = _test_filter(_axis_join(nodes, sub, ax), ax, test)
         for p in preds:
             sub = _apply_pred(nodes, sub, ax, p)
-        sub = sub.dropDuplicates(["doc", "node_key", "o_doc", "o_key"])
+        if ax not in _DUP_FREE_AXES:
+            sub = sub.dropDuplicates(["doc", "node_key", "o_doc", "o_key"])
     if kind == "cmp":
         _, _, op, lit = pred
         sub = string_value(nodes, sub)
@@ -453,32 +454,49 @@ def _child_chain_join(
     return out.select(*NODE_COLS, *extras)
 
 
+#: axes that cannot produce duplicate (node, origin) rows from an
+#: already-deduped frontier: every child/attribute has exactly one
+#: parent, self is identity. (parent/ancestor fan IN — siblings share
+#: them; sibling/following/preceding/descendant overlap across
+#: contexts.) Steps on these axes skip the per-step dropDuplicates —
+#: one shuffle less per step, which dominates small-doc latency and
+#: removes whole exchanges at cluster scale.
+_DUP_FREE_AXES = {"child", "attribute", "self"}
+
+
 def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None) -> DataFrame:
     """Apply a parsed xstep list to the node table. Returns the final
     frontier (node rows, deduped, any order — document order is
     node_key order within each doc). Maximal runs of predicate-less
     child::name steps collapse into one path-equality hash join (see
-    _child_chain_join)."""
+    _child_chain_join); the per-step XPath set-dedup is elided for
+    axes that preserve uniqueness (_DUP_FREE_AXES — the chain join
+    too: equal paths cannot nest, so distinct context intervals yield
+    distinct results)."""
     if frontier is None:
         frontier = initial_frontier(nodes)
     frontier = frontier.select(*[c for c in frontier.columns if c in NODE_COLS or c.startswith("o_")])
     i = 0
     while i < len(steps):
-        run = _chain_len(steps, i)
-        if run >= 2:
+        if _chain_len(steps, i) >= 2:
+            run = _chain_len(steps, i)
             names = [steps[k][2][1] for k in range(i, i + run)]
             frontier = _child_chain_join(nodes, frontier, names)
             i += run
+            dup_free = True
         else:
             _, axis, test, preds = steps[i]
             frontier = _test_filter(_axis_join(nodes, frontier, axis), axis, test)
             for p in preds:
                 frontier = _apply_pred(nodes, frontier, axis, p)
             i += 1
-        dedup_keys = ["doc", "node_key"] + [
-            c for c in frontier.columns if c.startswith("o_")
-        ]
-        frontier = frontier.dropDuplicates(dedup_keys).select(
+            dup_free = axis in _DUP_FREE_AXES
+        if not dup_free:
+            dedup_keys = ["doc", "node_key"] + [
+                c for c in frontier.columns if c.startswith("o_")
+            ]
+            frontier = frontier.dropDuplicates(dedup_keys)
+        frontier = frontier.select(
             *NODE_COLS, *[c for c in frontier.columns if c.startswith("o_")]
         )
     return frontier
@@ -489,9 +507,14 @@ def serialize_result(nodes: DataFrame, frontier: DataFrame) -> DataFrame:
     """frontier → (doc, node_key, text): the reference's XML
     serialization of each result item — subtree XML for elements,
     the value for attribute/text/comment results. Subtrees rebuild
-    per result via one interval join + applyInPandas grouped on the
-    result node (same unit of parallelism as the shredder)."""
-    import pandas as pd
+    per result via one interval join + ONE JVM-side aggregate over
+    the pre-order node array (assemble_xml_col) — the former
+    applyInPandas rebuild paid ~1 s Python-worker init + ~3 s run
+    per stage and dominated XMark doc-engine time."""
+    from sirix_spark.sources.xml_source import (
+        assemble_node_struct,
+        assemble_xml_col,
+    )
 
     direct = frontier.filter(F.col("kind") != ELEMENT).select(
         "doc",
@@ -512,46 +535,14 @@ def serialize_result(nodes: DataFrame, frontier: DataFrame) -> DataFrame:
         & (F.col("node_key") <= F.col("r_key") + F.col("r_dc")),
         "inner",
     )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        from sirix_spark.sources.xml_source import _esc
-
-        pdf = pdf.sort_values("node_key")
-        rows = pdf.to_dict("records")
-        by_parent: dict[int, list] = {}
-        for r in rows:
-            if r["parent_key"] is not None and not pd.isna(r["parent_key"]):
-                by_parent.setdefault(int(r["parent_key"]), []).append(r)
-        for v in by_parent.values():
-            v.sort(key=lambda r: r["pos"])
-
-        def render(r) -> str:
-            kind = r["kind"]
-            if kind == TEXT:
-                return _esc(r["value"])
-            if kind == COMMENT:
-                return f"<!--{r['value']}-->"
-            if kind == "PROCESSING_INSTRUCTION":
-                return f"<?{r['value']}?>"
-            if kind == ELEMENT:
-                kids = by_parent.get(int(r["node_key"]), [])
-                attrs = "".join(
-                    f' {k["name"]}="{_esc(k["value"], attr=True)}"'
-                    for k in kids
-                    if k["kind"] == ATTRIBUTE
-                )
-                inner = "".join(render(k) for k in kids if k["kind"] != ATTRIBUTE)
-                if not inner:
-                    return f"<{r['name']}{attrs}/>"
-                return f"<{r['name']}{attrs}>{inner}</{r['name']}>"
-            return ""
-
-        root = rows[0]
-        return pd.DataFrame(
-            {"doc": [root["doc"]], "node_key": [root["node_key"]], "text": [render(root)]}
+    rebuilt = (
+        span.filter(F.col("kind") != DOCUMENT)  # assembler caller contract
+        .groupBy("doc", "r_key")
+        .agg(F.array_sort(F.collect_list(assemble_node_struct())).alias("__nds"))
+        .select(
+            "doc",
+            F.col("r_key").alias("node_key"),
+            assemble_xml_col(F.col("__nds")).alias("text"),
         )
-
-    rebuilt = span.groupBy("doc", "r_key").applyInPandas(
-        build, schema="doc string, node_key long, text string"
     )
     return direct.unionByName(rebuilt)

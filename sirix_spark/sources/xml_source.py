@@ -299,6 +299,129 @@ def _esc(s: str, attr: bool = False) -> str:
     return s.replace('"', "&quot;") if attr else s
 
 
+def _esc_col(c, attr: bool = False):
+    """Column-expression mirror of _esc (JVM-side, codegen'd)."""
+    out = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit('"'), F.lit("&quot;")) if attr else out
+
+
+#: struct collected per span node for the JVM-side subtree assembler.
+#: node_key leads so array_sort orders the array in document order.
+ASSEMBLE_STRUCT = (
+    ("node_key", "k"),
+    ("kind", "kind"),
+    ("name", "name"),
+    ("value", "value"),
+    ("level", "level"),
+    ("descendant_count", "dc"),
+)
+
+
+def assemble_node_struct():
+    return F.struct(*[F.col(src).alias(dst) for src, dst in ASSEMBLE_STRUCT])
+
+
+def assemble_xml_col(nds):
+    """Pre-order node array (ASSEMBLE_STRUCT, document order) →
+    serialized XML text, entirely as JVM column expressions — no
+    Python workers (the per-group applyInPandas rebuild this replaced
+    paid ~1 s Python-worker init + ~3 s run per serialize stage and
+    dominated XMark doc-engine time).
+
+    TWO-PIECE formulation, strictly linear (plus one array sort):
+    every entry emits an OPEN piece at sort position (node_key, 0)
+    — "<name" / ' name="v"' / escaped text / comment / PI, plus the
+    bracket character decided from the NEXT entry (attribute → stay
+    open, deeper content → ">", else "/>") — and every content-
+    bearing element additionally emits its CLOSE piece "</name>" at
+    position (node_key + descendant_count, 1, -level), i.e. right
+    after its last descendant, deepest element first on ties.
+    Sorting the pieces and array_join-ing their texts yields the
+    serialized form. No growing string is folded through an
+    aggregate (a first cut did — quadratic copying: the 52 k-node
+    XMark root went from ~2 s to 12+ min) and no key→name map is
+    consulted (a second cut did — Catalyst maps are array-backed,
+    so 52 k-entry lookups made closing tags O(n) each; this form
+    needs neither).
+
+    Index arithmetic relies on pre-order node_keys being CONTIGUOUS
+    within a subtree span (shredder counter): the entry at array
+    index i + dc is the element's last descendant; the element is
+    content-empty — serialize as "<name/>" with no close piece —
+    iff dc == 0 or that last descendant is one of its own
+    attributes (attributes sit at level+1, before any content).
+
+    CALLER CONTRACT: `nds` must be a PLAIN column reference with
+    DOCUMENT rows already excluded at ROW level (filter before the
+    collect_list). Wrapping the array in F.filter here looked
+    harmless but was quadratic: Catalyst inlines the filter
+    expression into every `F.get(nds, …)` inside the per-element
+    lambdas, re-running the O(n) filter per element — the 52 k-node
+    XMark root took ~410 s of ArrayFilter.eval (jstack-confirmed)
+    instead of milliseconds."""
+
+    def open_piece(x, i):
+        kind = x["kind"]
+        nxt = F.get(nds, (i + F.lit(1)).cast("int"))
+        node_txt = (
+            F.when(kind == ELEMENT, F.concat(F.lit("<"), x["name"]))
+            .when(
+                kind == ATTRIBUTE,
+                F.concat(
+                    F.lit(" "), x["name"], F.lit('="'),
+                    _esc_col(x["value"], attr=True), F.lit('"'),
+                ),
+            )
+            .when(kind == TEXT, _esc_col(x["value"]))
+            .when(kind == COMMENT, F.concat(F.lit("<!--"), x["value"], F.lit("-->")))
+            .when(kind == PI, F.concat(F.lit("<?"), x["value"], F.lit("?>")))
+            .otherwise(F.lit(""))
+        )
+        # bracket char after an ELEMENT or the last ATTRIBUTE of one:
+        # owner element still open at owner_level = level (E) or
+        # level-1 (A); next attribute keeps it open, deeper content
+        # closes it with ">", anything else means content-empty "/>"
+        owner_level = F.when(kind == ELEMENT, x["level"]).otherwise(x["level"] - 1)
+        bracket = (kind == ELEMENT) | (kind == ATTRIBUTE)
+        br = (
+            F.when(~bracket, F.lit(""))
+            .when(nxt.isNotNull() & (nxt["kind"] == ATTRIBUTE), F.lit(""))
+            .when(nxt.isNotNull() & (nxt["level"] > owner_level), F.lit(">"))
+            .otherwise(F.lit("/>"))
+        )
+        return F.struct(
+            x["k"].alias("pos"),
+            F.lit(0).alias("tie"),
+            F.lit(0).alias("lvl"),
+            F.concat(node_txt, br).alias("txt"),
+        )
+
+    def close_piece(x, i):
+        last = F.get(nds, (i + x["dc"]).cast("int"))
+        content_empty = (x["dc"] == 0) | (
+            (last["kind"] == ATTRIBUTE) & (last["level"] == x["level"] + 1)
+        )
+        return F.when(
+            (x["kind"] == ELEMENT) & ~content_empty,
+            F.struct(
+                (x["k"] + x["dc"]).alias("pos"),
+                F.lit(1).alias("tie"),
+                (-x["level"]).cast("int").alias("lvl"),
+                F.concat(F.lit("</"), x["name"], F.lit(">")).alias("txt"),
+            ),
+        )
+
+    pieces = F.concat(
+        F.transform(nds, open_piece),
+        F.filter(F.transform(nds, close_piece), lambda p: p.isNotNull()),
+    )
+    return F.array_join(
+        F.transform(F.array_sort(pieces), lambda p: p["txt"]), ""
+    )
+
+
 def serialize_xml(nodes: DataFrame) -> DataFrame:
     """Node table → (doc, xml string), one row per document; rebuild
     runs per-document via applyInPandas (each document's nodes are
