@@ -223,6 +223,56 @@ def _floor_ref_ms() -> tuple[dict, str] | None:
 
 
 FLOOR_PARITY_RATIO = 1.3  # probe > 1.3x best committed floor → gate
+PRIOR_OUTLIER_RATIO = 3.0  # min > 3x best committed prior → re-run/flag
+
+
+def _prior_query_ms() -> dict[str, float]:
+    """Best committed per-query min (SECONDS) across prior-round
+    BENCH_r*.json artifacts — the reference for the per-query outlier
+    guard (round-8 verdict What's-wrong #4: min-of-3 at floor parity
+    still shipped one 6.19 s outlier for a 0.27 s query; the floor
+    gate is blind to per-query anomalies). Artifacts are the driver
+    wrapper whose 'tail' truncates our stdout, so per-query values
+    are harvested as '"name": sec' fragments (same honest-parser
+    approach as _artifact_floors); structural keys are filtered by
+    name shape."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    skip = {"n", "rc", "cpus", "sf", "value", "metric", "spread_median"}
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        queries = art.get("queries")
+        if not isinstance(queries, dict):
+            parsed = art.get("parsed")
+            if isinstance(parsed, dict) and isinstance(
+                parsed.get("queries"), dict
+            ):
+                queries = parsed["queries"]
+            else:
+                tail = art.get("tail")
+                queries = {}
+                if isinstance(tail, str):
+                    for m in re.finditer(
+                        r'"([A-Za-z][A-Za-z0-9_]{2,})":\s*(\d+\.\d+)', tail
+                    ):
+                        queries[m.group(1)] = float(m.group(2))
+        for name, v in queries.items():
+            if (
+                name in skip
+                or name.endswith(("_before", "_after", "_ms", "_sec"))
+                or not isinstance(v, (int, float))
+                or v <= 0
+            ):
+                continue
+            if name not in best or v < best[name]:
+                best[name] = float(v)
+    return best
 
 
 def _probe_floor(spark) -> float:
@@ -346,6 +396,33 @@ def _phase_pass(spark, label, items, errors, err_label, prefix="", floor_ref=Non
             errors[f"{err_label}{name}"] = f"{type(e).__name__}: {str(e)[:300]}"
     mins: dict[str, float] = {}
     total = phase.settle(mins, prefix=prefix)
+    # per-query cross-round outlier guard (round-8 verdict #4): at
+    # floor parity, a query whose settled min exceeds
+    # PRIOR_OUTLIER_RATIO x its best committed prior-round value gets
+    # one extra timed re-run; if it stays high it ships FLAGGED, so a
+    # one-off measurement artifact (e.g. an ingest write-back landing
+    # on all three timed runs) is visible instead of silently
+    # replacing the query's history.
+    if not diag.get("floor_above_ref"):
+        priors = _prior_query_ms()
+        flagged = []
+        for full, mn in list(mins.items()):
+            prior = priors.get(full)
+            short = full[len(prefix):] if prefix else full
+            if not prior or mn <= PRIOR_OUTLIER_RATIO * prior:
+                continue
+            if short in phase.runs and _elapsed() < DEADLINE_S:
+                mn2, _ = _min_max(phase.runs[short], N_TIMED)
+                if mn2 < mn:
+                    mins[full] = round(mn2, 4)
+                    mn = mn2
+            if mn > PRIOR_OUTLIER_RATIO * prior:
+                flagged.append(
+                    {"query": full, "min": round(mn, 4),
+                     "prior_best": round(prior, 4)}
+                )
+        if flagged:
+            diag["prior_outliers"] = flagged
     floor1 = _probe_floor(spark)
     diag["floor_after_ms"] = round(floor1 * 1000)
     if floor1 > 2.5 * floor0 or floor0 > 2.5 * floor1:
@@ -406,6 +483,8 @@ def _run_phase(spark, label, items, timings, errors, out, err_label="", prefix="
     out["floors_ms"][f"{label}_after"] = primary["floor_after_ms"]
     if primary.get("reruns"):
         out.setdefault("reruns", []).extend(primary["reruns"])
+    if primary.get("prior_outliers"):
+        out.setdefault("prior_outliers", []).extend(primary["prior_outliers"])
     if "spread_median" in primary:
         out.setdefault("spread_median", {})[label] = primary["spread_median"]
     if primary.get("contended"):

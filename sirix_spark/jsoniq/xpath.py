@@ -368,7 +368,15 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
     # identity; keep candidates with >= 1 (matching) result.
     rel = pred[1]
     origin = df.withColumn("o_doc", F.col("doc")).withColumn("o_key", F.col("node_key"))
-    sub = origin.select(*NODE_COLS, "o_doc", "o_key")
+    # dedup ONCE at origin construction: predicates run mid-step, so
+    # the incoming frontier may still carry duplicate (node, origin)
+    # rows (the end-of-step dedup has not fired yet). Dup-free axes
+    # below then PRESERVE cleanliness — without this, a positional
+    # predicate in a later rel step row_numbers inherited duplicates
+    # and [2] can select a copy of the first match (ADVICE r8).
+    sub = origin.select(*NODE_COLS, "o_doc", "o_key").dropDuplicates(
+        ["doc", "node_key", "o_doc", "o_key"]
+    )
     for step in rel:
         _, ax, test, preds = step
         sub = _test_filter(_axis_join(nodes, sub, ax), ax, test)
@@ -478,8 +486,8 @@ def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None)
     frontier = frontier.select(*[c for c in frontier.columns if c in NODE_COLS or c.startswith("o_")])
     i = 0
     while i < len(steps):
-        if _chain_len(steps, i) >= 2:
-            run = _chain_len(steps, i)
+        run = _chain_len(steps, i)
+        if run >= 2:
             names = [steps[k][2][1] for k in range(i, i + run)]
             frontier = _child_chain_join(nodes, frontier, names)
             i += run

@@ -30,29 +30,38 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-8 rotation (rotation policy: max driver-row age ≤4 rounds,
-# PARITY.md "Driver-window coverage by round"). Rotating IN the 9
-# entries whose last driver row was round 3 (age 5 at r8 otherwise):
-# filter_count, group_by_count (analytics), customers_per_region
-# (joins), dense_rank_orders, all_times (temporal),
-# json_field_filter (json_nav), token_count (text),
-# minhash_signatures (dedup), cosine_topk (similarity). Rotating
-# OUT 9 entries that went driver-green in round 7 itself (freshest
-# rows; every family keeps an in-window representative):
-# min_max_qty, filter_group_by, multi_key_sort (analytics keeps
-# pricing_summary/compound_filter_count + the two incoming),
-# semi_join_customers (joins keep national_revenue/full_outer/anti/
-# asof/range + incoming customers_per_region), first_last_event
-# (temporal keeps valid_at/sessionize + incoming dense_rank/
-# all_times), array_index_slice (json_nav keeps array_posexplode +
-# incoming json_field_filter), ngram_freq (text keeps quality_score
-# + incoming token_count), jsoniq_filter_project, jsoniq_group_count
-# (jsoniq keeps let_conditional/all_times_store/udf_pricing/
-# join_orders_customers/quantified_embeddings). ALL entries stay
-# oracle-checked every round by tools/check_oracle.py. The
-# family-coverage invariant is enforced by tests/test_registry.py
-# against FAMILIES (module-derived), so a rotation can never
-# silently drop a family from the window.
+# Round-9 rotation (rotation policy: max driver-row age ≤4 rounds,
+# PARITY.md "Driver-window coverage by round"). Rotating IN the 19
+# entries whose last driver row was round 4 (age 5 at r9 otherwise):
+# group_by_2keys, count_distinct, computed_agg, rollup_counts,
+# top_k_orders (analytics), shipping_priority, revenue_by_priority
+# (joins), previous_next_event, item_history, running_sum_per_user
+# (temporal), json_deref_sum (json_nav), text_profile (text),
+# doc_collection_cas_scan (doccollection), jaccard_near_dup,
+# simhash, embedding_near_dup (dedup), multimodal_features
+# (multimodal), scalar_functions, null_semantics (semantics).
+# Rotating OUT 19 entries that went driver-green in round 8 itself
+# (freshest rows; every family keeps an in-window representative):
+# filter_count, group_by_count, compound_filter_count,
+# grouping_sets_counts, covered_projection (analytics keeps
+# pricing_summary + the five incoming), customers_per_region,
+# full_outer_summary (joins keep national_revenue/range/asof/anti +
+# the two incoming), dense_rank_orders, all_times,
+# moving_avg_per_user (temporal keeps ntile/sessionize/valid_at/
+# snapshot_diff + the three incoming), json_field_filter (json_nav
+# keeps array_posexplode + incoming json_deref_sum), token_count
+# (text keeps quality_score/training_corpus_filter + incoming
+# text_profile), exact_dedup, minhash_signatures, minhash_lsh_pairs
+# (dedup keeps dedup_clusters/fuzzy_verify_pairs + the three
+# incoming), scalar_functions2, null_group_key (semantics keeps
+# stats_agg/decimal_overflow_sum/median_price/string_agg_nations +
+# the two incoming), multimodal_filter_decode (multimodal keeps
+# frame_sample + incoming multimodal_features), doc_shred_path_stats
+# (doccollection's incoming doc_collection_cas_scan keeps the
+# family). ALL entries stay oracle-checked every round by
+# tools/check_oracle.py. The family-coverage invariant is enforced
+# by tests/test_registry.py against FAMILIES (module-derived), so a
+# rotation can never silently drop a family from the window.
 PRIORITY: tuple[str, ...] = (
     # flagship aggregation
     "pricing_summary",
@@ -65,53 +74,53 @@ PRIORITY: tuple[str, ...] = (
     # scans / filters / projections
     "events_filter_project",
     "training_corpus_filter",
-    "compound_filter_count",
-    "filter_count",
-    "group_by_count",
+    # §2.4 aggregates
+    "group_by_2keys",
+    "count_distinct",
+    "computed_agg",
+    "rollup_counts",
+    "top_k_orders",
     # LLM-pipeline: text analysis
     "quality_score",
-    "token_count",
+    "text_profile",
     "fuzzy_verify_pairs",
     # §2.10 semantics corners
-    "scalar_functions2",
+    "scalar_functions",
     "stats_agg",
-    "null_group_key",
+    "null_semantics",
     "decimal_overflow_sum",
     # LLM-pipeline: multimodal + document-mode
-    "multimodal_filter_decode",
-    "doc_shred_path_stats",
-    # §2.4 aggregates (grouping family)
-    "grouping_sets_counts",
-    # §2.6 covered projection / sorts / §2.5 aggregates
-    "covered_projection",
+    "multimodal_features",
+    "doc_collection_cas_scan",
+    # §2.6 sorts / §2.5 aggregates
     "median_price",
     "string_agg_nations",
     # §2.3 joins
     "national_revenue",
     "range_join_price_bands",
-    "full_outer_summary",
+    "shipping_priority",
     "asof_join_orders_events",
     "anti_join_customers",
-    "customers_per_region",
+    "revenue_by_priority",
     # §2.7 temporal family
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
-    "all_times",
+    "previous_next_event",
+    "item_history",
     # §2.5 windows
     "ntile_value_quartiles",
-    "moving_avg_per_user",
-    "dense_rank_orders",
+    "running_sum_per_user",
     # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
-    "json_field_filter",
+    "json_deref_sum",
     "set_ops",
     "xml_path_filter",
     # LLM-pipeline: dedup + similarity
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
+    "jaccard_near_dup",
+    "simhash",
+    "embedding_near_dup",
     "dedup_clusters",
     "knn_join",
     "cosine_topk",

@@ -16,8 +16,11 @@ import os
 
 
 def test_jsoniq_grammar_fuzz(spark, tmp_path):
+    # n=40 keeps the in-suite subset under the ~120 s budget the
+    # round-7 ask set (measured ~95 s warm; n=60 ran ~143 s); the
+    # full campaign runs via tools/fuzz_jsoniq.py --n 5000.
     from tools.fuzz_jsoniq import run_fuzz
 
-    n = int(os.environ.get("SIRIX_FUZZ_N", "60"))
+    n = int(os.environ.get("SIRIX_FUZZ_N", "40"))
     failures = run_fuzz(spark, str(tmp_path), n=n, seed=20260816)
     assert failures == [], failures[:3]

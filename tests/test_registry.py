@@ -71,19 +71,29 @@ def test_driver_window_rotation_freshness():
     PARITY.md's coverage table is the bookkeeping; this test pins the
     mechanism — every entry whose last in-window round (per the
     table) would reach age 5 this round must be in PRIORITY. The
-    r8 batch: last driver row r3 → must be windowed now."""
+    r9 batch: last driver row r4 → must be windowed now."""
     from sirix_spark.queries import PRIORITY
 
     must_rotate_in = {
-        "filter_count",
-        "group_by_count",
-        "customers_per_region",
-        "dense_rank_orders",
-        "all_times",
-        "json_field_filter",
-        "token_count",
-        "minhash_signatures",
-        "cosine_topk",
+        "group_by_2keys",
+        "count_distinct",
+        "computed_agg",
+        "rollup_counts",
+        "top_k_orders",
+        "shipping_priority",
+        "revenue_by_priority",
+        "previous_next_event",
+        "item_history",
+        "running_sum_per_user",
+        "json_deref_sum",
+        "text_profile",
+        "doc_collection_cas_scan",
+        "jaccard_near_dup",
+        "simhash",
+        "embedding_near_dup",
+        "multimodal_features",
+        "scalar_functions",
+        "null_semantics",
     }
     missing = must_rotate_in - set(PRIORITY)
     assert not missing, f"age-5 entries left outside the window: {missing}"
