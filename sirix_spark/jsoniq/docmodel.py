@@ -386,24 +386,42 @@ class DocEvaluator:
         scoped here rather than session-wide so the analytics bench
         keeps its parallelism-first defaults; at collection scale the
         64 MB advisory size still yields full parallelism. Measured
-        on XMark idle: q01 6.6→4.0 s; q09/q10 ~1 s better each."""
+        on XMark idle: q01 6.6→4.0 s; q09/q10 ~1 s better each.
+
+        Constraint propagation is also scoped OFF: doc-engine plans
+        are deep chains of node-table self-joins + windows over wide
+        carried columns, and InferFiltersFromConstraints /
+        constraint canonicalization walks them superlinearly — the
+        optimizer burns seconds per lazy-share analysis while the
+        inferred IsNotNull filters add nothing (axis joins already
+        carry same-doc equality keys and the node table has no
+        nullable join keys). Measured on XMark idle: q07 16→4.3 s,
+        q11 22→18.6 s; the whole 860-case corpus replays byte-
+        identical either way. Analytics-bench plans (shallow, where
+        inferred constraints can prune) keep the Spark default."""
         import contextlib
 
         @contextlib.contextmanager
         def scope():
-            key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-            try:
-                prev = self.spark.conf.get(key)
-            except Exception:
-                prev = None
-            self.spark.conf.set(key, "false")
+            keys = {
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+                "spark.sql.constraintPropagation.enabled": "false",
+            }
+            prev: dict[str, str | None] = {}
+            for key, val in keys.items():
+                try:
+                    prev[key] = self.spark.conf.get(key)
+                except Exception:
+                    prev[key] = None
+                self.spark.conf.set(key, val)
             try:
                 yield
             finally:
-                if prev is None:
-                    self.spark.conf.unset(key)
-                else:
-                    self.spark.conf.set(key, prev)
+                for key, old in prev.items():
+                    if old is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, old)
 
         return scope()
 
@@ -1648,7 +1666,17 @@ class DocEvaluator:
         if not all(isinstance(cl, P.LetClause) for cl in v.clauses[1:]):
             return None
         w = v.where
-        if not (isinstance(w, P.Binop) and w.op == "eq"):
+        # eq lowers to a hash join on a canonical atom key; the
+        # inequality ops lower to a THETA join (XMark q11/q12's
+        # `income > 5000 * initial` — Brackit nested-loops these per
+        # outer tuple, and the correlated fallback's per-pipeline
+        # plan shares cost ~3 s of driver-side analysis EACH; the
+        # theta join is one small BroadcastNestedLoopJoin). `ne` is
+        # excluded: existentially it matches almost every pair, so
+        # the join IS a cartesian — the correlated path is no worse.
+        if not (
+            isinstance(w, P.Binop) and w.op in ("eq", "lt", "le", "gt", "ge")
+        ):
             return None
 
         inner_bound = {fc.var} | {cl.var for cl in v.clauses[1:]}
@@ -1668,9 +1696,11 @@ class DocEvaluator:
         if lf & inner_bound and not (rf & inner_bound):
             inner_expr, outer_expr = w.left, w.right
             outer_f = rf
+            outer_is_left = False
         elif rf & inner_bound and not (lf & inner_bound):
             inner_expr, outer_expr = w.right, w.left
             outer_f = lf
+            outer_is_left = True
         else:
             return None
         if not outer_f <= outer_names:
@@ -1725,15 +1755,42 @@ class DocEvaluator:
                 F.col("__ord").alias("__iord"),
                 *[F.col(c).alias(f"__i_{c}") for c in ITEM_COLS],
                 F.explode(ik).alias("__ival"),
-            ).withColumn("__ikey", canon(F.col("__ival")))
+            )
             o_side = tagged.select(
                 F.col(tord).alias("__otord"), F.explode(ok).alias("__oval")
-            ).withColumn("__okey", canon(F.col("__oval")))
-            pairs = (
-                o_side.join(i_side, F.col("__okey") == F.col("__ikey"), "inner")
-                .filter(self._atom_cmp(F.col("__oval"), F.col("__ival"), "eq"))
-                .dropDuplicates(["__otord", "__iord"])
             )
+            if w.op == "eq":
+                pairs = (
+                    o_side.withColumn("__okey", canon(F.col("__oval")))
+                    .join(
+                        i_side.withColumn("__ikey", canon(F.col("__ival"))),
+                        F.col("__okey") == F.col("__ikey"),
+                        "inner",
+                    )
+                    .filter(
+                        self._atom_cmp(F.col("__oval"), F.col("__ival"), "eq")
+                    )
+                    .dropDuplicates(["__otord", "__iord"])
+                )
+            else:
+                # theta join: the verify predicate IS the join
+                # condition (general-comparison semantics preserved
+                # by _atom_cmp), oriented outer-vs-inner. Inner items
+                # broadcast (the decorrelated result of one FLWOR —
+                # bounded); outer atoms stream — a
+                # BroadcastNestedLoopJoin, never a shuffle cartesian.
+                op_oi = (
+                    w.op
+                    if outer_is_left
+                    else {"gt": "lt", "lt": "gt", "ge": "le", "le": "ge"}[
+                        w.op
+                    ]
+                )
+                pairs = o_side.join(
+                    F.broadcast(i_side),
+                    self._atom_cmp(F.col("__oval"), F.col("__ival"), op_oi),
+                    "inner",
+                ).dropDuplicates(["__otord", "__iord"])
             items = pairs.select(
                 F.col("__otord").alias(tord),
                 F.concat(F.col("__otord"), F.col("__iord")).alias("__ord"),

@@ -368,15 +368,19 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
     # identity; keep candidates with >= 1 (matching) result.
     rel = pred[1]
     origin = df.withColumn("o_doc", F.col("doc")).withColumn("o_key", F.col("node_key"))
-    # dedup ONCE at origin construction: predicates run mid-step, so
-    # the incoming frontier may still carry duplicate (node, origin)
-    # rows (the end-of-step dedup has not fired yet). Dup-free axes
-    # below then PRESERVE cleanliness — without this, a positional
-    # predicate in a later rel step row_numbers inherited duplicates
-    # and [2] can select a copy of the first match (ADVICE r8).
-    sub = origin.select(*NODE_COLS, "o_doc", "o_key").dropDuplicates(
-        ["doc", "node_key", "o_doc", "o_key"]
-    )
+    # dedup ONCE at origin construction — but only when the step
+    # whose predicate this is could have produced duplicates:
+    # predicates run mid-step, before the end-of-step dedup, so a
+    # fan-out axis (descendant/following/…) may hand us duplicate
+    # (node, origin) rows, and a positional predicate in a later rel
+    # step would row_number the duplicates and let [2] select a copy
+    # of the first match (ADVICE r8). The frontier ENTERING the step
+    # was deduped at the previous step's close, so dup-free axes
+    # (child/attribute/self) are clean here — skipping the exchange
+    # for them keeps the common [@attr='v'] shape one-shuffle.
+    sub = origin.select(*NODE_COLS, "o_doc", "o_key")
+    if axis not in _DUP_FREE_AXES:
+        sub = sub.dropDuplicates(["doc", "node_key", "o_doc", "o_key"])
     for step in rel:
         _, ax, test, preds = step
         sub = _test_filter(_axis_join(nodes, sub, ax), ax, test)

@@ -143,6 +143,43 @@ def test_relpath_positional_pred_dedup(spark):
     assert run("//x/descendant::a[b/c[2]='u']") == []
 
 
+def test_theta_decorrelated_let(spark, tmp_path, monkeypatch):
+    """Correlated let with an INEQUALITY where (XMark q11/q12's
+    shape) lowers to the decorrelated theta join — the correlated
+    fallback must NOT run, and the existential general-comparison
+    semantics must hold (reference: Brackit evaluates the nested
+    FLWOR per outer tuple; node/SirixXMarkTest.java q11/q12)."""
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+    from sirix_spark.store.docstore import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "s"))
+    store.store(
+        "db",
+        "r.jn",
+        json.dumps(
+            [{"id": 1, "v": 5}, {"id": 2, "v": 11}, {"id": 3, "v": 2}]
+        ),
+    )
+    calls = {"correlated": 0}
+    orig = DocEvaluator._flwor_correlated
+
+    def spy(self, *a, **k):
+        calls["correlated"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DocEvaluator, "_flwor_correlated", spy)
+    q = (
+        "for $x in jn:doc('db','r.jn')[] "
+        "let $l := for $y in jn:doc('db','r.jn')[] "
+        "where $x.v gt $y.v return $y.id "
+        "order by $x.id "
+        'return {"id": $x.id, "n": count($l)}'
+    )
+    got = DocEvaluator(spark, store).execute(q)
+    assert got == '{"id":1,"n":1} {"id":2,"n":2} {"id":3,"n":0}'
+    assert calls["correlated"] == 0, "theta shape took the correlated path"
+
+
 def test_bench_prior_query_harvest():
     """The per-query outlier guard's reference parser finds committed
     per-query values (round-8 verdict What's-wrong #4)."""

@@ -107,7 +107,9 @@ def test_nonstatic_source_falls_back(spark, docstore):
     assert True not in hits
 
 
-def test_non_eq_where_falls_back(spark, docstore):
+def test_inequality_where_decorrelates(spark, docstore):
+    """Round 9: lt/le/gt/ge lower to the decorrelated THETA join
+    (XMark q11/q12's shape) — same answers, no correlated pass."""
     from sirix_spark.jsoniq.docmodel import DocEvaluator
 
     DocEvaluator(spark, docstore).execute(
@@ -119,11 +121,28 @@ def test_non_eq_where_falls_back(spark, docstore):
         "let $smaller := for $x in $all where $x.v lt $o.v return $x.v "
         "return jn:size([$smaller])"
     )
-    from sirix_spark.jsoniq import docmodel as dm
-
     out, hits = _run_with_spy(spark, docstore, q)
     assert out == "0 1"
-    assert True not in hits  # `lt` is not the supported equi-shape
+    assert True in hits  # the theta shape takes the decorrelated path
+
+
+def test_ne_where_falls_back(spark, docstore):
+    """`ne` stays correlated: existentially it matches almost every
+    pair, so the join IS a cartesian — no win over the fallback."""
+    from sirix_spark.jsoniq.docmodel import DocEvaluator
+
+    DocEvaluator(spark, docstore).execute(
+        "jn:store('d','s.jn','[{\"k\":1,\"v\":10},{\"k\":2,\"v\":20}]')"
+    )
+    q = (
+        "let $all := jn:doc('d','s.jn')[] return "
+        "for $o in jn:doc('d','s.jn')[] "
+        "let $others := for $x in $all where $x.v ne $o.v return $x.v "
+        "return jn:size([$others])"
+    )
+    out, hits = _run_with_spy(spark, docstore, q)
+    assert out == "1 1"
+    assert True not in hits
 
 
 def test_numeric_vs_string_key_promotion(spark, docstore):
