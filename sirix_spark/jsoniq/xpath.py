@@ -282,9 +282,17 @@ def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
 
 def _positional(df: DataFrame, axis: str, idx, last: bool) -> DataFrame:
     order = F.col("node_key").desc() if axis in REVERSE_AXES else F.col("node_key").asc()
-    w = Window.partitionBy("doc", "c_key").orderBy(order)
+    # per-(context, ORIGIN) numbering: inside a relpath predicate two
+    # origins can converge on the same context node (e.g.
+    # //a[descendant::b/c[2]] with nested <a>s reaching one <b>) —
+    # partitioning on (doc, c_key) alone would interleave their
+    # candidate rows in one window and [2] would pick another
+    # origin's first child (same defect family as the ADVICE-r8
+    # origin dedup)
+    keys = ["doc", "c_key"] + [c for c in df.columns if c.startswith("o_")]
+    w = Window.partitionBy(*keys).orderBy(order)
     if last:
-        wl = Window.partitionBy("doc", "c_key")
+        wl = Window.partitionBy(*keys)
         df = df.withColumn("__rn", F.row_number().over(w)).withColumn(
             "__cnt", F.count(F.lit(1)).over(wl)
         )

@@ -143,6 +143,37 @@ def test_relpath_positional_pred_dedup(spark):
     assert run("//x/descendant::a[b/c[2]='u']") == []
 
 
+def test_positional_pred_numbers_per_origin(spark):
+    """Same defect family, one level deeper: when two relpath ORIGINS
+    converge on the same context node, the positional window must
+    number per (context, origin) — a (doc, c_key)-only partition
+    interleaves the origins' candidate rows and [2] can select
+    another origin's first child. Here both <a>s reach the single
+    <b> via descendant::b, and c[2]='v' must hold for BOTH."""
+    from sirix_spark.jsoniq.xpath import eval_steps, serialize_result
+    from sirix_spark.sources.xml_source import shred_xml
+
+    xml = "<r><a><a><b><c>u</c><c>v</c></b></a></a></r>"
+    df = spark.createDataFrame([("d", xml)], "doc string, xml string")
+    nodes = shred_xml(df).cache()
+
+    def run(path):
+        ast = P.parse("xml:doc('d','r')" + path)
+        fr = eval_steps(nodes, ast.steps)
+        return [
+            r.text
+            for r in serialize_result(nodes, fr)
+            .orderBy("doc", "node_key")
+            .collect()
+        ]
+
+    inner = "<a><b><c>u</c><c>v</c></b></a>"
+    outer = f"<a>{inner}</a>"
+    assert run("//a[descendant::b/c[2]='v']") == [outer, inner]
+    assert run("//a[descendant::b/c[1]='v']") == []
+    assert run("//a[descendant::b/c[last()]='v']") == [outer, inner]
+
+
 def test_theta_decorrelated_let(spark, tmp_path, monkeypatch):
     """Correlated let with an INEQUALITY where (XMark q11/q12's
     shape) lowers to the decorrelated theta join — the correlated
