@@ -216,10 +216,15 @@ def test_bench_prior_query_harvest():
     per-query values (round-8 verdict What's-wrong #4)."""
     import bench
 
-    priors = bench._prior_query_ms()
+    priors = bench._prior_query_sec()
     # committed artifacts exist in-repo from rounds 1-8
     assert priors, "no prior per-query values harvested"
     assert all(v > 0 for v in priors.values())
     # structural keys must not leak in as queries
     assert "sf" not in priors and "value" not in priors
     assert not any(k.endswith(("_before", "_after")) for k in priors)
+    # ADVICE r9 #3: harvested keys are intersected with the known
+    # query registry/matrix names, so diagnostic floats can't enter
+    known = bench._known_query_names()
+    assert known is not None
+    assert all(bench._is_known_query(k, known) for k in priors)

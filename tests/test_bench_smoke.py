@@ -38,7 +38,15 @@ def _run_bench(extra_env):
     )
     lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
     assert lines, f"no JSON line in bench output; stderr tail: {p.stderr[-2000:]}"
-    return p, json.loads(lines[-1])
+    # The printed line is SLIM (round-9 verdict #2: the driver's
+    # ~4.3 KB capture window truncated the r9 artifact); the full
+    # diagnostic record (phases, floor refs, reruns) is written to
+    # BENCH_FULL.json. Tests assert against the full record, with the
+    # printed line kept for the slim-line contract test.
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+        full = json.load(f)
+    full["_slim_line"] = lines[-1]
+    return p, full
 
 
 def test_bench_emits_json_with_matrix():
@@ -53,6 +61,19 @@ def test_bench_emits_json_with_matrix():
     assert len(matrix) >= 10, matrix  # ingest + 9 matrix queries
     assert "records_matrix_total_sec" in out
     assert "records_ingest_per_sec" in out
+    # Slim-line contract (round-9 verdict #2): the driver captures a
+    # ~4.3 KB window of stdout; the printed line must carry the
+    # metric header, EVERY per-query value, and the floors, and fit
+    # the window with headroom even at the full headline scale
+    # (in-suite the query set is the same size; diag payload is what
+    # varied). The heavy diag keys live only in BENCH_FULL.json.
+    slim = json.loads(out["_slim_line"])
+    assert slim["metric"] == out["metric"]
+    assert slim["queries"] == out["queries"]
+    assert slim["floors_ms"] == out["floors_ms"]
+    assert "phases" not in slim and "reruns" not in slim
+    assert "phases" in out  # full record keeps the diag
+    assert len(out["_slim_line"]) < 4000, len(out["_slim_line"])
 
 
 def test_bench_survives_failing_query():

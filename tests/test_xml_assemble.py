@@ -145,7 +145,16 @@ def test_xmark_q01_shape_plan_join_count_bounded(spark, tmp_path):
     )
     ev = DocEvaluator(spark, store)
     assert ev.execute(q) == "N0"
-    df = ev.execute_df(q)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Measure the PRE-checkpoint plan (ADVICE r9 #1): execute_df
+    # eagerly localCheckpoints on local masters, so its optimizedPlan
+    # is a single LogicalRDD leaf with zero joins and the pin would
+    # be vacuous. Compile directly (inside the doc-conf scope, same
+    # as execute_df does) and count joins on the compiled plan.
+    from sirix_spark.jsoniq import parser as P
+
+    with ev._doc_conf():
+        seq = ev.compile(P.parse(q))
+        plan = seq.df._jdf.queryExecution().optimizedPlan().toString()
     joins = plan.count("Join ")
+    assert joins > 0, "compiled plan shows no joins — measuring the wrong plan"
     assert joins <= 30, f"final plan has {joins} joins — fanout regressed"
