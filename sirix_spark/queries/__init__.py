@@ -30,38 +30,29 @@ class Query:
 # profile) and the semantics corners inside it. Entries not listed
 # here append afterwards in module order — still oracle-checked by
 # tools/check_oracle.py, just outside the driver's window.
-# Round-9 rotation (rotation policy: max driver-row age ≤4 rounds,
-# PARITY.md "Driver-window coverage by round"). Rotating IN the 19
-# entries whose last driver row was round 4 (age 5 at r9 otherwise):
-# group_by_2keys, count_distinct, computed_agg, rollup_counts,
-# top_k_orders (analytics), shipping_priority, revenue_by_priority
-# (joins), previous_next_event, item_history, running_sum_per_user
-# (temporal), json_deref_sum (json_nav), text_profile (text),
-# doc_collection_cas_scan (doccollection), jaccard_near_dup,
-# simhash, embedding_near_dup (dedup), multimodal_features
-# (multimodal), scalar_functions, null_semantics (semantics).
-# Rotating OUT 19 entries that went driver-green in round 8 itself
+# Round-10 rotation (rotation policy: max driver-row age ≤4 rounds,
+# PARITY.md "Driver-window coverage by round"). Rotating IN the 12
+# entries whose last driver row was round 5 (age 5 at r10 otherwise):
+# above_avg_orders, conditional_exprs, deep_equal_count,
+# quantified_some_every (semantics), fingerprint, hash_sample,
+# lang_id, length_histogram, stratified_sample (text),
+# jsoniq_array_minmax, jsoniq_count, jsoniq_string_filter (jsoniq).
+# Rotating OUT 12 entries that went driver-green in round 9 itself
 # (freshest rows; every family keeps an in-window representative):
-# filter_count, group_by_count, compound_filter_count,
-# grouping_sets_counts, covered_projection (analytics keeps
-# pricing_summary + the five incoming), customers_per_region,
-# full_outer_summary (joins keep national_revenue/range/asof/anti +
-# the two incoming), dense_rank_orders, all_times,
-# moving_avg_per_user (temporal keeps ntile/sessionize/valid_at/
-# snapshot_diff + the three incoming), json_field_filter (json_nav
-# keeps array_posexplode + incoming json_deref_sum), token_count
-# (text keeps quality_score/training_corpus_filter + incoming
-# text_profile), exact_dedup, minhash_signatures, minhash_lsh_pairs
-# (dedup keeps dedup_clusters/fuzzy_verify_pairs + the three
-# incoming), scalar_functions2, null_group_key (semantics keeps
-# stats_agg/decimal_overflow_sum/median_price/string_agg_nations +
-# the two incoming), multimodal_filter_decode (multimodal keeps
-# frame_sample + incoming multimodal_features), doc_shred_path_stats
-# (doccollection's incoming doc_collection_cas_scan keeps the
-# family). ALL entries stay oracle-checked every round by
-# tools/check_oracle.py. The family-coverage invariant is enforced
-# by tests/test_registry.py against FAMILIES (module-derived), so a
-# rotation can never silently drop a family from the window.
+# group_by_2keys, count_distinct, computed_agg, rollup_counts,
+# top_k_orders (analytics keeps pricing_summary /
+# events_filter_project / training_corpus_filter),
+# shipping_priority, revenue_by_priority (joins keep
+# national_revenue/range/asof/anti), previous_next_event,
+# item_history, running_sum_per_user (temporal keeps valid_at /
+# snapshot_diff / sessionize_events / ntile_value_quartiles),
+# json_deref_sum (json_nav keeps array_posexplode), simhash (dedup
+# keeps jaccard_near_dup / embedding_near_dup / dedup_clusters /
+# fuzzy_verify_pairs). ALL entries stay oracle-checked every round
+# by tools/check_oracle.py. The family-coverage invariant is
+# enforced by tests/test_registry.py against FAMILIES
+# (module-derived), so a rotation can never silently drop a family
+# from the window.
 PRIORITY: tuple[str, ...] = (
     # flagship aggregation
     "pricing_summary",
@@ -71,24 +62,30 @@ PRIORITY: tuple[str, ...] = (
     "jsoniq_udf_pricing",
     "jsoniq_join_orders_customers",
     "jsoniq_quantified_embeddings",
+    "jsoniq_array_minmax",
+    "jsoniq_count",
+    "jsoniq_string_filter",
     # scans / filters / projections
     "events_filter_project",
     "training_corpus_filter",
-    # §2.4 aggregates
-    "group_by_2keys",
-    "count_distinct",
-    "computed_agg",
-    "rollup_counts",
-    "top_k_orders",
     # LLM-pipeline: text analysis
     "quality_score",
     "text_profile",
+    "fingerprint",
+    "hash_sample",
+    "lang_id",
+    "length_histogram",
+    "stratified_sample",
     "fuzzy_verify_pairs",
     # §2.10 semantics corners
     "scalar_functions",
     "stats_agg",
     "null_semantics",
     "decimal_overflow_sum",
+    "above_avg_orders",
+    "conditional_exprs",
+    "deep_equal_count",
+    "quantified_some_every",
     # LLM-pipeline: multimodal + document-mode
     "multimodal_features",
     "doc_collection_cas_scan",
@@ -98,28 +95,21 @@ PRIORITY: tuple[str, ...] = (
     # §2.3 joins
     "national_revenue",
     "range_join_price_bands",
-    "shipping_priority",
     "asof_join_orders_events",
     "anti_join_customers",
-    "revenue_by_priority",
     # §2.7 temporal family
     "valid_at",
     "snapshot_diff",
     "node_diff",
     "sessionize_events",
-    "previous_next_event",
-    "item_history",
     # §2.5 windows
     "ntile_value_quartiles",
-    "running_sum_per_user",
     # §2.9 JSON navigation / §2.8 set ops / XPath
     "array_posexplode",
-    "json_deref_sum",
     "set_ops",
     "xml_path_filter",
     # LLM-pipeline: dedup + similarity
     "jaccard_near_dup",
-    "simhash",
     "embedding_near_dup",
     "dedup_clusters",
     "knn_join",

@@ -71,29 +71,22 @@ def test_driver_window_rotation_freshness():
     PARITY.md's coverage table is the bookkeeping; this test pins the
     mechanism — every entry whose last in-window round (per the
     table) would reach age 5 this round must be in PRIORITY. The
-    r9 batch: last driver row r4 → must be windowed now."""
+    r10 batch: last driver row r5 → must be windowed now."""
     from sirix_spark.queries import PRIORITY
 
     must_rotate_in = {
-        "group_by_2keys",
-        "count_distinct",
-        "computed_agg",
-        "rollup_counts",
-        "top_k_orders",
-        "shipping_priority",
-        "revenue_by_priority",
-        "previous_next_event",
-        "item_history",
-        "running_sum_per_user",
-        "json_deref_sum",
-        "text_profile",
-        "doc_collection_cas_scan",
-        "jaccard_near_dup",
-        "simhash",
-        "embedding_near_dup",
-        "multimodal_features",
-        "scalar_functions",
-        "null_semantics",
+        "above_avg_orders",
+        "conditional_exprs",
+        "deep_equal_count",
+        "fingerprint",
+        "hash_sample",
+        "jsoniq_array_minmax",
+        "jsoniq_count",
+        "jsoniq_string_filter",
+        "lang_id",
+        "length_histogram",
+        "quantified_some_every",
+        "stratified_sample",
     }
     missing = must_rotate_in - set(PRIORITY)
     assert not missing, f"age-5 entries left outside the window: {missing}"
