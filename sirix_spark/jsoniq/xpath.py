@@ -184,8 +184,15 @@ def _test_filter(df: DataFrame, axis: str, test: tuple) -> DataFrame:
     if t == "processing-instruction":
         return df.filter(kind == PI)
     if t == "node":
-        # node() excludes attributes on every non-attribute axis
-        return df.filter(kind != ATTRIBUTE)
+        # node() is true for EVERY node kind (XPath 1.0 §2.3). The
+        # axis JOINS are what keep attributes out of axes that can
+        # never contain them (child/descendant/sibling/following/
+        # preceding carry not_attr in _axis_join) — filtering here
+        # too made self::node() / descendant-or-self::node() from an
+        # ATTRIBUTE context empty and broke the common [@k[. = 'v']]
+        # → [. = 'v'] idiom (round-10 xpath-fuzzer find; the
+        # reference's SelfAxis returns the attribute itself).
+        return df
     raise XPathError(f"bad node test {test}")
 
 
@@ -220,11 +227,18 @@ def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
             & not_attr
         )
     elif axis == "descendant-or-self":
-        cond = (
-            same_doc
-            & (n("node_key") >= c("c_key"))
-            & (n("node_key") <= c("c_key") + c("c_dc"))
-            & not_attr
+        # the -or-self part is a plain key equality so an ATTRIBUTE
+        # context returns itself (XPath 1.0: the axis contains the
+        # context node whatever its kind); the strict-descendant part
+        # keeps not_attr — attributes are not descendants, they just
+        # live inside the key interval
+        cond = same_doc & (
+            (
+                (n("node_key") > c("c_key"))
+                & (n("node_key") <= c("c_key") + c("c_dc"))
+                & not_attr
+            )
+            | (n("node_key") == c("c_key"))
         )
     elif axis == "self":
         cond = same_doc & (n("node_key") == c("c_key"))
@@ -248,11 +262,18 @@ def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
             | (n("node_key") == c("c_key"))
         )
     elif axis == "following-sibling":
+        # spec §2.2: the sibling axes are EMPTY for an attribute
+        # context (attributes are not children, so they have no
+        # siblings); without the c_kind guard an attribute context
+        # leaked its element's children as "siblings" (their
+        # parent_key equals the attribute's parent — round-10
+        # xpath-fuzzer find)
         cond = (
             same_doc
             & (n("parent_key") == c("c_parent"))
             & (n("pos") > c("c_pos"))
             & not_attr
+            & (c("c_kind") != ATTRIBUTE)
         )
     elif axis == "preceding-sibling":
         cond = (
@@ -260,6 +281,7 @@ def _axis_join(nodes: DataFrame, frontier: DataFrame, axis: str) -> DataFrame:
             & (n("parent_key") == c("c_parent"))
             & (n("pos") < c("c_pos"))
             & not_attr
+            & (c("c_kind") != ATTRIBUTE)
         )
     elif axis == "following":
         cond = same_doc & (n("node_key") > c("c_key") + c("c_dc")) & not_attr
@@ -340,7 +362,24 @@ def string_value(nodes: DataFrame, frontier: DataFrame) -> DataFrame:
     return direct.unionByName(agg)
 
 
-def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> DataFrame:
+def _apply_pred(
+    nodes: DataFrame, df: DataFrame, axis: str, pred: tuple,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """One predicate over the step frontier ``df``.
+
+    ``base`` is the PRE-predicate step frontier. Relpath predicates
+    (exists/cmp) are per-NODE properties — their truth for a row does
+    not depend on which other rows survived earlier predicates — so
+    their match-key sets are computed from ``base`` instead of the
+    chained ``df``. Without this, k chained relpath predicates each
+    re-embedded the accumulated frontier subplan on both sides of
+    their semi-join, doubling the logical plan per predicate (~2^k;
+    a 5-predicate fuzz case compiled past 2M chars — the same
+    exponential-inlining class as the round-9 scalar-compiler fix).
+    With ``base``, each predicate embeds the step frontier once —
+    linear in predicate count. Positional predicates stay on the
+    chained ``df``: their semantics DO depend on prior survivors."""
     kind = pred[0]
     if kind == "pos":
         return _positional(df, axis, pred[1], last=False)
@@ -356,15 +395,24 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
         docs = sub.select(F.col("doc").alias("m_doc")).dropDuplicates()
         return df.join(docs, F.col("doc") == F.col("m_doc"), "left_semi")
     if kind == "and":
-        df = _apply_pred(nodes, df, axis, pred[1])
-        return _apply_pred(nodes, df, axis, pred[2])
+        df = _apply_pred(nodes, df, axis, pred[1], base=base)
+        return _apply_pred(nodes, df, axis, pred[2], base=base)
     if kind in ("or", "not"):
-        keys = ["doc", "node_key"] + [c for c in df.columns if c.startswith("o_")]
+        # identity keys include the CONTEXT (c_key): predicates run
+        # mid-step, where the same result node can legitimately
+        # appear under two contexts (descendant fan-out) — deduping
+        # on (doc, node_key, o_*) alone collapsed those rows across
+        # contexts, and a later positional predicate then numbered a
+        # context's rows against another context's survivors (the
+        # round-9 per-origin defect family, round-10 fuzzer find)
+        keys = ["doc", "node_key"] + [
+            c for c in df.columns if c == "c_key" or c.startswith("o_")
+        ]
         if kind == "or":
-            a = _apply_pred(nodes, df, axis, pred[1])
-            b = _apply_pred(nodes, df, axis, pred[2])
+            a = _apply_pred(nodes, df, axis, pred[1], base=base)
+            b = _apply_pred(nodes, df, axis, pred[2], base=base)
             return a.unionByName(b).dropDuplicates(keys)
-        inner = _apply_pred(nodes, df, axis, pred[1]).select(
+        inner = _apply_pred(nodes, df, axis, pred[1], base=base).select(
             *[F.col(k).alias(f"np_{k}") for k in keys]
         )
         cond = None
@@ -375,7 +423,10 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
     # relpath predicates: evaluate from each candidate, carrying its
     # identity; keep candidates with >= 1 (matching) result.
     rel = pred[1]
-    origin = df.withColumn("o_doc", F.col("doc")).withColumn("o_key", F.col("node_key"))
+    seed = base if base is not None else df
+    origin = seed.withColumn("o_doc", F.col("doc")).withColumn(
+        "o_key", F.col("node_key")
+    )
     # dedup ONCE at origin construction — but only when the step
     # whose predicate this is could have produced duplicates:
     # predicates run mid-step, before the end-of-step dedup, so a
@@ -392,8 +443,9 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
     for step in rel:
         _, ax, test, preds = step
         sub = _test_filter(_axis_join(nodes, sub, ax), ax, test)
+        sub_base = sub
         for p in preds:
-            sub = _apply_pred(nodes, sub, ax, p)
+            sub = _apply_pred(nodes, sub, ax, p, base=sub_base)
         if ax not in _DUP_FREE_AXES:
             sub = sub.dropDuplicates(["doc", "node_key", "o_doc", "o_key"])
     if kind == "cmp":
@@ -401,7 +453,13 @@ def _apply_pred(nodes: DataFrame, df: DataFrame, axis: str, pred: tuple) -> Data
         sub = string_value(nodes, sub)
         col = F.col("sval")
         if isinstance(lit, (int, float)):
-            col = col.cast("double")
+            # try_cast, NOT cast: a non-numeric string-value must
+            # make the comparison silently false (XPath number() of a
+            # non-number is NaN, which compares false) — under ANSI
+            # mode (Spark 4 default) a plain cast CRASHES the whole
+            # query on e.g. [node() = 9] over an element whose text
+            # isn't numeric (round-10 xpath-fuzzer find, 4/60 cases)
+            col = col.try_cast("double")
         cmpmap = {
             "=": col == F.lit(lit),
             "!=": col != F.lit(lit),
@@ -507,8 +565,9 @@ def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None)
         else:
             _, axis, test, preds = steps[i]
             frontier = _test_filter(_axis_join(nodes, frontier, axis), axis, test)
+            step_base = frontier
             for p in preds:
-                frontier = _apply_pred(nodes, frontier, axis, p)
+                frontier = _apply_pred(nodes, frontier, axis, p, base=step_base)
             i += 1
             dup_free = axis in _DUP_FREE_AXES
         if not dup_free:

@@ -217,3 +217,26 @@ def test_fn_data_keeps_lexical_form(spark, tmp_path):
     assert ev(
         "fn:count(xml:doc('db','m')/p[@income = '9876.00'])"
     ) == "1"
+
+
+def test_chained_relpath_predicate_plans_grow_linearly(nodes):
+    """Round-10 fuzzer find: k chained relpath predicates re-embedded
+    the accumulated frontier on both sides of their semi-joins —
+    ~2x plan growth PER PREDICATE (a 5-predicate case compiled past
+    the 2M-char ceiling; same exponential-inlining class as the r9
+    scalar-compiler fix). Since the fix, exists/cmp predicates seed
+    from the PRE-predicate step frontier, so growth is linear: the
+    increment from +2 predicates must stay ~constant, not double."""
+    from sirix_spark.jsoniq.xpath import eval_steps
+
+    def plan_chars(k: int) -> int:
+        ast = P.parse("xml:doc('d','r')/p:a/b" + "[c = 'x']" * k)
+        fr = eval_steps(nodes, ast.steps)
+        return len(fr._jdf.queryExecution().logical().toString())
+
+    s2, s4, s6 = plan_chars(2), plan_chars(4), plan_chars(6)
+    inc1, inc2 = s4 - s2, s6 - s4
+    assert inc2 < 2 * inc1, (
+        f"plan growth not linear: {s2}/{s4}/{s6} chars "
+        f"(increments {inc1} -> {inc2})"
+    )
