@@ -4533,7 +4533,37 @@ class DocEvaluator:
         over a scalar-representable sequence, optional `where`,
         arbitrary scalar `return` — compiles to filter/transform
         lambdas over the array<variant> (exists(for $i in $d.items[]
-        where $i.k gt 5 return $i) and the like)."""
+        where $i.k gt 5 return $i) and the like). Let-only FLWORs
+        (the round-10 switch/typeswitch desugaring binds its operand
+        and case vars this way) compile each let ONCE as a lambda
+        variable over its array<variant> (the _let1 CSE discipline),
+        visible to the body as a 'lamseq'."""
+        if (
+            node.clauses
+            and all(isinstance(cl, P.LetClause) for cl in node.clauses)
+            and node.where is None
+            and not node.group_by
+            and not node.order_by
+            and not node.post_group
+        ):
+            def build(i: int, sc: dict) -> Column:
+                if i == len(node.clauses):
+                    return self._scalar(node.ret, sc)
+                cl = node.clauses[i]
+
+                # single-arg closure, no defaulted params: pyspark's
+                # _create_lambda derives the lambda-variable count
+                # from the function's FULL arity, so defaults would
+                # be filled with spurious lambda Columns
+                def bind_next(x: Column) -> Column:
+                    return build(
+                        i + 1,
+                        {**sc, cl.var: {"kind": "lamseq", "col": x}},
+                    )
+
+                return _let1(self._scalar(cl.value, sc), bind_next)
+
+            return build(0, scope)
         if (
             len(node.clauses) != 1
             or not isinstance(node.clauses[0], P.ForClause)
@@ -4904,6 +4934,22 @@ class DocEvaluator:
             return (F.size(arr) > 0) & sch.startswith("ARRAY")
         if ty == "string":
             return (F.size(arr) > 0) & (sch == F.lit("STRING"))
+        # round-10 typeswitch surface: the remaining XDM/JSONiq kind
+        # tests over the variant algebra
+        if ty == "number":
+            return (F.size(arr) > 0) & (
+                (sch == F.lit("BIGINT"))
+                | (sch == F.lit("DOUBLE"))
+                | sch.startswith("DECIMAL")
+            )
+        if ty == "boolean":
+            return (F.size(arr) > 0) & (sch == F.lit("BOOLEAN"))
+        if ty == "null":
+            return (F.size(arr) > 0) & (sch == F.lit("VOID"))
+        if ty == "item":
+            return F.size(arr) == 1
+        if ty == "empty-sequence":
+            return F.size(arr) == 0
         raise JsoniqCompileError(f"instance of {ty}() unsupported")
 
     # ------------------------------------------------------------ calls

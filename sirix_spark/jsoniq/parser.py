@@ -365,6 +365,16 @@ class _Parser:
             return self.update_expr()
         if self.at("kw", "some") or self.at("kw", "every"):
             return self.quantified()
+        if (
+            self.cur.kind == "name"
+            and (
+                (self.cur.text in ("switch", "typeswitch")
+                 and self.toks[self.i + 1].text == "(")
+                or (self.cur.text in ("ordered", "unordered")
+                    and self.toks[self.i + 1].text == "{")
+            )
+        ):
+            return self.expr_single()
         return self.or_expr()
 
     # -- FLWOR
@@ -547,7 +557,105 @@ class _Parser:
             return self.update_expr()
         if self.at("kw", "if"):
             return self.if_expr()
+        if (
+            self.cur.kind == "name"
+            and self.cur.text in ("switch", "typeswitch")
+            and self.toks[self.i + 1].text == "("
+        ):
+            return self.switch_expr(self.cur.text == "typeswitch")
+        if (
+            self.cur.kind == "name"
+            and self.cur.text in ("ordered", "unordered")
+            and self.toks[self.i + 1].text == "{"
+        ):
+            # ordering-mode expressions (XQuery 3.1 §3.15): this
+            # engine always produces results in document order, so
+            # both modes are the identity (Brackit likewise treats
+            # the declaration as a hint)
+            self.i += 1
+            self.eat("op", "{")
+            e = self.expr()
+            self.eat("op", "}")
+            return e
         return self.or_expr()
+
+    # -- switch / typeswitch (XQuery 3.1 §3.12 / §3.16), desugared at
+    # parse time onto the existing machinery: the operand binds ONCE
+    # via an internal let; switch case matching is fn:deep-equal (the
+    # spec's own definition of case comparison, minus the
+    # empty-matches-empty corner — an empty operand falls through to
+    # default, per fn:deep-equal's engine contract); typeswitch case
+    # sequence-types compile to the instance-of / instance-of-xs
+    # calls the round-5 sequence-type surface already implements.
+    def switch_expr(self, is_type: bool):
+        kw = self.eat("name").text
+        self.eat("op", "(")
+        operand = self.expr()
+        self.eat("op", ")")
+        self._ds_n = getattr(self, "_ds_n", 0) + 1
+        sw = f"__{kw}{self._ds_n}"
+        v = Var(sw)
+        branches: list[tuple[object, object, str | None]] = []
+        while self.cur.kind == "name" and self.cur.text == "case":
+            self.i += 1
+            bind = None
+            if is_type:
+                if self.at("var"):
+                    bind = self.eat("var").text[1:]
+                    self.eat("kw", "as")
+                cond = self._seqtype_cond(v)
+                while self.opt("op", "|"):
+                    cond = Binop("or", cond, self._seqtype_cond(v))
+            else:
+                # one or more `case <operand>` sharing one return
+                cond = Call("fn:deep-equal", [v, self.expr_single()])
+                while self.cur.kind == "name" and self.cur.text == "case":
+                    self.i += 1
+                    cond = Binop(
+                        "or", cond,
+                        Call("fn:deep-equal", [v, self.expr_single()]),
+                    )
+            self.eat("kw", "return")
+            branches.append((cond, self.expr_single(), bind))
+        if not (self.cur.kind == "name" and self.cur.text == "default"):
+            raise JsoniqSyntaxError(
+                f"{kw}: expected 'default' at {self.cur.pos}"
+            )
+        self.i += 1
+        bind_d = None
+        if is_type and self.at("var"):
+            bind_d = self.eat("var").text[1:]
+        self.eat("kw", "return")
+
+        def wrap(bind: str | None, res):
+            if bind is None:
+                return res
+            return Flwor(clauses=[LetClause(bind, v)], ret=res)
+
+        out = wrap(bind_d, self.expr_single())
+        for cond, res, bind in reversed(branches):
+            out = IfExpr(cond, wrap(bind, res), out)
+        return Flwor(clauses=[LetClause(sw, operand)], ret=out)
+
+    def _seqtype_cond(self, v: "Var"):
+        """One typeswitch case sequence-type → a boolean condition
+        over the bound operand. Subset: xs:TYPE [? + *], the JSONiq/
+        XDM kind tests object()/array()/string()/number()/boolean()/
+        null()/item(), and empty-sequence()."""
+        if self.cur.kind == "qname" and self.cur.text.startswith("xs:"):
+            ty = self.eat("qname").text
+            occ = ""
+            if self.cur.kind == "op" and self.cur.text in ("?", "+", "*"):
+                occ = self.eat("op").text
+            return Call("instance-of-xs", [v, Lit(ty), Lit(occ)])
+        if self.cur.kind not in ("name", "kw"):
+            raise JsoniqSyntaxError(
+                f"typeswitch: bad sequence type at {self.cur.pos}"
+            )
+        ty = self.eat(self.cur.kind).text
+        self.eat("op", "(")
+        self.eat("op", ")")
+        return Call("instance-of", [v, Lit(ty)])
 
     def if_expr(self) -> IfExpr:
         self.eat("kw", "if")
