@@ -618,6 +618,22 @@ class Compiler:
             return self._call(node, scope)
         if isinstance(node, P.Quantified):
             return self._quantified(node, scope)
+        if (
+            isinstance(node, P.Flwor)
+            and node.clauses
+            and all(isinstance(cl, P.LetClause) for cl in node.clauses)
+            and node.where is None
+            and not node.group_by
+            and not node.order_by
+            and not node.post_group
+        ):
+            # let-only FLWOR in scalar position — the switch
+            # desugaring binds its operand this way (parser
+            # switch_expr); each let compiles once into the scope
+            sc = dict(scope)
+            for cl in node.clauses:
+                sc[cl.var] = self._scalar(cl.value, sc)
+            return self._scalar(node.ret, sc)
         raise JsoniqCompileError(f"unsupported expression {type(node).__name__}")
 
     def _quantified(self, node: P.Quantified, scope: dict) -> Column:
@@ -675,6 +691,14 @@ class Compiler:
 
     def _call(self, node: P.Call, scope: dict) -> Column:
         name, args = node.name, node.args
+        if name in ("deep-equal", "fn:deep-equal") and len(args) == 2:
+            # switch-case matching (XQuery §3.12 defines it via
+            # fn:deep-equal). Tabular columns are native-typed, so
+            # null-safe equality IS deep-equal over atomics — and it
+            # gets the spec's empty-matches-empty corner right.
+            return self._scalar(args[0], scope).eqNullSafe(
+                self._scalar(args[1], scope)
+            )
         if name in self.udfs:
             d = self.udfs[name]
             if len(args) != len(d.params):

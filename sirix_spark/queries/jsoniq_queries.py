@@ -287,6 +287,33 @@ SELECT r AS revision, user_id, n FROM snap WHERE n >= 3
 """
 
 
+# --- switch expression (XQuery 3.1 §3.12, round-10 surface) ---------
+def jsoniq_switch_classify(spark, sf_dir):
+    """switch over a grouping key — desugars to fn:deep-equal chains
+    (parser switch_expr) and compiles to one CASE WHEN tower; the
+    language layer adds zero runtime operators vs the SQL twin."""
+    return _run(
+        spark,
+        sf_dir,
+        "for $e in jn:doc('testdata','events') "
+        "let $cls := switch ($e.event_type) "
+        "case 'click' case 'view' return 'engage' "
+        "case 'purchase' return 'convert' "
+        "default return 'other' "
+        "return {'event_id': $e.event_id, 'cls': $cls}",
+        "events",
+    )
+
+
+JSONIQ_SWITCH_SQL = """
+SELECT event_id,
+       CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+            WHEN event_type = 'purchase' THEN 'convert'
+            ELSE 'other' END AS cls
+FROM events
+"""
+
+
 QUERIES = {
     "jsoniq_filter_project": Query(
         jsoniq_filter_project, JSONIQ_FILTER_PROJECT_SQL, ("jsoniq", "flwor")
@@ -315,6 +342,9 @@ QUERIES = {
     ),
     "jsoniq_udf_pricing": Query(
         jsoniq_udf_pricing, JSONIQ_UDF_SQL, ("jsoniq", "udf")
+    ),
+    "jsoniq_switch_classify": Query(
+        jsoniq_switch_classify, JSONIQ_SWITCH_SQL, ("jsoniq", "switch")
     ),
     "events_filter_project": Query(
         events_filter_project, JSONIQ_FILTER_PROJECT_SQL, ("scan", "twin")
