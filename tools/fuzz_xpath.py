@@ -127,7 +127,14 @@ def gen_tree(rng: random.Random) -> tuple[N, list[N]]:
             max_kids = max(0, 5 - depth)
             prev_text = False
             for _ in range(rng.randrange(0, max_kids + 1)):
-                make_text = depth >= 4 or rng.random() < 0.35
+                r = rng.random()
+                if r < 0.08:
+                    cm = N("comment", value=rng.choice(WORDS))
+                    cm.parent = e
+                    e.children.append(cm)
+                    prev_text = False
+                    continue
+                make_text = depth >= 4 or r < 0.43
                 if make_text and prev_text:
                     continue  # adjacent text nodes would coalesce on reparse
                 if make_text:
@@ -157,6 +164,8 @@ def to_xml(n: N) -> str:
     empty elements, raw text)."""
     if n.kind == "text":
         return n.value
+    if n.kind == "comment":
+        return f"<!--{n.value}-->"
     attrs = "".join(f' {a.name}="{a.value}"' for a in n.attrs)
     if not n.children:
         return f"<{n.name}{attrs}/>"
@@ -240,6 +249,8 @@ def test_ok(n: N, axis: str, test: tuple) -> bool:
         return n.kind == "elem"
     if t == "text":
         return n.kind == "text"
+    if t == "comment":
+        return n.kind == "comment"
     if t == "node":
         # node() is true for every node kind; the AXIS lists already
         # exclude attributes where the axis can't contain them
@@ -344,6 +355,8 @@ def serialize_oracle(result: list[N]) -> str:
             parts.append(to_xml(n))
         elif n.kind == "doc":
             parts.append("")
+        elif n.kind == "comment":
+            parts.append(f"<!--{n.value}-->")
         else:
             parts.append(n.value or "")
     return " ".join(parts)
@@ -361,10 +374,12 @@ def _gen_test(rng, axis) -> tuple:
     r = rng.random()
     if r < 0.55:
         return ("name", rng.choice(NAMES))
-    if r < 0.72:
+    if r < 0.70:
         return ("wildcard",)
-    if r < 0.87:
+    if r < 0.84:
         return ("text",)
+    if r < 0.91:
+        return ("comment",)
     return ("node",)
 
 
