@@ -92,6 +92,7 @@ HEADLINE = [
     # two should be within noise of each other.
     "events_filter_project",
     "jsoniq_filter_project",
+    "jsoniq_switch_classify",
     "json_field_filter",
     "token_count",
     "exact_dedup",

@@ -89,3 +89,17 @@ def test_asof_join_single_exchange_partitioned_window(spark, sf_dir):
     assert "Window" in plan
     # the window spec partitions by the key column k
     assert "windowspecdefinition(k#" in plan, plan
+
+
+def test_switch_compiles_to_case_when_no_extra_operators(spark, sf_dir):
+    """The round-10 switch desugaring (parser switch_expr ->
+    fn:deep-equal chain -> null-safe equality) must compile to one
+    CASE WHEN tower inside the scan projection: no joins, no
+    exchanges, no Python eval — the language layer adds zero runtime
+    operators."""
+    plan = explain_str(q("jsoniq_switch_classify", spark, sf_dir), "simple")
+    for op in ("Join", "Exchange", "EvalPython", "MapInPandas"):
+        assert op not in plan, plan
+    assert "CASE WHEN" in explain_str(
+        q("jsoniq_switch_classify", spark, sf_dir), "extended"
+    )
