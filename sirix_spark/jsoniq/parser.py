@@ -303,8 +303,44 @@ class _Parser:
             self.i += 2
             self.eat("string")
             self.opt("op", ";")
+        decls = self._prolog()
+        expr = self.expr()
+        self.eat("eof")
+        return Main(decls, expr) if decls else expr
+
+    def _prolog(self) -> list:
+        """Prolog declarations: `declare function` / inert
+        `declare namespace`, plus `import module namespace p = "uri"
+        at "lib.xq";` (XQuery 3.1 §4.12 — round 10, the last Brackit
+        construct previously fail-closed). Imported library modules
+        resolve via their at-hints (relative paths against
+        $SIRIX_JSONIQ_MODULE_PATH, default cwd); their functions
+        register under BOTH the importer's prefix and the module's
+        own (so the module's internal cross-calls keep working),
+        reusing the existing UDF machinery unchanged."""
         decls = []
-        while self.at("name", "declare"):
+        while self.at("name", "declare") or self.at("name", "import"):
+            if self.at("name", "import"):
+                self.i += 1
+                self.eat("name", "module")
+                self.eat("name", "namespace")
+                pfx = self.eat("name").text
+                self.eat("op", "=")
+                uri = _unquote(self.eat("string").text)
+                locs = []
+                if self.opt("kw", "at"):
+                    locs.append(_unquote(self.eat("string").text))
+                    while self.opt("op", ","):
+                        locs.append(_unquote(self.eat("string").text))
+                if not locs:
+                    raise JsoniqSyntaxError(
+                        "import module: a location hint (at \"…\") is "
+                        "required — there is no URI resolver"
+                    )
+                for loc in locs:
+                    decls.extend(_load_module(loc, uri, pfx))
+                self.opt("op", ";")
+                continue
             self.i += 1
             if self.at("name", "namespace"):
                 # `declare namespace p = "uri";` — prefixes are kept
@@ -334,9 +370,7 @@ class _Parser:
             self.eat("op", "}")
             self.opt("op", ";")
             decls.append(FunDecl(name, params, body))
-        expr = self.expr()
-        self.eat("eof")
-        return Main(decls, expr) if decls else expr
+        return decls
 
     def _skip_type_annotation(self):
         if self.at("kw", "as"):
@@ -1310,3 +1344,53 @@ def _scan_elem(src: str, i: int) -> tuple[ElemCtor, int]:
 def parse(src: str):
     """Parse a JSONiq-subset query string into the AST."""
     return _Parser(tokenize(src), src).parse()
+
+
+def parse_library_module(src: str) -> tuple[str, str, list]:
+    """Parse an XQuery library module (`module namespace p = "uri";`
+    + prolog declarations, no body expr) → (prefix, uri, FunDecls)."""
+    p = _Parser(tokenize(src), src)
+    if p.at("name", "xquery") and p.toks[p.i + 1].text == "version":
+        p.i += 2
+        p.eat("string")
+        p.opt("op", ";")
+    p.eat("name", "module")
+    p.eat("name", "namespace")
+    pfx = p.eat("name").text
+    p.eat("op", "=")
+    uri = _unquote(p.eat("string").text)
+    p.opt("op", ";")
+    decls = p._prolog()
+    p.eat("eof")
+    return pfx, uri, decls
+
+
+def _load_module(loc: str, uri: str, pfx: str) -> list:
+    """Resolve one `import module … at "loc"` hint: read the file
+    (relative paths against $SIRIX_JSONIQ_MODULE_PATH, default cwd),
+    parse it as a library module, check the target namespace, and
+    return its function declarations registered under both the
+    importer's prefix and the module's own."""
+    import os
+
+    base = os.environ.get("SIRIX_JSONIQ_MODULE_PATH", ".")
+    path = loc if os.path.isabs(loc) else os.path.join(base, loc)
+    try:
+        with open(path, encoding="utf-8") as f:
+            src = f.read()
+    except OSError as e:
+        raise JsoniqSyntaxError(f"import module: cannot read {path}: {e}")
+    mod_pfx, mod_uri, decls = parse_library_module(src)
+    if mod_uri != uri:
+        raise JsoniqSyntaxError(
+            f"import module: {path} declares namespace {mod_uri!r}, "
+            f"import expects {uri!r}"
+        )
+    out = []
+    for d in decls:
+        local = d.name.split(":", 1)[-1]
+        out.append(FunDecl(f"{pfx}:{local}", d.params, d.body))
+        if mod_pfx != pfx:
+            # module-internal cross-calls use the module's own prefix
+            out.append(FunDecl(f"{mod_pfx}:{local}", d.params, d.body))
+    return out
