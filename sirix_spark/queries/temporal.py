@@ -384,14 +384,19 @@ SELECT o_orderpriority, drank, o_orderkey, o_totalprice FROM (
 def ntile_value_quartiles(spark, sf_dir):
     # ntile over a total order (event_id tiebreak) → deterministic
     # bucket assignment; emit per-bucket stats, not per-row tiles.
-    # Scale caveat: an unpartitioned window is a single-partition
-    # sort — exact ntile is inherently global. The 100 TB path is
-    # approx percentile boundaries + width_bucket assignment
-    # (map-only); this entry pins the exact semantics.
-    w = Window.orderBy("value", "event_id")
+    # Round 10 closes the carried scale residual: exact ntile now
+    # computes via operators/ntile.exact_ntile — range-partitioned
+    # sort + per-partition offsets + the closed-form rank→bucket map
+    # — every stage parallel, NO single-partition window, same exact
+    # semantics (the DuckDB ntile oracle is unchanged and stays the
+    # value-level gate).
+    from sirix_spark.operators.ntile import exact_ntile
+
     return (
-        load(spark, sf_dir, "events")
-        .withColumn("quartile", F.ntile(4).over(w))
+        exact_ntile(
+            load(spark, sf_dir, "events"), 4, ["value", "event_id"],
+            output="quartile",
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("cnt"),

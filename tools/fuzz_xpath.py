@@ -11,12 +11,12 @@ fuzz family (bundles/sirix-core/src/test/java/io/sirix/fuzz/); this
 generator covers the same surface systematically:
 
 - random small XML trees: nested, repeated element names, attributes,
-  interleaved text — the converging-origin shapes the r9 defect
-  needed;
+  interleaved text and comments — the converging-origin shapes the
+  r9 defect needed;
 - random step chains over ALL §2.9 axes (child, descendant(-or-self),
   self, parent, ancestor(-or-self), following(-sibling),
-  preceding(-sibling), attribute), name/*/text()/node() tests,
-  abbreviations (//, ., .., @), and predicates: positional [n],
+  preceding(-sibling), attribute), name/*/text()/comment()/node()
+  tests, abbreviations (//, ., .., @), and predicates: positional [n],
   [last()], relative-path existence/comparison (with nested
   positional predicates — the r9 bug class), and/or chains, absolute
   paths;
