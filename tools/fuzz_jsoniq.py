@@ -92,8 +92,33 @@ def gen_int(rng, d, env: dict[str, str]):
         # one binding (round-9 grammar extension)
         choices += ["aggseq", "aggseq"]
     if d > 0:
-        choices += ["arith", "arith", "if"]
+        choices += ["arith", "arith", "if", "switch"]
     c = rng.choice(choices)
+    if c == "switch":
+        # round-10 grammar: the switch expression (desugars to
+        # fn:deep-equal chains) — integer operand, literal cases,
+        # first match wins in both engine and oracle
+        st, sf = gen_int(rng, d - 1, env)
+        cases = []
+        for _ in range(rng.randrange(1, 4)):
+            lit = rng.randrange(0, 21)
+            rt, rf = gen_int(rng, d - 1, env)
+            cases.append((lit, rt, rf))
+        dt, dfn = gen_int(rng, d - 1, env)
+        text = (
+            f"(switch ({st}) "
+            + " ".join(f"case {l} return {t}" for l, t, _ in cases)
+            + f" default return {dt})"
+        )
+
+        def ev(env_, sf=sf, cases=tuple(cases), dfn=dfn):
+            v = sf(env_)
+            for lit, _t, rf in cases:
+                if v == lit:
+                    return rf(env_)
+            return dfn(env_)
+
+        return text, ev
     if c == "aggseq":
         v = rng.choice(seq_vars)
         fn = rng.choice(["sum", "count", "min", "max"])
