@@ -542,6 +542,35 @@ def _child_chain_join(
 _DUP_FREE_AXES = {"child", "attribute", "self"}
 
 
+def _has_rel_pred(pred: tuple) -> bool:
+    k = pred[0]
+    if k in ("exists", "cmp", "absexists"):
+        return True
+    if k in ("and", "or"):
+        return _has_rel_pred(pred[1]) or _has_rel_pred(pred[2])
+    if k == "not":
+        return _has_rel_pred(pred[1])
+    return False
+
+
+def _contain(frontier: DataFrame) -> DataFrame:
+    """Lineage cut between relpath-predicate-bearing steps. Even with
+    per-step base frontiers (linear growth per predicate CHAIN), a
+    path stacking relpath predicates on several steps still embeds
+    each step's whole pred subplan into the next step's frontier —
+    multiplicative across steps × nesting (two round-10 5k-campaign
+    cases compiled past the 2.4M-char ceiling). A LAZY localCheckpoint
+    hands back a LogicalRDD leaf — bounded plan text, no extra eager
+    job — the same discipline docmodel._share_lineage applies at
+    pipeline boundaries, here at the step grain. Local masters only
+    (localCheckpoint blocks have no recomputation story off-local;
+    docmodel's budgeted eager cuts govern there)."""
+    sc = frontier.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return frontier.localCheckpoint(eager=False)
+    return frontier
+
+
 def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None) -> DataFrame:
     """Apply a parsed xstep list to the node table. Returns the final
     frontier (node rows, deduped, any order — document order is
@@ -570,6 +599,8 @@ def eval_steps(nodes: DataFrame, steps: list, frontier: DataFrame | None = None)
                 frontier = _apply_pred(nodes, frontier, axis, p, base=step_base)
             i += 1
             dup_free = axis in _DUP_FREE_AXES
+            if any(_has_rel_pred(p) for p in preds):
+                frontier = _contain(frontier)
         if not dup_free:
             dedup_keys = ["doc", "node_key"] + [
                 c for c in frontier.columns if c.startswith("o_")

@@ -235,8 +235,8 @@ def test_chained_relpath_predicate_plans_grow_linearly(nodes):
         return len(fr._jdf.queryExecution().logical().toString())
 
     s2, s4, s6 = plan_chars(2), plan_chars(4), plan_chars(6)
-    inc1, inc2 = s4 - s2, s6 - s4
-    assert inc2 < 2 * inc1, (
-        f"plan growth not linear: {s2}/{s4}/{s6} chars "
-        f"(increments {inc1} -> {inc2})"
-    )
+    # with the round-10 step-level lineage containment (_contain) the
+    # FINAL plan is bounded outright — a pred-bearing step ends in a
+    # LogicalRDD leaf, so doubling the predicate count cannot double
+    # the plan (exponential growth was ~2x per predicate)
+    assert s6 < max(2 * s2, 50_000), f"plan growth regressed: {s2}/{s4}/{s6}"

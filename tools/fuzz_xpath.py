@@ -261,7 +261,7 @@ def test_ok(n: N, axis: str, test: tuple) -> bool:
 def sval(n: N) -> str:
     """XPath string-value, engine contract: attr/text → value;
     element → concatenated descendant text; document → ''."""
-    if n.kind in ("attr", "text"):
+    if n.kind in ("attr", "text", "comment"):
         return n.value or ""
     if n.kind == "doc":
         return ""
