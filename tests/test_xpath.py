@@ -240,3 +240,25 @@ def test_chained_relpath_predicate_plans_grow_linearly(nodes):
     # LogicalRDD leaf, so doubling the predicate count cannot double
     # the plan (exponential growth was ~2x per predicate)
     assert s6 < max(2 * s2, 50_000), f"plan growth regressed: {s2}/{s4}/{s6}"
+
+
+def test_stacked_relpath_predicate_steps_stay_bounded(nodes):
+    """Round-10 5k-campaign ceiling trips (cases 758/882, seed
+    20260816): STACKING relpath predicates across several STEPS
+    multiplied plan text — each step's pred subplan embedded into the
+    next step's frontier (per-step base seeding only bounds growth
+    within one step's chain). Since _contain, every relpath-pred
+    step ends in a lazy-localCheckpoint LogicalRDD leaf, so adding a
+    further pred-bearing step adds ~constant plan text. Pins both
+    the bound and the answers (vs the predicate-free paths)."""
+
+    def plan_chars(k: int) -> int:
+        ast = P.parse("xml:doc('d','r')" + "/descendant::node()[b/c]" * k)
+        fr = eval_steps(nodes, ast.steps)
+        return len(fr._jdf.queryExecution().logical().toString())
+
+    s1, s3 = plan_chars(1), plan_chars(3)
+    assert s3 < max(s1 + 40_000, 2 * s1), f"stacked-step growth: {s1}/{s3}"
+    # answers survive the containment: the campaign shapes returned
+    # empty on their trees; here pin a non-empty stacked result too
+    assert run(nodes, "//b[c = '']/c[parent::b]") == "<c/> <c/>"
