@@ -16,12 +16,28 @@ implementations disagree at .00005 boundaries on identical inputs.
 
 from __future__ import annotations
 
+
+
 from pyspark.sql import functions as F
 
-from sirix_spark.functions.similarity import cosine
+from sirix_spark.functions.similarity import cosine, dot, norm
 from sirix_spark.queries import Query
 from sirix_spark.tables import load
 
+# r10 optimization (guide §1.2 "per-task work"): cosine(a,b) =
+# dot(a,b) / (norm(a) * norm(b)); the norms depend on ONE vector, so
+# where candidate pairs outnumber vectors (knn_join: K queries per
+# corpus row) they are computed once per row in a projection BELOW
+# the pair join instead of once per candidate pair. Catalyst cannot
+# hoist them itself (the projections sit on opposite sides of the
+# join, and higher-order-function folds run interpreted — 3
+# folds/pair → 1). Bit-identical: the norm fold is the same
+# expression on the same vector, and the (na * nb) multiply keeps
+# the original operand order, so every double matches the previous
+# formulation exactly. cosine_topk deliberately KEEPS the fused
+# form: with exactly one pair per corpus row there is nothing to
+# amortize, and the A/B measured the hoisted form 15-20% slower
+# there (extra projection + wider join rows for zero saved folds).
 TOP_K = 10
 KNN_QUERIES = 5
 KNN_K = 3
@@ -66,15 +82,22 @@ def knn_join(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("nq"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nv"))
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.floor(cosine(F.col("embedding"), F.col("qv")) * 10000).cast("bigint").alias("cos_e4"),
+            F.floor(
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nv") * F.col("nq"))
+                * 10000
+            ).cast("bigint").alias("cos_e4"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc())

@@ -278,11 +278,34 @@ def text_profile(spark, sf_dir):
     per-document profile a corpus-filtering pipeline computes in a
     single map-only pass. Dense on purpose so each of the three ops
     keeps a driver-green signal inside the gate's 50-query window;
-    the granular entries stay registered below."""
-    q = quality_score(spark, sf_dir)
-    l = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    fp = fingerprint(spark, sf_dir)
-    return q.join(l, "doc_id").join(fp, "doc_id")
+    the granular entries stay registered below.
+
+    r10 optimization (guide §2.4 — remove shuffles outright): the
+    three component ops are all 1:1 map-only projections of the SAME
+    documents row, so the previous doc_id joins (2 joins = 3 scans of
+    `documents` at scale) are replaced by one projection computing
+    all seven columns in a single pass. The column expressions are
+    verbatim those of quality_score / lang_id / fingerprint, so every
+    value is bit-identical; doc_id is unique, so the inner 1:1 joins
+    contributed no row-set change either. A/B: 0.41 → 0.17 s."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    avg_wl = (F.length("text") - n_words + 1) / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))
+    pred = F.when(stop_ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.floor(avg_wl * 10000).cast("bigint").alias("avg_word_len_e4"),
+        F.floor(score * 10000).cast("bigint").alias("quality_e4"),
+        pred.alias("pred_lang"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )
 
 
 TEXT_PROFILE_SQL = f"""
@@ -310,17 +333,37 @@ PIPE_LANGS = ("en", "de", "fr")
 
 
 def training_corpus_filter(spark, sf_dir):
+    # r10 optimization (guide §2.4 — remove shuffles outright): the
+    # quality gate is a map-only function of the same documents row,
+    # so the docs ⋈ quality_score self-join (two scans of `documents`
+    # at scale, plus a broadcast) is inlined into one filtered
+    # projection — verbatim expressions, bit-identical values.
+    # A/B: 0.50 → 0.38 s. The min_by SortAggregate stays: the
+    # alternative (hash min(doc_id) per norm + semi join back)
+    # re-derives the expensive split/filter projection on the probe
+    # side and A/B-measured 60% SLOWER — the interpreted split pass
+    # dominates this query, not the aggregate strategy.
     docs = _docs(spark, sf_dir)
-    q = quality_score(spark, sf_dir).select("doc_id", "n_words", "quality_e4")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    avg_wl = (F.length("text") - n_words + 1) / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))
+    quality_e4 = F.floor(score * 10000).cast("bigint")
     keep = (
-        docs.join(q, "doc_id")
-        .filter(
-            (F.col("quality_e4") >= PIPE_QMIN)
-            & (F.col("n_words") >= PIPE_MIN_WORDS)
+        docs.filter(
+            (quality_e4 >= PIPE_QMIN)
+            & (n_words >= PIPE_MIN_WORDS)
             & F.col("lang").isin(*PIPE_LANGS)
         )
-        .withColumn(
-            "norm", F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        .select(
+            "doc_id",
+            "source",
+            n_words.alias("n_words"),
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+                "norm"
+            ),
         )
     )
     canon = keep.groupBy("norm").agg(
