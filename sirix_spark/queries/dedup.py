@@ -201,21 +201,17 @@ def _bucket_pairs(banded: "DataFrame", id_col: str, a_name: str, b_name: str):
         .agg(F.collect_list(id_col).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= LSH_BUCKET_MAX))
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a: F.transform(
-                    F.col("ds"),
-                    lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
-                ),
-            )
-        ),
-        lambda p: p.getField(a_name) < p.getField(b_name),
-    )
+    # r10 optimization (guide §1.2 per-task work): TWO chained
+    # explodes + a codegen'd a<b filter replace the interpreted
+    # nested transform/flatten/filter expansion — same B² candidate
+    # enumeration, but in whole-stage-generated code instead of one
+    # allocated struct per candidate (see jaccard_near_dup, where the
+    # stage profile billed the interpreted expansion ~2.4 s CPU and
+    # the A/B measured 2.04 → 1.42 s).
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col(f"p.{a_name}").alias(a_name), F.col(f"p.{b_name}").alias(b_name))
+        grouped.select(F.explode("ds").alias(a_name), "ds")
+        .select(a_name, F.explode("ds").alias(b_name))
+        .filter(F.col(a_name) < F.col(b_name))
         .distinct()
     )
 
@@ -308,21 +304,23 @@ def jaccard_near_dup(spark, sf_dir):
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") <= DF_MAX)
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a: F.transform(
-                    F.col("ds"),
-                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                ),
-            )
-        ),
-        lambda p: p.getField("doc_a") < p.getField("doc_b"),
-    )
+    # r10 optimization (guide §1.2 per-task work): the bucket's pairs
+    # are emitted by TWO chained explodes + a codegen'd a<b filter.
+    # The previous nested transform/flatten/filter expansion ran
+    # interpreted (higher-order functions get no codegen; the stage
+    # profile billed it ~2.4 s CPU) and allocated one struct per
+    # candidate; Generate-explode participates in whole-stage
+    # codegen. Identical output: (x, y) from the same bucket with
+    # x < y is exactly the pair multiset the transform version built
+    # then filtered. Interleaved A/B grouped-transform / posting-list
+    # self-join / 2-explode: 2.04 / 1.80 / 1.42 s — 2-explode wins
+    # (the self-join rewrite was rejected: Spark broadcasts one side
+    # and computes the explode+DF-prune subtree twice).
     common = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        grouped.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
