@@ -76,14 +76,32 @@ FEATURE_SCHEMA = (
 )
 
 
-def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+def extract_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    carry_cols: "list[str] | None" = None,
+) -> DataFrame:
     """Append decoded features per image via mapInPandas (Arrow
     batches; each output row aligned with its input row). Invalid /
     undecodable blobs yield valid=false rather than failing the
-    stage — at corpus scale a poison blob must not kill the job."""
+    stage — at corpus scale a poison blob must not kill the job.
+
+    ``carry_cols`` (r10 optimization, guide §4.1: control how many
+    columns cross the Python boundary): when given, the stage emits
+    ONLY those input columns plus the features — in particular the
+    binary payload is NOT shipped back Python→JVM just to be
+    projected away above the stage (Spark cannot column-prune
+    through a mapInPandas schema, so without this every consumer
+    pays an Arrow round-trip of the full blob column). Default None
+    keeps the original append-to-all-columns contract."""
+    if carry_cols is None:
+        carried = [f.name for f in df.schema.fields]
+    else:
+        carried = list(carry_cols)
+    name_to_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", " + FEATURE_SCHEMA
+        [f"{c} {name_to_type[c]}" for c in carried] + [FEATURE_SCHEMA]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,9 +125,10 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
                         round(sum(px) / len(px), 4) if px else None
                     )
                     feats["valid"].append(True)
+            out = pdf[carried].copy() if carried else pd.DataFrame(index=pdf.index)
             for k, v in feats.items():
-                pdf[k] = v
-            yield pdf
+                out[k] = v
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)
 

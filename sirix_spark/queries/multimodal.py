@@ -66,8 +66,11 @@ def _media(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     """Decode the media table via the Arrow mapInPandas stage and
     return integer/boolean features per blob (poison blobs →
-    valid=false with NULL dims)."""
-    feats = extract_image_features(_media(spark, sf_dir))
+    valid=false with NULL dims). carry_cols=["doc_id"]: the decode
+    stage ships back only the id + features — never the blob
+    (r10 optimization, guide §4.1; A/B 0.36 → 0.32 s, and at real
+    blob sizes the saved Python→JVM Arrow bytes dominate)."""
+    feats = extract_image_features(_media(spark, sf_dir), carry_cols=["doc_id"])
     return feats.select("doc_id", "width", "height", "n_bytes", "valid")
 
 
@@ -94,7 +97,7 @@ def multimodal_filter_decode(spark, sf_dir):
 
     media = with_media_metadata(_media(spark, sf_dir))
     plausible = media.filter(F.col("looks_fake_img")).drop("n_bytes", "looks_fake_img")
-    feats = extract_image_features(plausible)
+    feats = extract_image_features(plausible, carry_cols=[])
     return feats.agg(
         F.count("*").alias("n_images"),
         F.sum("n_bytes").alias("total_bytes"),

@@ -38,6 +38,24 @@ def test_feature_extraction(images):
     assert rows[1]["uri"] == "img/1"
 
 
+def test_feature_extraction_carry_cols(images):
+    """r10 optimization contract: carry_cols limits what crosses the
+    Python boundary back to the JVM — only the named input columns +
+    features are emitted (in particular NOT the binary payload), and
+    the feature values are identical to the append-all default."""
+    slim = M.extract_image_features(images, carry_cols=["id"])
+    assert slim.columns == ["id", "width", "height", "n_bytes", "mean_pixel", "valid"]
+    slim_rows = {r["id"]: r for r in slim.collect()}
+    full_rows = {r["id"]: r for r in M.extract_image_features(images).collect()}
+    for i in (1, 2, 3, 4):
+        for c in ("width", "height", "n_bytes", "mean_pixel", "valid"):
+            assert slim_rows[i][c] == full_rows[i][c]
+    # carry_cols=[] emits features only (aggregating consumers)
+    only = M.extract_image_features(images, carry_cols=[])
+    assert only.columns == ["width", "height", "n_bytes", "mean_pixel", "valid"]
+    assert only.count() == 4
+
+
 def test_resize_roundtrip(images):
     resized = M.resize_images(images.filter("id <= 2"), 2, 2)
     feats = {r["id"]: r for r in M.extract_image_features(resized).collect()}

@@ -50,11 +50,19 @@ def test_plan_is_parallel(spark):
         .toString()
     )
     # the only single-partition stage is the tiny offsets frame (one
-    # row per range partition); the data rides rangepartitioning +
-    # a window PARTITIONED by __pid
+    # row per range partition); the data rides rangepartitioning and
+    # the per-partition row number is the map-only
+    # monotonically_increasing_id decomposition — no second exchange
+    # of the data (r10: the old __pid-partitioned window hash-
+    # repartitioned everything again)
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange rangepartitioning" in plan, plan
-    assert "windowspecdefinition(__pid" in plan, plan
+    assert "monotonically_increasing_id" in plan, plan
+    # the DATA never rides a __pid-partitioned row_number window
+    # (whose hash repartition was the second full exchange); the only
+    # hashpartitioning(__pid) left is the counts aggregation — one
+    # row per range partition
+    assert "row_number()" not in plan, plan
 
 
 def test_registry_query_uses_distributed_ntile(spark, sf_dir):
@@ -67,4 +75,5 @@ def test_registry_query_uses_distributed_ntile(spark, sf_dir):
         .toString()
     )
     assert "ntile(" not in plan, "single-partition window ntile is back"
-    assert "windowspecdefinition(__pid" in plan
+    assert "monotonically_increasing_id" in plan
+    assert "row_number()" not in plan
