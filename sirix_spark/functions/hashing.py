@@ -35,6 +35,21 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+# --- Spark-SQL string twins (r10 optimization, guide §1.2) ----------
+# One F.expr()/selectExpr() call parses a whole expression in the JVM,
+# where the Column-combinator forms above pay one py4j round-trip per
+# operator — measured 350 ms -> 35 ms to construct the 16 minhash
+# signature columns. Each *_sexpr MUST parse to the exact expression
+# tree its Column twin builds (plain int literals, same operator
+# shapes) so results are bit-identical; tests/test_expr_twins.py pins
+# canonicalized-plan equality for every pair.
+
+
+def md5_long_sexpr(expr: str) -> str:
+    """Spark-SQL string form of md5_long (same expression tree)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
 def md5_long_sql(expr: str) -> str:
     """Same hash, DuckDB SQL."""
     return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
@@ -45,6 +60,14 @@ def bucket_hash(col: Column) -> Column:
     return md5_long(col) % F.lit(P)
 
 
+def bucket_hash_sexpr(expr: str) -> str:
+    """Spark-SQL string form of bucket_hash (same expression tree).
+    Parenthesized so it embeds safely in larger expressions (e.g.
+    inside perm_sexpr, where an unparenthesized `% P` would
+    re-associate with the permutation's multiply)."""
+    return f"({md5_long_sexpr(expr)} % {P})"
+
+
 def bucket_hash_sql(expr: str) -> str:
     return f"({md5_long_sql(expr)} % {P})"
 
@@ -52,6 +75,11 @@ def bucket_hash_sql(expr: str) -> str:
 def perm(hw: Column, a: int, b: int) -> Column:
     """One MinHash permutation over an already-bucketed hash value."""
     return (F.lit(a) * hw + F.lit(b)) % F.lit(P)
+
+
+def perm_sexpr(hw: str, a: int, b: int) -> str:
+    """Spark-SQL string form of perm (same expression tree)."""
+    return f"({a} * {hw} + {b}) % {P}"
 
 
 def perm_sql(hw_expr: str, a: int, b: int) -> str:

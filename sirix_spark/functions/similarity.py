@@ -36,3 +36,28 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- Spark-SQL string twins (r10 optimization, guide §1.2) ----------
+# Single-string forms for F.expr()/selectExpr(): the Column twins
+# above build the zip_with/aggregate folds through one py4j round
+# trip per operator and per lambda variable, which dominates query
+# CONSTRUCTION time in the similarity family (norm: 47 ms -> 24 ms
+# measured). Each must parse to the exact tree its twin builds
+# (0.0D keeps the seed a double literal like F.lit(0.0));
+# tests/test_expr_twins.py pins canonicalized-plan equality.
+
+
+def dot_sexpr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)"
+        " * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_sexpr(a: str) -> str:
+    return f"sqrt({dot_sexpr(a, a)})"
+
+
+def cosine_sexpr(a: str, b: str) -> str:
+    return f"{dot_sexpr(a, b)} / ({norm_sexpr(a)} * {norm_sexpr(b)})"

@@ -23,10 +23,10 @@ from pyspark.sql import functions as F
 
 from sirix_spark.functions.hashing import (
     P,
-    bucket_hash,
+    bucket_hash_sexpr,
     bucket_hash_sql,
     minhash_seeds,
-    perm,
+    perm_sexpr,
     perm_sql,
 )
 from sirix_spark.queries import Query
@@ -40,6 +40,9 @@ JACCARD_MIN = 0.6
 SEEDS = minhash_seeds(N_HASH)
 
 _NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+# Spark-SQL string twin of _NORM over the text column ('\\s+' in the
+# parsed literal is \s+, matching F.lit(r"\s+") exactly).
+_NORM_SEXPR = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 _NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
@@ -135,11 +138,6 @@ FROM documents
 
 
 # --- MinHash signatures ---------------------------------------------
-def _perm_lambda(a: int, b: int):
-    # factory keeps the lambda single-arg (higher-order fns inspect arity)
-    return lambda h: perm(h, a, b)
-
-
 def minhash_signatures(spark, sf_dir):
     """Per-row MinHash over distinct words: map-only, no shuffle.
 
@@ -147,14 +145,22 @@ def minhash_signatures(spark, sf_dir):
     materialized once behind a projection boundary, then the 16
     permutations fold over it — 7× faster than inlining the hash
     into each permutation expression (measured at sf0.1; without the
-    boundary Catalyst re-evaluates md5 per permutation)."""
+    boundary Catalyst re-evaluates md5 per permutation).
+
+    r10 optimization (guide §1.2): both projections are built as
+    Spark-SQL strings — the Column-combinator form paid one py4j
+    round trip per operator/lambda and its CONSTRUCTION alone
+    measured 350 ms (vs ~0.1 s execution at sf0.1); the string form
+    parses in the JVM in ~35 ms and yields the identical expression
+    tree (canonicalized-plan equality pinned by
+    tests/test_expr_twins.py)."""
     base = _shingled_cached(spark, sf_dir).select(
-        "doc_id", F.transform(F.col("sh"), bucket_hash).alias("_h")
+        "doc_id", F.expr(f"transform(sh, w -> {bucket_hash_sexpr('w')})").alias("_h")
     )
-    return base.select(
+    return base.selectExpr(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col("_h"), _perm_lambda(a, b))).alias(f"m{j}")
+            f"array_min(transform(_h, h -> {perm_sexpr('h', a, b)})) AS m{j}"
             for j, (a, b) in enumerate(SEEDS)
         ],
     )
@@ -222,17 +228,15 @@ def minhash_lsh_pairs(spark, sf_dir):
     LSH_BUCKET_MAX dropped. Shuffle is by band key — only same-bucket
     docs ever meet, and the cap bounds each bucket's pair fan-out."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(b),
-                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-            )
-            for b in range(N_BANDS)
-        ]
+    bands = [
+        "concat_ws('_', "
+        + ", ".join([str(b)] + [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+        + ")"
+        for b in range(N_BANDS)
+    ]
+    banded = sig.selectExpr(
+        "doc_id", f"explode(array({', '.join(bands)})) AS band_key"
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band_key"))
     return _bucket_pairs(banded, "doc_id", "doc_a", "doc_b")
 
 
@@ -375,24 +379,26 @@ N_SIMHASH_BITS = 16
 def simhash(spark, sf_dir):
     """16-bit SimHash over distinct words: per bit, sign of the sum
     of ±1 votes; signature = packed bit vector. Explode → one shuffle
-    by doc_id (at scale: map-side combine keeps it cheap)."""
+    by doc_id (at scale: map-side combine keeps it cheap).
+
+    r10 optimization (guide §1.2): expressions built as Spark-SQL
+    strings — one JVM parse instead of ~330 ms of per-operator py4j
+    construction; identical trees (tests/test_expr_twins.py)."""
     docs = _docs(spark, sf_dir)
-    words = docs.select(
+    words = docs.selectExpr(
         "doc_id",
-        F.explode(F.array_distinct(F.split(_NORM(F.col("text")), " "))).alias("w"),
-    ).withColumn("hw", bucket_hash(F.col("w")))
+        f"explode(array_distinct(split({_NORM_SEXPR}, ' '))) AS w",
+    ).withColumn("hw", F.expr(bucket_hash_sexpr("w")))
     bit_votes = [
-        F.sum(
-            (F.shiftright(F.col("hw"), bit).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{bit}")
+        F.expr(f"sum((shiftright(hw, {bit}) & 1) * 2 - 1) AS v{bit}")
         for bit in range(N_SIMHASH_BITS)
     ]
     votes = words.groupBy("doc_id").agg(*bit_votes)
-    packed = None
-    for bit in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+    packed = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+        for bit in range(N_SIMHASH_BITS)
+    )
+    return votes.selectExpr("doc_id", f"cast({packed} as bigint) AS simhash")
 
 
 def _simhash_sql() -> str:
@@ -446,21 +452,24 @@ def embedding_near_dup(spark, sf_dir):
     """
     emb = load(spark, sf_dir, "embeddings")
 
-    def band_key(band: int):
-        packed = None
-        for b in range(EMB_BITS_PER_BAND):
-            dim = band * EMB_BITS_PER_BAND + b + 1  # element_at is 1-based
-            term = F.when(
-                F.element_at(F.col("embedding"), dim) >= 0, F.lit(1 << b)
-            ).otherwise(F.lit(0))
-            packed = term if packed is None else packed + term
-        return F.concat_ws("_", F.lit(band), packed)
+    # Expressions built as Spark-SQL strings (r10, guide §1.2): this
+    # query's CONSTRUCTION measured 540 ms — half its total — nearly
+    # all py4j round trips for the 32 sign-bit terms and the 64-dim
+    # norm/dot folds. Identical trees (tests/test_expr_twins.py).
+    def band_key_sexpr(band: int) -> str:
+        bits = " + ".join(
+            # element_at is 1-based
+            f"(CASE WHEN element_at(embedding, {band * EMB_BITS_PER_BAND + b + 1})"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(EMB_BITS_PER_BAND)
+        )
+        return f"concat_ws('_', {band}, {bits})"
 
-    banded = emb.select(
+    banded = emb.selectExpr(
         "vec_id",
-        F.explode(F.array(*[band_key(band) for band in range(N_EMB_BANDS)])).alias(
-            "band_key"
-        ),
+        "explode(array("
+        + ", ".join(band_key_sexpr(band) for band in range(N_EMB_BANDS))
+        + ")) AS band_key",
     )
     cands = _bucket_pairs(banded, "vec_id", "vec_a", "vec_b")
     # r10 optimization: norms hoisted below the verify joins — one
@@ -468,26 +477,22 @@ def embedding_near_dup(spark, sf_dir):
     # similarity.py has the bit-identity argument; cosine(a,b) =
     # dot(a,b)/(norm(a)*norm(b)) with unchanged operand order).
     # A/B-measured 1.33 → 0.96 s.
-    from sirix_spark.functions.similarity import dot, norm
+    from sirix_spark.functions.similarity import dot_sexpr, norm_sexpr
 
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("na"),
+    ea = emb.selectExpr(
+        "vec_id AS vec_a", "embedding AS va", f"{norm_sexpr('embedding')} AS na"
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("nb"),
+    eb = emb.selectExpr(
+        "vec_id AS vec_b", "embedding AS vb", f"{norm_sexpr('embedding')} AS nb"
     )
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn(
             "cos_e4",
-            F.floor(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
-            ).cast("bigint"),
+            F.expr(
+                f"cast(floor({dot_sexpr('va', 'vb')} / (na * nb) * 10000) as bigint)"
+            ),
         )
         .filter(F.col("cos_e4") >= EMB_COS_MIN_E4)
         .select("vec_a", "vec_b", "cos_e4")
@@ -539,8 +544,8 @@ def fuzzy_verify_pairs(spark, sf_dir):
     bounds the quadratic edit-distance work — the only scalable way
     to run edit distance over a corpus."""
     cands = minhash_lsh_pairs(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.substring(_NORM(F.col("text")), 1, LEV_PREFIX).alias("prefix")
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"substring({_NORM_SEXPR}, 1, {LEV_PREFIX}) AS prefix"
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sirix_spark.functions.similarity import cosine, dot, norm
+from sirix_spark.functions.similarity import cosine_sexpr, dot_sexpr, norm_sexpr
 from sirix_spark.queries import Query
 from sirix_spark.tables import load
 
@@ -50,13 +50,17 @@ def _emb(spark, sf_dir):
 def cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # cosine built as ONE Spark-SQL string (r10, guide §1.2): the
+    # Column-combinator fold construction was ~half this query's
+    # driver time; identical tree (tests/test_expr_twins.py).
     scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
             "label",
-            F.floor(cosine(F.col("embedding"), F.col("qv")) * 10000).cast("bigint").alias("cos_e4"),
+            f"cast(floor({cosine_sexpr('embedding', 'qv')} * 10000) as bigint)"
+            " AS cos_e4",
         )
     )
     return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(TOP_K)
@@ -81,23 +85,20 @@ def knn_join(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        norm(F.col("embedding")).alias("nq"),
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).selectExpr(
+        "vec_id AS query_id",
+        "embedding AS qv",
+        f"{norm_sexpr('embedding')} AS nq",
     )
     scored = (
-        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nv"))
+        emb.selectExpr("vec_id", "embedding", f"{norm_sexpr('embedding')} AS nv")
         .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "vec_id",
-            F.floor(
-                dot(F.col("embedding"), F.col("qv"))
-                / (F.col("nv") * F.col("nq"))
-                * 10000
-            ).cast("bigint").alias("cos_e4"),
+            f"cast(floor({dot_sexpr('embedding', 'qv')} / (nv * nq) * 10000)"
+            " as bigint) AS cos_e4",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc())
