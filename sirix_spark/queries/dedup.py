@@ -589,6 +589,42 @@ WHERE levenshtein(pa.prefix, pb.prefix) <= 40
 CLUSTER_MAX_ITER = 12
 
 
+def _min_label_propagate(edges, labels, max_iter=CLUSTER_MAX_ITER):
+    """Min-label propagation over (src, dst) edges starting from
+    (doc_id, cluster) labels; one row per doc_id, converges to the
+    per-component min label (capped at max_iter rounds).
+
+    r10 optimization (guide §2.4): each doc's PREVIOUS label rides
+    through the propagation aggregate as a second min column, so the
+    convergence test is a filter+count over the already-checkpointed
+    result — the old version re-joined new labels against old labels
+    every round, a second shuffle join per iteration whose only
+    output was one counter. `min(old)` is exact because labels holds
+    exactly one row per doc_id (the propagated rows carry null old,
+    which min ignores). Same convergence condition, same labels.
+    """
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst_id"),
+            edges.dst == F.col("dst_id"),
+        ).select(F.col("src").alias("doc_id"), "cluster")
+        new_labels = (
+            labels.withColumn("old", F.col("cluster"))
+            .unionByName(prop, allowMissingColumns=True)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"), F.min("old").alias("old"))
+            # truncate lineage each round: without this the plan
+            # doubles per iteration (the standard iterative-algorithm
+            # checkpoint; GraphX does the same internally)
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("cluster") < F.col("old")).count()
+        labels = new_labels.select("doc_id", "cluster")
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_clusters(spark, sf_dir):
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = (
@@ -601,32 +637,9 @@ def dedup_clusters(spark, sf_dir):
     labels = _docs(spark, sf_dir).select(
         "doc_id", F.col("doc_id").alias("cluster")
     )
-    for _ in range(CLUSTER_MAX_ITER):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "dst_id"),
-            edges.dst == F.col("dst_id"),
-        ).select(F.col("src").alias("doc_id"), "cluster")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster").alias("cluster"))
-            # truncate lineage each round: without this the plan
-            # doubles per iteration (the standard iterative-algorithm
-            # checkpoint; GraphX does the same internally)
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster", "old"), "doc_id"
-            )
-            .filter(F.col("cluster") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    result = _min_label_propagate(edges, labels)
     edges.unpersist()
-    return labels
+    return result
 
 
 DEDUP_CLUSTERS_SQL = f"""

@@ -110,7 +110,7 @@ def test_default_route_recall_on_clustered_data(spark):
     from pyspark.sql import functions as F
 
     from sirix_spark.operators.ann import ivf_search, train_centroids
-    from sirix_spark.queries.similarity import cosine
+    from sirix_spark.functions.similarity import cosine
     from tools.ann_recall import clustered_fixture
 
     emb = clustered_fixture(spark, n=500, dim=64).cache()

@@ -34,7 +34,7 @@ def recall_table(spark, sf_dir: str) -> dict:
         lsh_search,
         train_centroids,
     )
-    from sirix_spark.queries.similarity import cosine
+    from sirix_spark.functions.similarity import cosine
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
     dim = len(emb.first()["embedding"])
