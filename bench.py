@@ -573,9 +573,15 @@ def main():
         # this script; the printed line keeps every per-query number,
         # the metric header, floors, and the warning flags — ~2.7 KB,
         # inside the window.
+        # SIRIX_SPARK_BENCH_FULL_PATH redirects the artifact (used by
+        # the in-suite smoke tests so a subset smoke run can never
+        # clobber the committed full-run BENCH_FULL.json).
+        here = os.path.dirname(os.path.abspath(__file__))
+        full_path = os.environ.get("SIRIX_SPARK_BENCH_FULL_PATH") or os.path.join(
+            here, "BENCH_FULL.json"
+        )
         try:
-            here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            with open(full_path, "w") as f:
                 json.dump(out, f)
                 f.write("\n")
         except OSError:
@@ -585,7 +591,7 @@ def main():
             "spread_median",
         )
         slim = {k: v for k, v in out.items() if k not in slim_drop}
-        slim["full"] = "BENCH_FULL.json"
+        slim["full"] = os.path.basename(full_path)
         print(json.dumps(slim))
         sys.stdout.flush()
     sys.exit(0)

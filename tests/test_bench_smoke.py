@@ -10,17 +10,23 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_bench(extra_env):
+    # smoke runs must never clobber the committed full-run artifact
+    full_path = os.path.join(
+        tempfile.mkdtemp(prefix="bench_smoke_"), "BENCH_FULL.json"
+    )
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
         "SIRIX_SPARK_BENCH_N_TIMED": "1",
         "SIRIX_SPARK_RECORDS_N": "100000",
         "SIRIX_SPARK_DRIVER_MEM": "4g",
+        "SIRIX_SPARK_BENCH_FULL_PATH": full_path,
         # cross-round floor-parity gate off by default in-suite: the
         # box is legitimately busy under pytest -n, and a committed
         # idle-floor reference would make these tests sleep through
@@ -43,7 +49,7 @@ def _run_bench(extra_env):
     # diagnostic record (phases, floor refs, reruns) is written to
     # BENCH_FULL.json. Tests assert against the full record, with the
     # printed line kept for the slim-line contract test.
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+    with open(full_path) as f:
         full = json.load(f)
     full["_slim_line"] = lines[-1]
     return p, full
