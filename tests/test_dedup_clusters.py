@@ -59,6 +59,63 @@ def test_no_edges_is_identity(spark):
     assert _run(spark, 5, []) == {i: i for i in range(5)}
 
 
+def test_fewer_jobs_than_convergence_join_form(spark):
+    """Regression pin for the r10 optimization: the propagation loop
+    must run strictly fewer Spark jobs than the old form that
+    re-joined new labels against old labels every round for the
+    changed-count. Differential in ONE session (absolute job counts
+    vary with AQE stage materialization); measured 50 → 38 on this
+    graph."""
+    from sirix_spark.queries.dedup import CLUSTER_MAX_ITER
+
+    def old_propagate(edges, labels):
+        for _ in range(CLUSTER_MAX_ITER):
+            prop = edges.join(
+                labels.withColumnRenamed("doc_id", "dst_id"),
+                edges.dst == F.col("dst_id"),
+            ).select(F.col("src").alias("doc_id"), "cluster")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("doc_id")
+                .agg(F.min("cluster").alias("cluster"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("cluster", "old"), "doc_id"
+                )
+                .filter(F.col("cluster") < F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    pairs = [(i, i + 1) for i in range(5)]
+    sc = spark.sparkContext
+
+    def count_jobs(tag, fn):
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src bigint, dst bigint",
+        )
+        labels = spark.createDataFrame(
+            [(i, i) for i in range(6)], "doc_id bigint, cluster bigint"
+        )
+        sc.setJobGroup(tag, tag)
+        try:
+            out = fn(edges, labels)
+            assert out.count() == 6
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    old_jobs = count_jobs("cc-old-form", old_propagate)
+    new_jobs = count_jobs("cc-new-form", _min_label_propagate)
+    assert new_jobs < old_jobs, (new_jobs, old_jobs)
+
+
 def test_iteration_cap_is_respected(spark):
     # a 6-node path needs >2 rounds to fully converge; with
     # max_iter=1 the result must be the one-round propagation
