@@ -781,7 +781,17 @@ def _run(sf_dir, n_records, timings, errors, out):
 
     def _mk(name):
         fn = reg[name].fn
-        return lambda: run_once(fn, spark, sf_dir)
+
+        def timed():
+            # guide §1.5: label the job so the UI/event log maps
+            # stages back to queries (driver-side property, ~µs)
+            spark.sparkContext.setJobDescription(f"headline:{name}")
+            try:
+                return run_once(fn, spark, sf_dir)
+            finally:
+                spark.sparkContext.setJobDescription(None)
+
+        return timed
 
     items = []
     for name in headline:
