@@ -78,8 +78,11 @@ def perm(hw: Column, a: int, b: int) -> Column:
 
 
 def perm_sexpr(hw: str, a: int, b: int) -> str:
-    """Spark-SQL string form of perm (same expression tree)."""
-    return f"({a} * {hw} + {b}) % {P}"
+    """Spark-SQL string form of perm (same expression tree).
+    Outer-parenthesized like perm_sql so it embeds safely in larger
+    expressions (an unparenthesized `% P` would re-associate if a
+    caller placed it in a multiplicative/modulo context)."""
+    return f"(({a} * {hw} + {b}) % {P})"
 
 
 def perm_sql(hw_expr: str, a: int, b: int) -> str:

@@ -155,22 +155,29 @@ def _dedup_events_per_ts(events: DataFrame) -> DataFrame:
     # Single-exchange form (r10 optimization, guide §2.4): partition
     # by user_id ONLY and order (ts asc, event_id desc) — the first
     # row of each equal-ts run is exactly the max-event_id row of
-    # that (user_id, ts) group (eqNullSafe keeps the null-ts case
-    # identical to the old per-(user_id, ts) window). Every consumer
-    # of the dedup'd stream then windows/aggregates by user_id with
-    # a ts-ascending order, so this one Exchange + Sort is laid down
-    # once and REUSED; the previous shape (window partitioned by
-    # (user_id, ts), then the consumer's window by user_id) paid a
-    # second Exchange + Sort in every temporal query
+    # that (user_id, ts) group. Every consumer of the dedup'd stream
+    # then windows/aggregates by user_id with a ts-ascending order,
+    # so this one Exchange + Sort is laid down once and REUSED; the
+    # previous shape (window partitioned by (user_id, ts), then the
+    # consumer's window by user_id) paid a second Exchange + Sort in
+    # every temporal query
     # (plans/r10/previous_next_event_{before,after}.txt: 2 → 1
     # Exchange; A/B-measured 0.38 → 0.27 s).
+    #
+    # The run-boundary test lags a STRUCT, not the bare ts: lag's
+    # partition-head NULL would otherwise be indistinguishable from a
+    # genuine NULL ts under eqNullSafe and the first row of a null-ts
+    # run would be dropped (the oracle's GROUP BY keeps the null
+    # group). A lagged struct is NULL only when no previous row
+    # exists, and struct(NULL) != NULL, so the head of every run —
+    # including a null-ts run — survives the filter.
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").desc()
     )
     return (
-        events.withColumn("_prev_ts", F.lag("ts").over(w))
-        .filter(~F.col("_prev_ts").eqNullSafe(F.col("ts")))
-        .drop("_prev_ts")
+        events.withColumn("_prev", F.lag(F.struct(F.col("ts"))).over(w))
+        .filter(~F.col("_prev").eqNullSafe(F.struct(F.col("ts"))))
+        .drop("_prev")
     )
 
 
