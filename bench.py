@@ -114,6 +114,13 @@ HEADLINE = [
 
 N_TIMED = int(os.environ.get("SIRIX_SPARK_BENCH_N_TIMED", 3))
 DEADLINE_S = float(os.environ.get("SIRIX_SPARK_BENCH_DEADLINE", 540))
+# Degrade-don't-truncate (round-10 verdict What's-wrong #1 / next-round
+# #2): past the soft deadline each remaining query runs warmup + ONE
+# timed pass instead of being dropped, so every artifact carries the
+# full query map (flagged "degraded"); the hard stop below is the
+# absolute give-up so a pathologically contended box still prints the
+# JSON line before any outer driver timeout.
+HARD_DEADLINE_FACTOR = float(os.environ.get("SIRIX_SPARK_BENCH_HARD_FACTOR", 1.5))
 COOLDOWN_S = float(os.environ.get("SIRIX_SPARK_BENCH_COOLDOWN", 10))
 RERUN_RATIO = 3.0  # min > 3x phase median-of-mins → re-run
 _START = time.perf_counter()
@@ -333,9 +340,9 @@ class _Phase:
         self.maxs: dict[str, float] = {}
         self.runs: dict[str, callable] = {}
 
-    def time(self, name: str, run) -> None:
+    def time(self, name: str, run, n_timed: int = N_TIMED) -> None:
         run()  # warmup
-        mn, mx = _min_max(run, N_TIMED)
+        mn, mx = _min_max(run, n_timed)
         self.mins[name] = mn
         self.maxs[name] = mx
         self.runs[name] = run
@@ -413,16 +420,31 @@ def _phase_pass(spark, label, items, errors, err_label, prefix="", floor_ref=Non
             diag["contended"] = True
     diag["floor_before_ms"] = round(floor0 * 1000)
     phase = _Phase(label, diag)
+    degraded: list[str] = []
     for name, run in items:
-        if _elapsed() > DEADLINE_S:
+        if _elapsed() > DEADLINE_S * HARD_DEADLINE_FACTOR:
+            # absolute stop: even the degraded single-pass protocol
+            # can't finish — record what was dropped and bail so the
+            # JSON line still prints before any outer timeout
             errors.setdefault(
-                "__deadline__", f"stopped before {label} {name} at {_elapsed():.0f}s"
+                "__deadline__",
+                f"stopped before {label} {name} at {_elapsed():.0f}s (hard)",
             )
             break
         try:
-            phase.time(name, run)
+            if _elapsed() > DEADLINE_S:
+                # soft deadline passed: keep the full query list,
+                # degrade to warmup + ONE timed pass per query
+                # (round-10 verdict #2 — never ship a truncated map)
+                phase.time(name, run, n_timed=1)
+                degraded.append(name)
+            else:
+                phase.time(name, run)
         except Exception as e:
             errors[f"{err_label}{name}"] = f"{type(e).__name__}: {str(e)[:300]}"
+    if degraded:
+        diag["degraded"] = degraded
+        diag["contended"] = True
     mins: dict[str, float] = {}
     total = phase.settle(mins, prefix=prefix)
     # per-query cross-round outlier guard (round-8 verdict #4): at
@@ -523,6 +545,11 @@ def _run_phase(spark, label, items, timings, errors, out, err_label="", prefix="
         # never reached parity with the best committed prior round —
         # absolute per-query values are inflated by box state
         out["floor_above_ref"] = True
+    if primary.get("degraded"):
+        # deadline-degraded queries ran warmup + 1 timed pass (not
+        # min-of-N): the map is complete but those entries are upper
+        # bounds; names live in the full artifact's phase record
+        out["n_degraded"] = out.get("n_degraded", 0) + len(primary["degraded"])
     timings.update(primary_mins)
     return sum(primary_mins.values())
 
@@ -537,12 +564,17 @@ def main():
     sf = float(m.group(1)) if m else None
     n_records = int(os.environ.get("SIRIX_SPARK_RECORDS_N", 100_000_000))
 
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cpus = os.cpu_count() or 0
     out = {
         "metric": "headline_suite_total_min_of_3",
         "value": None,
         "unit": "sec",
         "queries": {},
         "sf": sf,
+        "cpus": cpus,
         "records_n": n_records,
         "floors_ms": {},
     }

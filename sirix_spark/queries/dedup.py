@@ -87,15 +87,27 @@ def _shingled_docs(spark, sf_dir):
 # copy per sf_dir is the scale-correct checkpoint-the-intermediate
 # pattern.
 _SH_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+# (n_docs, n_postings) recorded by the same materializing action that
+# builds the cache — feeds the work-proportional pair-stage width
+# (_posting_fanout) with zero extra jobs in any timed path.
+_SH_STATS: dict[tuple[str, str], tuple[int, int]] = {}
 
 
 def _shingled_cached(spark, sf_dir):
     key = (sf_dir, "shingles")
     if key not in _SH_CACHE:
         df = _shingled_docs(spark, sf_dir).persist()
-        df.count()
+        row = df.select(
+            F.count("*").alias("n"), F.sum(F.size("sh")).alias("post")
+        ).first()
         _SH_CACHE[key] = df
+        _SH_STATS[key] = (row["n"] or 0, row["post"] or 0)
     return _SH_CACHE[key]
+
+
+def _shingle_postings(sf_dir) -> int | None:
+    st = _SH_STATS.get((sf_dir, "shingles"))
+    return st[1] if st else None
 
 
 # (doc_id, sh) subquery: split once, shingle from the list column
@@ -193,6 +205,44 @@ MINHASH_SIGNATURES_SQL = _SIG_SQL_BODY
 # exactly the DF_MAX rationale in jaccard_near_dup. This bounds
 # per-bucket fan-out at LSH_BUCKET_MAX² regardless of corpus size.
 LSH_BUCKET_MAX = 100
+
+# r11 optimization (guide §2.2/§2.5 — scale-adaptive partitioning for
+# the compute-expanding pair stage): AQE sizes post-shuffle partitions
+# by the shuffle's BYTES and cannot see that each B-member bucket row
+# explodes into B² candidate pairs downstream, so jaccard_near_dup's
+# pair-emission stage coalesced to 4 of 32 tasks at sf0.1 (r10 verdict
+# top lead). Fix: key the posting shuffle with an EXPLICIT repartition
+# whose width is WORK-proportional — one task per _POSTINGS_PER_TASK
+# posting rows, a budget that keeps per-task pair-emission compute
+# ≥~20 ms (well above the ~2-5 ms scheduling cost of a task), derived
+# from the posting count the shingle cache build records anyway. The
+# groupBy reuses the explicit exchange (same key → no extra shuffle;
+# REPARTITION_BY_NUM shuffles are exempt from AQE coalescing), and
+# there is deliberately NO defaultParallelism floor: a floor is a
+# local[32] tune that forces 32 near-empty tasks on small stages —
+# measured on the banded LSH stages (+25..39%), where the bucket
+# arrays are tiny and the old AQE-coalesced 1-4 task reads win; those
+# stages stay with AQE (their shuffle bytes, and hence AQE width,
+# grow linearly with corpus size, and the cap bounds their per-row
+# expansion). At sf0.1 the posting stage gets 260388/8192 ≈ 31 tasks
+# (≈ every core); at sf1 ~318; at 100 TB it is capped by
+# _FANOUT_CAP. Interleaved A/B: jaccard 0.857 → 0.731 s (−15%).
+_POSTINGS_PER_TASK = 8192
+_FANOUT_CAP = 200_000  # sanity bound on partition count at any scale
+
+
+def _posting_fanout(words, postings: int | None):
+    """Explicitly sized shuffle feeding the B²-expanding posting
+    groupBy (see note above). postings=None or a sub-2-task estimate
+    leaves AQE in charge. Toggle is for interleaved A/B."""
+    import os
+
+    if postings is None or os.environ.get("SIRIX_OPT_PAIR_FANOUT", "1") == "0":
+        return words
+    width = min(postings // _POSTINGS_PER_TASK, _FANOUT_CAP)
+    if width < 2:
+        return words
+    return words.repartition(int(width), "w")
 
 
 def _bucket_pairs(banded: "DataFrame", id_col: str, a_name: str, b_name: str):
@@ -304,7 +354,8 @@ def jaccard_near_dup(spark, sf_dir):
     # unordered collect_list is safe; the DF prune bounds the
     # per-shingle pair fan-out at DF_MAX^2.
     grouped = (
-        words.groupBy("w")
+        _posting_fanout(words, _shingle_postings(sf_dir))
+        .groupBy("w")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") <= DF_MAX)
     )

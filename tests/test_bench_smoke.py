@@ -91,6 +91,28 @@ def test_bench_survives_failing_query():
     assert out["value"] > 0
 
 
+def test_bench_deadline_degrades_instead_of_truncating():
+    """Round-10 verdict #2: past the soft deadline the bench must keep
+    the FULL query list (warmup + 1 timed pass each, flagged) instead
+    of dropping the tail — a contended run still ships a complete
+    per-query map the driver can compare."""
+    p, out = _run_bench(
+        {
+            "SIRIX_SPARK_BENCH_DEADLINE": "0.001",  # everything is past it
+            "SIRIX_SPARK_BENCH_HARD_FACTOR": "500000",  # hard stop far away
+            "SIRIX_SPARK_BENCH_SKIP_MATRIX": "1",
+            "SIRIX_SPARK_BENCH_HEADLINE": "filter_count,sum_qty,avg_qty",
+        }
+    )
+    assert p.returncode == 0
+    assert "__deadline__" not in out.get("errors", {})
+    assert sorted(out["queries"]) == ["avg_qty", "filter_count", "sum_qty"]
+    assert out["n_degraded"] == 3
+    assert out["contended"] is True
+    slim = json.loads(out["_slim_line"])
+    assert slim.get("n_degraded") == 3 and slim.get("cpus")
+
+
 def test_floor_ref_reads_committed_artifacts():
     """Round-7 verdict #1: the parity reference is the BEST floor any
     committed BENCH_r*.json recorded — r6's 33 ms, not r7's
