@@ -165,7 +165,16 @@ def minhash_signatures(spark, sf_dir):
     measured 350 ms (vs ~0.1 s execution at sf0.1); the string form
     parses in the JVM in ~35 ms and yields the identical expression
     tree (canonicalized-plan equality pinned by
-    tests/test_expr_twins.py)."""
+    tests/test_expr_twins.py).
+
+    r11: the explode → codegen'd-hash → 16-min grouped-aggregate form
+    (r10 verdict next-round #5) was measured interleaved and REJECTED:
+    identical output (exceptAll empty both ways) but 1.55× slower for
+    the signatures and +18..31% for every downstream consumer — the
+    added (doc_id, 16-min) shuffle and aggregate machinery costs more
+    than the interpreted-HOF overhead it removes (md5 itself is the
+    same JVM intrinsic in both forms). Map-only stays the scale
+    design."""
     base = _shingled_cached(spark, sf_dir).select(
         "doc_id", F.expr(f"transform(sh, w -> {bucket_hash_sexpr('w')})").alias("_h")
     )
@@ -224,10 +233,28 @@ LSH_BUCKET_MAX = 100
 # arrays are tiny and the old AQE-coalesced 1-4 task reads win; those
 # stages stay with AQE (their shuffle bytes, and hence AQE width,
 # grow linearly with corpus size, and the cap bounds their per-row
-# expansion). At sf0.1 the posting stage gets 260388/8192 ≈ 31 tasks
-# (≈ every core); at sf1 ~318; at 100 TB it is capped by
-# _FANOUT_CAP. Interleaved A/B: jaccard 0.857 → 0.731 s (−15%).
+# expansion).
+#
+# Width has two regimes (both measured):
+#   - SATURATION (small shuffles, where AQE starves the stage: its
+#     parallelismFirst target max(bytes/parallelism, 1 MB) gives a
+#     sub-core-count width whenever the posting shuffle is under
+#     ~#cores MB regardless of the pair compute behind it): one task
+#     per _POSTINGS_PER_TASK (8192) postings -- >=~20 ms of
+#     pair-emission compute per task, well above the 2-5 ms
+#     scheduling cost -- capped at the core count.
+#   - BEYOND saturation: rows-proportional, one task per
+#     _POSTINGS_PER_TASK_LARGE (512k) postings (~20 MB, inside AQE's
+#     own 1-64 MB band), so per-task bucket state stays bounded at
+#     any corpus size; capped at _FANOUT_CAP. A purely
+#     rows-proportional width with no core cap was measured and
+#     REJECTED: at sf1sim it forced 317 tiny tasks where AQE already
+#     ran 32, +37% from ten waves of 20 ms tasks.
+# Widths: sf0.1 -> 31 tasks (vs AQE's 4; interleaved A/B: jaccard
+# 0.857 -> 0.731 s); sf1sim (10x) -> 32, identical to AQE's own
+# choice; 100 TB -> rows-proportional.
 _POSTINGS_PER_TASK = 8192
+_POSTINGS_PER_TASK_LARGE = 524_288
 _FANOUT_CAP = 200_000  # sanity bound on partition count at any scale
 
 
@@ -239,7 +266,14 @@ def _posting_fanout(words, postings: int | None):
 
     if postings is None or os.environ.get("SIRIX_OPT_PAIR_FANOUT", "1") == "0":
         return words
-    width = min(postings // _POSTINGS_PER_TASK, _FANOUT_CAP)
+    cores = words.sparkSession.sparkContext.defaultParallelism
+    width = min(
+        max(
+            postings // _POSTINGS_PER_TASK_LARGE,
+            min(postings // _POSTINGS_PER_TASK, cores),
+        ),
+        _FANOUT_CAP,
+    )
     if width < 2:
         return words
     return words.repartition(int(width), "w")
@@ -653,6 +687,21 @@ def _min_label_propagate(edges, labels, max_iter=CLUSTER_MAX_ITER):
     output was one counter. `min(old)` is exact because labels holds
     exactly one row per doc_id (the propagated rows carry null old,
     which min ignores). Same convergence condition, same labels.
+
+    r11 (r10 verdict next-round #8) — measured and REJECTED: a
+    co-partitioned loop (edges repartitioned by dst and labels by
+    doc_id once with the same explicit width, per-round min computed
+    as prop-only aggregate + exchange-free left join) produced
+    identical labels (exceptAll empty both ways) but ran +33% at
+    sf0.1 (1.284 -> 1.710 s) and +29% at the 10x sf1sim corpus
+    (3.155 -> 4.082 s), interleaved: in every reachable regime the
+    propagation join BROADCASTS labels (one row per doc), so edges
+    are never reshuffled per round as the lead assumed, the only
+    per-round shuffle is this union+groupBy aggregate, and the
+    co-partitioned form's explicit repartitions plus second join per
+    round are pure overhead. The broadcast-infeasible regime (labels
+    far beyond the broadcast cap) is where co-partitioning would pay;
+    it is unreachable on this box and left as a cluster-scale note.
     """
     for _ in range(max_iter):
         prop = edges.join(

@@ -18,6 +18,27 @@ from sirix_spark.tables import load
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "that", "it")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# r11 optimization (r10 verdict next-round #7, guide §1.2): the
+# per-word stopword filter `size(filter(words, w -> w.isin(...)))` is
+# a higher-order function — interpreted, no whole-stage codegen, one
+# lambda eval + 10 string compares per word. The codegen'd twin
+# counts space-delimited stopword tokens directly on the raw text
+# with ONE regex pass. Token semantics are identical to
+# split(text, ' ') membership: a token is a maximal run between
+# single-space delimiters (^/$ at the ends), the leading delimiter is
+# consumed so adjacent stopwords each match ("a a a" counts 3),
+# duplicates count, and the (?= |$) lookahead rejects prefixes ("ab"
+# never matches "a"). NULL text → NULL on both forms. Bit-identity is
+# pinned by tests/test_nstop_twin.py (adversarial strings + every
+# corpus row at sf0.001/0.01/0.1) and the unchanged DuckDB oracle
+# hashes. Interleaved A/B: −4..−10% on all four consumers
+# (quality_score / lang_id / text_profile / training_corpus_filter).
+_STOP_RE = "(?:^| )(?:" + "|".join(STOPWORDS) + ")(?= |$)"
+
+
+def _n_stop(textcol):
+    return F.regexp_count(textcol, F.lit(_STOP_RE))
+
 
 def _docs(spark, sf_dir):
     return load(spark, sf_dir, "documents")
@@ -58,7 +79,7 @@ def quality_score(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_stop = _n_stop(F.col("text"))
     avg_wl = (F.length("text") - n_words + 1) / n_words
     stop_ratio = n_stop.cast("double") / n_words
     score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))
@@ -94,9 +115,7 @@ def lang_id(spark, sf_dir):
     `lang` column."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    ratio = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast(
-        "double"
-    ) / F.size(words)
+    ratio = _n_stop(F.col("text")).cast("double") / F.size(words)
     pred = F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
     return docs.select(
         "doc_id",
@@ -291,7 +310,7 @@ def text_profile(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_stop = _n_stop(F.col("text"))
     avg_wl = (F.length("text") - n_words + 1) / n_words
     stop_ratio = n_stop.cast("double") / n_words
     score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))
@@ -346,7 +365,7 @@ def training_corpus_filter(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_stop = _n_stop(F.col("text"))
     avg_wl = (F.length("text") - n_words + 1) / n_words
     stop_ratio = n_stop.cast("double") / n_words
     score = F.lit(0.5) * stop_ratio + F.lit(0.5) * F.least(avg_wl / 10.0, F.lit(1.0))

@@ -30,19 +30,27 @@ def test_small_input_leaves_aqe_in_charge(spark):
     assert _posting_fanout(df, None) is df
 
 
-def test_width_is_work_proportional(spark):
+def test_width_two_regimes(spark):
     from sirix_spark.queries.dedup import (
         _FANOUT_CAP,
         _POSTINGS_PER_TASK,
+        _POSTINGS_PER_TASK_LARGE,
         _posting_fanout,
     )
 
+    cores = spark.sparkContext.defaultParallelism
     df = _words(spark, 10)
+    # saturation regime: one task per 8k postings, up to the cores
     out = _posting_fanout(df, 10 * _POSTINGS_PER_TASK)
     assert out is not df
-    assert out.rdd.getNumPartitions() == 10
+    assert out.rdd.getNumPartitions() == min(10, cores)
+    # beyond saturation: rows-proportional (512k postings per task),
+    # never pinned at the core count (bounded per-task bucket state)
+    big = 100 * cores * _POSTINGS_PER_TASK_LARGE
+    out = _posting_fanout(df, big)
+    assert out.rdd.getNumPartitions() == 100 * cores
     # capped at any scale
-    out = _posting_fanout(df, (_FANOUT_CAP + 5) * _POSTINGS_PER_TASK)
+    out = _posting_fanout(df, (_FANOUT_CAP + 5) * _POSTINGS_PER_TASK_LARGE)
     assert out.rdd.getNumPartitions() == _FANOUT_CAP
 
 
