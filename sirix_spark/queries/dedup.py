@@ -731,8 +731,16 @@ def _min_label_propagate(edges, labels, max_iter=CLUSTER_MAX_ITER):
             .agg(F.min("cluster").alias("cluster"), F.min("old").alias("old"))
             # truncate lineage each round: without this the plan
             # doubles per iteration (the standard iterative-algorithm
-            # checkpoint; GraphX does the same internally)
-            .localCheckpoint(eager=True)
+            # checkpoint; GraphX does the same internally).
+            # r11: LAZY checkpoint — the convergence count below is
+            # the materializing action, so each round runs ONE pass
+            # over new_labels (checkpoint + count fused) instead of
+            # an eager-checkpoint pass plus a count pass. Labels
+            # identical (exceptAll empty both ways), 2 fewer jobs at
+            # sf0.1 (14 → 12), wall-neutral locally (0.994 ratio,
+            # floor-bound) — at scale it removes a full scan of the
+            # labels table per iteration.
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("cluster") < F.col("old")).count()
         labels = new_labels.select("doc_id", "cluster")
